@@ -1,0 +1,174 @@
+"""The 6-stage load pipeline (reference ``Loader.load``, main.py:308-374).
+
+Stages (reference order preserved):
+
+  0. pre-load SQL hooks
+  1. unzip archives (idempotent skip unless ``--all``)
+  2. discover CSVs -> exclude-regex -> per-file import views -> install
+     function library -> optional prefix combine
+  3. post-load SQL hooks
+  4. CSV row counting
+  5. count reconciliation report (FATAL log if sum of diffs > tolerance)
+
+The "IR" here is the stage DAG in driver Python (as in the reference);
+every data-touching step is a declarative DataFrame lineage that Catalyst
+plans. Per-file/per-group failures log and continue (reference
+main.py:376-404 semantics), never aborting the whole run.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .discovery import discover_csvs, discover_zips
+from .functions import register_all
+from .naming import file_table_name, import_view_name
+from .reconcile import reconciliation_report
+from .sources.csv import read_csv_all_text, read_csv_group
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class LoadResult:
+    file_views: dict[str, DataFrame] = field(default_factory=dict)
+    combined_views: dict[str, DataFrame] = field(default_factory=dict)
+    table_csv_files: dict[str, list[Path]] = field(default_factory=dict)
+    csv_counts: dict[str, int] = field(default_factory=dict)
+    report: DataFrame | None = None
+    check_passed: bool = True
+
+
+def _sql_scripts(paths: list[Path]) -> list[Path]:
+    """Expand hook paths: files kept as-is, dirs searched recursively for
+    *.sql (reference utils.files_in, utils.py:20-26)."""
+    out: list[Path] = []
+    for p in paths:
+        if p.is_file():
+            out.append(p)
+        elif p.is_dir():
+            out.extend(sorted(p.rglob("*.sql")))
+    return out
+
+
+def run_sql_hooks(spark: SparkSession, scripts: list[Path]) -> None:
+    """Execute hook SQL against the session catalog (engine-native mode).
+
+    Reference exec.py:97-131 pipes scripts through psql; here each
+    ``;``-separated statement runs through ``spark.sql``. Failures log and
+    continue (reference semantics)."""
+    for script in scripts:
+        try:
+            for stmt in filter(
+                None, (s.strip() for s in script.read_text().split(";"))
+            ):
+                spark.sql(stmt)
+        except Exception:  # noqa: BLE001
+            log.exception("hook script failed: %s", script)
+
+
+class Loader:
+    """Spark-native counterpart of reference ``Loader`` (main.py:28-404)."""
+
+    def __init__(self, spark: SparkSession, config: PipelineConfig):
+        self.spark = spark
+        self.config = config
+
+    def load(self) -> LoadResult:
+        cfg = self.config
+        result = LoadResult()
+
+        # Step 0: pre-load hooks (main.py:312-329)
+        run_sql_hooks(self.spark, _sql_scripts(cfg.pre_load))
+
+        # Step 1: unzip (main.py:331-332)
+        if not cfg.disable_unzip:
+            from .sources.zips import extract_zips
+
+            extract_zips(discover_zips(cfg.sources, cfg.process_all))
+
+        # Step 2: import (main.py:334-335 -> 171-213)
+        if not cfg.disable_import:
+            d = discover_csvs(cfg.sources, cfg.exclude_regex)
+            result.table_csv_files = d.table_csv_files
+            for f in d.dump_files:
+                try:
+                    df = read_csv_all_text(self.spark, f)
+                    view = import_view_name(file_table_name(f))
+                    df.createOrReplaceTempView(view)
+                    result.file_views[view] = df
+                except Exception:  # noqa: BLE001
+                    log.exception("import failed: %s", f)
+
+            # install packaged function library (main.py:202-208)
+            register_all(self.spark)
+
+            # combine (main.py:210-248)
+            if cfg.combine_tables:
+                self._combine(d.table_csv_files, result)
+
+        # Step 3: post-load hooks (main.py:337-356)
+        run_sql_hooks(self.spark, _sql_scripts(cfg.post_load))
+
+        # Steps 4+5: counts + reconciliation (main.py:358-369)
+        if not cfg.disable_check and result.table_csv_files:
+            report, passed, csv_counts = reconciliation_report(
+                self.spark,
+                result.table_csv_files,
+                tolerance=cfg.check_tolerance,
+            )
+            result.report = report
+            result.check_passed = passed
+            result.csv_counts = csv_counts
+
+        return result
+
+    def _combine(
+        self, groups: dict[str, list[Path]], result: LoadResult
+    ) -> None:
+        """Prefix combine (O1). Skips groups whose combined name collides
+        with a member file's table name (reference main.py:222-226);
+        schema mismatch fails the group, logged, others continue."""
+        for table, files in groups.items():
+            member_names = {file_table_name(f) for f in files}
+            if table in member_names and len(files) > 1:
+                log.warning(
+                    "skipping combine for %s: collides with member table",
+                    table,
+                )
+                continue
+            try:
+                df = read_csv_group(self.spark, files, strict_schema=True)
+                view = import_view_name(table)
+                df.createOrReplaceTempView(view)
+                result.combined_views[view] = df
+            except Exception:  # noqa: BLE001
+                log.exception("combine failed for table %s", table)
+
+    def write_sink(self, result: LoadResult) -> None:
+        """Materialize import views to the configured sink."""
+        cfg = self.config
+        if cfg.db is not None:
+            from .sources.jdbc import write_table
+
+            for view, df in {**result.file_views, **result.combined_views}.items():
+                write_table(df, cfg.db, view.removeprefix("import_"))
+        elif cfg.sink_dir is not None:
+            for view, df in {**result.file_views, **result.combined_views}.items():
+                df.write.mode("overwrite").parquet(str(cfg.sink_dir / view))
+
+
+def run_pipeline(
+    spark: SparkSession, config: PipelineConfig
+) -> LoadResult:
+    loader = Loader(spark, config)
+    result = loader.load()
+    if config.db is not None or config.sink_dir is not None:
+        loader.write_sink(result)
+    return result

@@ -1,0 +1,82 @@
+"""Row-count reconciliation (reference ``post_load_check``, main.py:250-306).
+
+The reference compares `wc -l` CSV counts against per-table
+``SELECT count(*)`` and prints a PrettyTable; FATAL log if the summed
+absolute difference exceeds 100 (hard-coded).
+
+Engine version: counts both sides with Spark (one distributed job per
+side, not one subprocess per file), returns the report as a DataFrame,
+and documents one deliberate deviation: we count *data rows* (the CSV
+parser handles quoted newlines), where `wc -l` counted raw lines
+including the header (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from .naming import import_view_name
+
+log = logging.getLogger(__name__)
+
+
+def csv_row_counts(
+    spark: SparkSession, table_csv_files: dict[str, list[Path]]
+) -> dict[str, int]:
+    """Data-row count per combined table, one distributed CSV read per
+    group (S9/S10 equivalent)."""
+    from .sources.csv import read_csv_all_text
+
+    return {
+        table: read_csv_all_text(spark, files).count()
+        for table, files in table_csv_files.items()
+    }
+
+
+def db_row_counts(
+    spark: SparkSession, tables: list[str]
+) -> dict[str, int]:
+    """count(*) per import view (O5). Missing views count as 0 — the
+    reference's check tolerates missing tables by reporting the diff."""
+    out = {}
+    for t in tables:
+        try:
+            out[t] = spark.table(import_view_name(t)).count()
+        except Exception:  # noqa: BLE001
+            out[t] = 0
+    return out
+
+
+def reconciliation_report(
+    spark: SparkSession,
+    table_csv_files: dict[str, list[Path]],
+    tolerance: int = 100,
+) -> tuple[DataFrame, bool, dict[str, int]]:
+    """Build the reconciliation report (reference report columns,
+    main.py:263-299) and evaluate the tolerance gate (main.py:301-302)."""
+    csv_counts = csv_row_counts(spark, table_csv_files)
+    db_counts = db_row_counts(spark, list(table_csv_files))
+
+    rows = [
+        Row(
+            table=t,
+            csv_files=len(files),
+            csv_rows=csv_counts[t],
+            db_rows=db_counts[t],
+            difference=abs(csv_counts[t] - db_counts[t]),
+        )
+        for t, files in sorted(table_csv_files.items())
+    ]
+    report = spark.createDataFrame(rows)
+    total_diff = sum(r.difference for r in rows)
+    passed = total_diff <= tolerance
+    if not passed:
+        log.fatal(
+            "reconciliation failed: total difference %d > %d",
+            total_diff,
+            tolerance,
+        )
+    return report, passed, csv_counts

@@ -1,0 +1,126 @@
+"""End-to-end pipeline tests: the reference's animals golden
+(README.md:75-105, FIXTURES.md §1) plus stage-toggle semantics."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from postgresimporter_spark.config import PipelineConfig
+from postgresimporter_spark.pipeline import run_pipeline
+
+ANIMALS_1 = 'name,origin,height\nGrizzly,"North America",220\nGiraffe,"Africa",600\n'
+ANIMALS_2 = 'name,origin,height\nWallabie,"Australia",180\n'
+
+
+@pytest.fixture()
+def animals_dir(tmp_path):
+    (tmp_path / "animals_1.csv").write_text(ANIMALS_1)
+    (tmp_path / "animals_2.csv").write_text(ANIMALS_2)
+    return tmp_path
+
+
+def test_animals_golden(spark, animals_dir):
+    """2 CSVs -> import_animals_1, import_animals_2, combined import_animals
+    (UNION ALL, duplicates preserved), all columns text."""
+    cfg = PipelineConfig(sources=[animals_dir], combine_tables=True)
+    result = run_pipeline(spark, cfg)
+
+    assert set(result.file_views) == {"import_animals_1", "import_animals_2"}
+    assert set(result.combined_views) == {"import_animals"}
+
+    combined = spark.table("import_animals")
+    assert [f.dataType.simpleString() for f in combined.schema.fields] == [
+        "string",
+        "string",
+        "string",
+    ]
+    rows = {tuple(r) for r in combined.collect()}
+    assert rows == {
+        ("Grizzly", "North America", "220"),
+        ("Giraffe", "Africa", "600"),
+        ("Wallabie", "Australia", "180"),
+    }
+    # reconciliation: 3 csv rows vs 3 combined rows
+    assert result.check_passed
+    report = {r.table: r for r in result.report.collect()}
+    assert report["animals"].csv_rows == 3
+    assert report["animals"].db_rows == 3
+    assert report["animals"].difference == 0
+
+
+def test_post_load_typed_query(spark, animals_dir, tmp_path):
+    """Post-load hook casts text -> int (README.md:93-105 semantics)."""
+    hook = tmp_path / "hooks" / "typed.sql"
+    hook.parent.mkdir()
+    hook.write_text(
+        "CREATE OR REPLACE TEMPORARY VIEW public_animals AS "
+        "SELECT name, origin, CAST(height AS INT) AS height "
+        "FROM import_animals"
+    )
+    cfg = PipelineConfig(
+        sources=[animals_dir], combine_tables=True, post_load=[hook.parent]
+    )
+    run_pipeline(spark, cfg)
+    got = {
+        (r.name, r.height) for r in spark.table("public_animals").collect()
+    }
+    assert got == {("Grizzly", 220), ("Giraffe", 600), ("Wallabie", 180)}
+    assert dict(spark.table("public_animals").dtypes)["height"] == "int"
+
+
+def test_combine_duplicates_preserved(spark, tmp_path):
+    """UNION ALL, not UNION: identical rows in two files both survive."""
+    (tmp_path / "dup_1.csv").write_text("a,b\n1,x\n")
+    (tmp_path / "dup_2.csv").write_text("a,b\n1,x\n")
+    cfg = PipelineConfig(sources=[tmp_path], combine_tables=True)
+    run_pipeline(spark, cfg)
+    assert spark.table("import_dup").count() == 2
+
+
+def test_combine_schema_mismatch_logged_not_fatal(spark, tmp_path, caplog):
+    (tmp_path / "bad_1.csv").write_text("a,b\n1,2\n")
+    (tmp_path / "bad_2.csv").write_text("a,c\n1,2\n")
+    cfg = PipelineConfig(sources=[tmp_path], combine_tables=True)
+    result = run_pipeline(spark, cfg)
+    # per-file views still created; combined view absent; run not aborted
+    assert set(result.file_views) == {"import_bad_1", "import_bad_2"}
+    assert "import_bad" not in result.combined_views
+
+
+def test_exclude_and_disable_flags(spark, tmp_path):
+    (tmp_path / "keep_1.csv").write_text("a\n1\n")
+    (tmp_path / "skip_sample.csv").write_text("a\n1\n")
+    cfg = PipelineConfig(
+        sources=[tmp_path],
+        exclude_regex=r"^.*sample.*$",
+        disable_check=True,
+    )
+    result = run_pipeline(spark, cfg)
+    assert set(result.file_views) == {"import_keep_1"}
+    assert result.report is None
+
+    cfg2 = PipelineConfig(sources=[tmp_path], disable_import=True)
+    result2 = run_pipeline(spark, cfg2)
+    assert result2.file_views == {}
+
+
+def test_zip_extraction_stage(spark, tmp_path):
+    src = tmp_path / "archive.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("zipped_1.csv", "a,b\n1,2\n3,4\n")
+    cfg = PipelineConfig(sources=[tmp_path])
+    result = run_pipeline(spark, cfg)
+    assert "import_zipped_1" in result.file_views
+    assert spark.table("import_zipped_1").count() == 2
+
+
+def test_pre_load_hook_runs_first(spark, animals_dir, tmp_path):
+    pre = tmp_path / "pre.sql"
+    pre.write_text(
+        "CREATE OR REPLACE TEMPORARY VIEW preload_marker AS SELECT 1 AS ok"
+    )
+    cfg = PipelineConfig(sources=[animals_dir], pre_load=[pre])
+    run_pipeline(spark, cfg)
+    assert spark.table("preload_marker").collect()[0].ok == 1
