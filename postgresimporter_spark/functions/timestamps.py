@@ -58,8 +58,10 @@ def _month_num(mon: Column) -> Column:
 
 
 def _yy_to_year(yy: Column) -> Column:
-    """Two-digit year -> full year, Postgres ``YY`` semantics (20xx)."""
-    return (F.lit(2000) + yy.try_cast("int")).cast("int")
+    """Two-digit year -> full year, Postgres rounding semantics:
+    values < 70 become 20xx, >= 70 become 19xx (nearest-century rule)."""
+    y = yy.try_cast("int")
+    return F.when(y < 70, y + 2000).otherwise(y + 1900).cast("int")
 
 
 def _hour24(hh12: Column, ampm: Column) -> Column:

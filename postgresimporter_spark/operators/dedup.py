@@ -1,0 +1,246 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four tiers, cheapest first (SURVEY §2.10):
+
+- exact: content hash + keep-one-canonical-row. One shuffle on the hash.
+- n-gram Jaccard: shingle join for candidate pairs, exact Jaccard on top.
+- MinHash-LSH: signature bands -> bucket join -> verify. Scales to 100 TB
+  because candidate generation never compares all pairs: only rows sharing
+  a band bucket meet, and bucket skew is bounded by the band width.
+- SimHash: 64-bit fingerprint; near-dups = small Hamming distance.
+
+All hashing is md5-based (not Spark's murmur ``F.hash``) so results are
+engine-independent — the DuckDB oracle computes identical md5 values,
+which makes these operators differentially testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical row (min id) per distinct text.
+
+    Hash-groupBy: one shuffle on the (content-hashed) key; map-side
+    partial min keeps the shuffle small. At 100 TB, group on
+    ``sha2(text)`` instead of raw text to bound shuffle record width.
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct, whitespace-tokenized)."""
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Candidate generation by shingle equi-join (only pairs sharing >=1
+    shingle meet — a shuffle join on shingle, never a cross join), then
+    exact |A ∩ B| / |A ∪ B| from the shared-shingle count.
+
+    Scale posture: hot shingles (stop-phrase skew) bounded by AQE skew
+    handling; for 100 TB add a document-frequency cap on shingles before
+    the join (drop shingles appearing in > X% of docs — they generate
+    candidates without discriminating).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(b, on="shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jacc = F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jacc, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _md5_long(c: Column, seed: int) -> Column:
+    """Deterministic 60-bit integer hash from md5 (engine-independent:
+    DuckDB computes the identical value). 15 hex chars avoids sign
+    overflow in a signed 64-bit conv."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), c)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes`` seeded
+    hash functions, the min hash over the doc's shingle set.
+
+    Expressed with ``F.transform``/``F.array_min`` over the shingle array
+    — no explode, no shuffle; computed in one projection.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    def _hasher(seed: int):
+        # single-arg lambda: a 2-param lambda would receive (element, index)
+        return lambda s: _md5_long(s, seed)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), _hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select("id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified with
+    estimated Jaccard (signature agreement rate).
+
+    bands x rows-per-band = num_hashes; a pair is a candidate iff some
+    band's sub-signature matches exactly (bucket equi-join on the band
+    hash — the scale path: no all-pairs comparison ever happens).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+
+    band_entries = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: bit i of the fingerprint = sign of the sum of
+    (+1/-1) votes from each token's hash bit i.
+
+    md5-derived bits keep it engine-independent. Computed by explode +
+    groupBy(id) — one shuffle on doc id; at scale prefer the array-fold
+    variant (transform + aggregate) which needs no shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = _md5_long(F.col("tok"), 0)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fingerprint = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return agg.select("id", fingerprint.cast("long").alias("simhash"))
+
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+]

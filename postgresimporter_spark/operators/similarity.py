@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, O(N*Q), fine when the query
+set is small and broadcastable (the common "probe a corpus" shape).
+
+Scale path: LSH bucketing (random hyperplane signatures) so candidate
+generation touches only same-bucket rows; brute-force then runs within
+buckets. At 100 TB the corpus side stays partitioned, queries broadcast.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side, no Python.
+Doubles accumulate in array-index order, so the result is deterministic
+for a given row (independent of partitioning), which keeps the operator
+differentially testable against a sequential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``broadcast(queries)`` turns the cross join into a map-side nested
+    loop over the partitioned corpus — no shuffle of the corpus, ever.
+    Top-k per query via window row_number (score desc, id asc tiebreak).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("_cvec")
+    ).crossJoin(q)
+    sim = cosine(F.col("_cvec"), F.col("_qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("score", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Random-hyperplane LSH signature: bit b = sign(vec . plane_b).
+
+    Planes are literals (driver-generated, seeded) — the signature is a
+    pure projection, no shuffle.
+    """
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    return F.concat_ws("", *[b.cast("string") for b in bits])
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: compare only vectors sharing an LSH bucket.
+
+    Equi-join on the signature replaces the cross join; recall depends on
+    the plane count (more planes -> smaller buckets -> faster/lower
+    recall). Multi-probe (flip one bit) would raise recall; kept simple.
+    """
+    sig = lambda df, idc: df.select(  # noqa: E731
+        F.col(idc),
+        F.col(vec_col).alias(f"_{idc}_vec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    c, q = sig(corpus, corpus_id), F.broadcast(sig(queries, query_id))
+    scored = c.join(q, on="_sig")
+    sim = cosine(F.col(f"_{corpus_id}_vec"), F.col(f"_{query_id}_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("score", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )
+
+
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "hyperplane_signature",
+    "lsh_topk",
+]

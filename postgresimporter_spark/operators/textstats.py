@@ -1,0 +1,136 @@
+"""Text analysis operators over the ``documents`` table (SURVEY §2.10):
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything is built-in-function compositions (split/regexp/aggregate) —
+JVM-side, codegen-friendly, no Python in the hot path — and every
+computation is exactly reproducible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and oracle-reproducible; a real deployment
+# would swap in a trained model via mapInPandas without changing the
+# operator's shape.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single punctuation —
+# the shape a byte-pair pre-tokenizer produces.
+BPE_TOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _isin(values: list[str]):
+    """Single-arg lambda factory for higher-order functions.
+
+    NB: a two-parameter lambda (e.g. with a default-arg capture) makes
+    PySpark pass (element, index) — the captured default silently becomes
+    the index column. Close over values instead.
+    """
+    return lambda x: x.isin(values)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the BPE-like regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RX), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation
+    and stopword ratios — the standard pre-training filter signals."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_toks = F.size(toks)
+    all_markers = [w for ws in LANG_MARKERS.values() for w in ws]
+    stop_hits = F.size(F.filter(toks, _isin(all_markers)))
+    punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
+    return df.withColumns(
+        {
+            "n_chars_computed": F.length(t),
+            "n_tokens": n_toks,
+            "avg_token_len": F.round(
+                F.when(
+                    n_toks > 0,
+                    F.aggregate(
+                        toks,
+                        F.lit(0),
+                        lambda acc, x: acc + F.length(x),
+                    ).cast("double")
+                    / n_toks,
+                ),
+                6,
+            ),
+            "punct_ratio": F.round(
+                punct.cast("double") / F.greatest(F.length(t), F.lit(1)), 6
+            ),
+            "stopword_ratio": F.round(
+                F.when(
+                    n_toks > 0, stop_hits.cast("double") / n_toks
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        }
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language (the argmax is the predicted lang)."""
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, _isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_language(text: Column) -> Column:
+    """Deterministic argmax over language scores: greatest + first-match
+    CASE in alphabetical code order (ties -> first code); zero hits ->
+    'und'. The identical CASE chain is expressible in ANSI SQL."""
+    scores = language_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def fingerprint(text: Column, n: int = 3) -> Column:
+    """Document fingerprint: lexicographic min of md5(shingle) — a
+    1-permutation MinHash. Engine-independent (md5), no shuffle."""
+    from .dedup import shingles
+
+    return F.array_min(
+        F.transform(shingles(text, n), lambda s: F.md5(s))
+    )
+
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_token_count",
+    "quality_features",
+    "language_scores",
+    "predict_language",
+    "fingerprint",
+    "LANG_MARKERS",
+    "BPE_TOKEN_RX",
+]

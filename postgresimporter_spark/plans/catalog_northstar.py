@@ -1,0 +1,383 @@
+"""North-star queries: the LLM-data-pipeline operators (SURVEY §2.10)
+over ``documents``/``embeddings``, each with a DuckDB oracle.
+
+Oracle-expressibility design: every hash in these operators is md5-based
+(both engines produce identical hex), integer hashes come from the first
+15 hex chars (``conv(...,16,10)`` == ``('0x'||...)::BIGINT``), and all
+float math either runs through exact decimal sums or is rounded after
+deterministic in-order double accumulation. That makes even MinHash-LSH
+and SimHash — usually "trust me" operators — differentially testable.
+
+The dedup fixtures contain no natural duplicates, so dedup queries
+synthesize them: documents UNION ALL a shifted-id copy of a slice (both
+engines build the identical union), guaranteeing non-trivial results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import textstats as T
+from ..sources.parquet import load_tables
+from .catalog import QueryDef
+
+# Shared SQL fragments ------------------------------------------------------
+
+# documents + synthesized duplicates (ids shifted by 10000, first 100 docs)
+DUPED_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+"""
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(0, greatest(len({toks}) - 3, 0)), "
+    "i -> array_to_string(list_slice({toks}, i + 1, i + 3), ' ')))"
+).format(toks=_TOKS)
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def _duped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    extra = (
+        docs.where(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+# q24: exact dedup ----------------------------------------------------------
+
+
+def q24_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_duped_docs(spark, sf_dir))
+
+
+ORACLE_Q24 = f"""
+WITH duped AS ({DUPED_DOCS_SQL})
+SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_hash,
+       COUNT(*) AS n_copies
+FROM duped GROUP BY sha256(text)
+"""
+
+
+# q25: n-gram Jaccard near-dup pairs ---------------------------------------
+
+
+def q25_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_duped_docs(spark, sf_dir), threshold=0.8)
+
+
+ORACLE_Q25 = f"""
+WITH duped AS ({DUPED_DOCS_SQL}),
+sh AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM duped),
+sized AS (SELECT id, sh, len(sh) AS n_sh FROM sh),
+ex AS (SELECT id, n_sh, unnest(sh) AS shingle FROM sized),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM pairs WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.8
+"""
+
+
+# q26: MinHash-LSH ----------------------------------------------------------
+
+
+def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _duped_docs(spark, sf_dir),
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=0.5,
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT))"
+        for i in range(NUM_HASHES)
+    )
+    return f"[{mins}]"
+
+
+def _bands_sql() -> str:
+    entries = ", ".join(
+        "{'band': %d, 'bucket': md5(%s)}"
+        % (
+            b,
+            " || ',' || ".join(
+                f"signature[{b * ROWS_PER_BAND + r + 1}]"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"[{entries}]"
+
+
+ORACLE_Q26 = f"""
+WITH duped AS ({DUPED_DOCS_SQL}),
+sh AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM duped),
+sigs AS (SELECT id, {_minhash_sig_sql()} AS signature FROM sh),
+bandrows AS (
+  SELECT id, signature, unnest({_bands_sql()}, recursive := true)
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.signature AS sig_a, b.signature AS sig_b
+  FROM bandrows a
+  JOIN bandrows b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b,
+  round(len(list_filter(generate_series(1, {NUM_HASHES}),
+                        i -> sig_a[i] = sig_b[i])) / {NUM_HASHES}.0, 6)
+    AS est_jaccard
+FROM cand
+WHERE round(len(list_filter(generate_series(1, {NUM_HASHES}),
+                            i -> sig_a[i] = sig_b[i])) / {NUM_HASHES}.0, 6)
+      >= 0.5
+"""
+
+
+# q27: SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return D.simhash(docs, bits=SIMHASH_BITS)
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT id, ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h
+      FROM toks),
+votes AS (SELECT id, {votes} FROM h GROUP BY id)
+SELECT id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+ORACLE_Q27 = _simhash_oracle()
+
+
+# q28: brute-force cosine top-k --------------------------------------------
+
+
+def q28_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+_COS = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+)
+
+ORACLE_Q28 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({_COS}, 6) AS score
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# q29: text statistics ------------------------------------------------------
+
+_ALL_MARKERS = sorted({w for ws in T.LANG_MARKERS.values() for w in ws})
+
+
+def q29_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.quality_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+def _text_stats_oracle() -> str:
+    markers = ", ".join(f"'{w}'" for w in _ALL_MARKERS)
+    toks_clean = f"list_filter({_TOKS}, t -> t != '')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks_clean} AS toks FROM documents),
+counted AS (SELECT doc_id, text, toks, len(toks) AS n_tokens FROM base)
+SELECT doc_id, n_tokens,
+  len(regexp_extract_all(text, '{T.BPE_TOKEN_RX}')) AS n_bpe_tokens,
+  CASE WHEN n_tokens > 0 THEN
+    round(CAST(list_reduce(list_transform(toks, t -> len(t)), (a, b) -> a + b)
+               AS DOUBLE) / n_tokens, 6) END AS avg_token_len,
+  round(CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        / greatest(len(text), 1), 6) AS punct_ratio,
+  CASE WHEN n_tokens > 0 THEN
+    round(CAST(len(list_filter(toks, t -> t IN ({markers}))) AS DOUBLE)
+          / n_tokens, 6) ELSE 0.0 END AS stopword_ratio
+FROM counted
+"""
+
+
+ORACLE_Q29 = _text_stats_oracle()
+
+
+# q30: language identification ---------------------------------------------
+
+
+def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predict_language(F.col("text")).alias("predicted_lang"),
+    )
+
+
+def _lang_oracle() -> str:
+    score_cols = []
+    for lang in sorted(T.LANG_MARKERS):
+        ms = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            f" t -> t IN ({ms}))) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(
+        f"s_{lang}" for lang in sorted(T.LANG_MARKERS)
+    ) + ")"
+    case = "CASE WHEN {b} = 0 THEN 'und' ".format(b=best)
+    for lang in sorted(T.LANG_MARKERS):
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang, {', '.join(score_cols)}
+  FROM documents)
+SELECT doc_id, labeled_lang, {case} AS predicted_lang FROM scored
+"""
+
+
+ORACLE_Q30 = _lang_oracle()
+
+
+# q31: document fingerprint -------------------------------------------------
+
+
+def q31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+ORACLE_Q31 = f"""
+SELECT doc_id,
+  list_min(list_transform({_SHINGLES}, s -> md5(s))) AS fingerprint
+FROM documents
+"""
+
+
+# q32: LSH-bucketed similarity (scale path; oracle-checked) -----------------
+
+# Deterministic pseudo-random hyperplanes: plane b, dim d from md5 — both
+# engines could rebuild them, but the Spark side embeds them as literals,
+# so the oracle recomputes with the same literal table via VALUES.
+import hashlib
+
+
+def _planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    out = []
+    for b in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{b}:{d}".encode()).hexdigest()
+            # map 8 hex chars -> [-1, 1)
+            row.append(int(h[:8], 16) / 2**31 - 1.0)
+        out.append(row)
+    return out
+
+
+PLANES = _planes()
+
+
+def q32_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(emb, queries, PLANES, k=10)
+
+
+def _lsh_oracle() -> str:
+    # plane vectors inlined as literal lists (no subquery-in-lambda —
+    # DuckDB lambdas cannot reference subqueries)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v.embedding::DOUBLE[], [%s]) >= 0 "
+        "THEN '1' ELSE '0' END)" % ", ".join(repr(x) for x in row)
+        for row in PLANES
+    )
+    return f"""
+WITH sigs AS (
+  SELECT v.vec_id, v.embedding, {bits} AS sig FROM embeddings v),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig
+      FROM sigs WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, round({_COS.replace('e.embedding', 'e.embedding').replace('q.qv', 'q.qv')}, 6) AS score
+  FROM sigs e JOIN q ON e.sig = q.sig),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+
+ORACLE_Q32 = _lsh_oracle()
+
+
+def northstar_registry() -> list[QueryDef]:
+    return [
+        QueryDef("q24_dedup_exact", q24_dedup_exact, ORACLE_Q24, "exact dedup: hash-groupBy canonical row"),
+        QueryDef("q25_jaccard_pairs", q25_jaccard_pairs, ORACLE_Q25, "n-gram Jaccard near-dup pairs"),
+        QueryDef("q26_minhash_lsh", q26_minhash_lsh, ORACLE_Q26, "MinHash-LSH banded near-dup pairs"),
+        QueryDef("q27_simhash", q27_simhash, ORACLE_Q27, "SimHash 32-bit fingerprints"),
+        QueryDef("q28_similarity_topk", q28_similarity_topk, ORACLE_Q28, "brute-force cosine top-k"),
+        QueryDef("q29_text_stats", q29_text_stats, ORACLE_Q29, "doc quality features"),
+        QueryDef("q30_lang_id", q30_lang_id, ORACLE_Q30, "marker-lexicon language ID"),
+        QueryDef("q31_fingerprint", q31_fingerprint, ORACLE_Q31, "min-hash document fingerprint"),
+        QueryDef("q32_similarity_lsh", q32_similarity_lsh, ORACLE_Q32, "LSH-bucketed cosine top-k"),
+    ]

@@ -52,6 +52,11 @@ def get_spark(
         # Deterministic session timezone: correctness-gate hashes compare
         # timestamp values against a DuckDB oracle running in UTC.
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) is
+        # otherwise an illegal type for Spark; read as long + convert
+        # (sources/parquet.py restores TimestampType at microsecond
+        # precision from the footer's logical type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -28,7 +28,39 @@ def load_tables(
     """
     out: dict[str, DataFrame] = {}
     for t in tables or TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        path = f"{sf_dir}/{t}.parquet"
+        df = spark.read.parquet(path)
+        df = _restore_nanos_timestamps(df, path)
         df.createOrReplaceTempView(t)
         out[t] = df
     return out
+
+
+def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Convert TIMESTAMP(NANOS) columns (read as nano longs under
+    ``spark.sql.legacy.parquet.nanosAsLong``) back to TimestampType at
+    Spark's microsecond precision (truncating).
+
+    The footer read is one driver-side metadata fetch per table — cheap
+    at any scale; only columns whose parquet logical type is actually
+    timestamp[ns] are touched.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+    except Exception:  # noqa: BLE001 - non-local paths: leave as-is
+        return df
+    import pyarrow as pa
+
+    for field in schema:
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+            # integer division: float division of ~1e18 nanos loses
+            # sub-microsecond precision (double has 53 mantissa bits)
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+            )
+    return df
