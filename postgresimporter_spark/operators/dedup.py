@@ -104,6 +104,26 @@ def _md5_long(c: Column, seed: int) -> Column:
     ).cast("long")
 
 
+# MinHash universe: h_i(s) = (A_i * base(s) + B_i) mod P, with
+# base(s) = md5-derived 60-bit int mod P. One md5 per shingle, then
+# num_hashes cheap integer derivations (the classic a*x+b family).
+# P = 2^31 - 1 keeps every product within signed-64 range.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs (odd multipliers, distinct offsets)."""
+    return [(2 * i + 1, i * i + i + 1) for i in range(num_hashes)]
+
+
+def _md5_base(c: Column) -> Column:
+    """md5 -> 60-bit int -> mod P. Engine-independent."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -111,26 +131,35 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature per document: for each of ``num_hashes`` seeded
-    hash functions, the min hash over the doc's shingle set.
+    """MinHash signature per document: min over the shingle set of each
+    of ``num_hashes`` hash functions.
 
     Expressed with ``F.transform``/``F.array_min`` over the shingle array
-    — no explode, no shuffle; computed in one projection.
+    — no explode, no shuffle; one md5 per shingle (base hashes computed
+    once, per-function values are integer arithmetic on top).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    )
-    def _hasher(seed: int):
-        # single-arg lambda: a 2-param lambda would receive (element, index)
-        return lambda s: _md5_long(s, seed)
+    # explode + one grouped aggregation: computes md5 exactly once per
+    # shingle. (The pure-projection alternative — 16 array_min(transform)
+    # over a bases column — looks shuffle-free but Catalyst's projection
+    # collapse inlines the shingle+md5 lineage into each of the 16
+    # consumers, recomputing it 16x.) The groupBy shuffles on doc id,
+    # which AQE coalesces; map-side partial mins keep it small.
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("s"),
+    ).select("id", _md5_base(F.col("s")).alias("base"))
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), _hasher(i)))
-            for i in range(num_hashes)
-        ]
+    mins = [
+        F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    agg = exploded.groupBy("id").agg(*mins)
+    return agg.select(
+        "id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+            "signature"
+        ),
     )
-    return sh.select("id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -150,7 +179,11 @@ def minhash_lsh_pairs(
     hash — the scale path: no all-pairs comparison ever happens).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    # Materialize signatures: they feed both sides of the self-join (and
+    # the verify stage), and projection collapse would otherwise inline
+    # the whole shingle+hash lineage into every consumer. Signatures are
+    # ~num_hashes longs per doc — small even at 100 TB corpus scale.
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
 
     band_entries = sigs.select(
         "id",

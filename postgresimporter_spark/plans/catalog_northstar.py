@@ -105,9 +105,11 @@ def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> str:
+    # mirror operators/dedup.py: one md5 base per shingle + LCG family
+    p = D.MINHASH_P
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT))"
-        for i in range(NUM_HASHES)
+        f"list_min(list_transform(bases, b -> ({a} * b + {c}) % {p}))"
+        for a, c in D.minhash_coeffs(NUM_HASHES)
     )
     return f"[{mins}]"
 
@@ -130,7 +132,10 @@ def _bands_sql() -> str:
 ORACLE_Q26 = f"""
 WITH duped AS ({DUPED_DOCS_SQL}),
 sh AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM duped),
-sigs AS (SELECT id, {_minhash_sig_sql()} AS signature FROM sh),
+based AS (SELECT id, list_transform(sh,
+    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {D.MINHASH_P}) AS bases
+  FROM sh),
+sigs AS (SELECT id, {_minhash_sig_sql()} AS signature FROM based),
 bandrows AS (
   SELECT id, signature, unnest({_bands_sql()}, recursive := true)
   FROM sigs),
