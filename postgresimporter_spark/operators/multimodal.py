@@ -1,0 +1,153 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata (SURVEY §2.10).
+
+The Spark-side plumbing — schema, partition sizing, Arrow-batched UDF
+signatures — is real and tested; the actual media decoding is stubbed
+behind ``DECODERS`` because media libraries are not available in this
+environment. A deployment registers real decoders (PIL/ffmpeg/...) with
+the same (bytes) -> dict signature; nothing else changes.
+
+Scale posture: media rows are large — ``mapInPandas`` streams Arrow
+batches so a partition never fully materializes, and
+``spark.sql.files.maxPartitionBytes`` (vs. row-group sizing on write)
+keeps per-task memory bounded. Feature extraction fans out per row, no
+shuffle; only the (small) feature output is ever aggregated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "path string, modality string, content binary, "
+    "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+)
+
+FEATURE_SCHEMA = (
+    "path string, modality string, n_bytes long, sha256 string, "
+    "width int, height int, duration_ms int"
+)
+
+
+def deterministic_fake_decode(content: bytes) -> dict:
+    """Deterministic stand-in for a real media decoder: derives fake
+    dimensions from the byte content so tests have stable expectations."""
+    n = len(content or b"")
+    return {
+        "width": (n % 640) + 1,
+        "height": (n % 480) + 1,
+        "duration_ms": n,
+    }
+
+
+# modality -> decoder; swap in real ones ([PIL.Image.open etc.) in a
+# deployment. Raising NotImplementedError marks intentionally-stubbed
+# modalities.
+DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "image": deterministic_fake_decode,
+    "audio": deterministic_fake_decode,
+    "video": deterministic_fake_decode,
+}
+
+
+def read_media_dir(spark: SparkSession, path_glob: str, modality: str) -> DataFrame:
+    """Load media files as binary rows via the ``binaryFile`` source."""
+    df = spark.read.format("binaryFile").load(path_glob)
+    return df.select(
+        "path",
+        F.lit(modality).alias("modality"),
+        "content",
+        F.lit(None)
+        .cast("struct<width:int,height:int,duration_ms:int,codec:string>")
+        .alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-row feature extraction with an Arrow-batched pandas UDF.
+
+    Batches stream through ``mapInPandas`` — constant memory per task
+    regardless of partition size; decode failures surface as nulls, not
+    task failures (log-and-continue, reference failure semantics).
+    """
+    import hashlib
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = r["content"] or b""
+                try:
+                    decoded = DECODERS[r["modality"]](content)
+                except (KeyError, NotImplementedError):
+                    decoded = {}
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "modality": r["modality"],
+                        "n_bytes": len(content),
+                        "sha256": hashlib.sha256(content).hexdigest(),
+                        "width": decoded.get("width"),
+                        "height": decoded.get("height"),
+                        "duration_ms": decoded.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "modality",
+                    "n_bytes",
+                    "sha256",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame offset.
+
+    Offsets come from the decoded duration; the frame bytes themselves
+    are stubbed (real deployments call the video decoder per offset).
+    Demonstrates the row-expanding UDF shape (mapInPandas yielding more
+    rows than it receives).
+    """
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = r["content"] or b""
+                duration = DECODERS.get(
+                    r["modality"], deterministic_fake_decode
+                )(content)["duration_ms"]
+                for off in range(0, max(duration, 1), every_ms):
+                    rows.append(
+                        {"path": r["path"], "frame_ms": off, "frame": None}
+                    )
+            yield pd.DataFrame(rows, columns=["path", "frame_ms", "frame"])
+
+    return media.mapInPandas(
+        _sample, schema="path string, frame_ms long, frame binary"
+    )
+
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "FEATURE_SCHEMA",
+    "DECODERS",
+    "deterministic_fake_decode",
+    "read_media_dir",
+    "extract_features",
+    "sample_frames",
+]

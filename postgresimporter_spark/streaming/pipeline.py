@@ -1,0 +1,109 @@
+"""Streaming operators: incremental CSV ingest, watermarked windows,
+stateful sessionization.
+
+Scale posture: each micro-batch is planned by Catalyst like a batch
+query (pushdown, partial aggregation); state stores are per-key and
+RocksDB-backed on a real cluster (``spark.sql.streaming.stateStore
+.providerClass``). Watermarks bound state growth — without one, an
+event-time aggregation over 100 TB/day of events would accumulate state
+forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_csv_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """Incremental CSV load: the streaming generalization of the
+    reference's skip-if-already-processed re-run model (main.py:156-168)
+    — Spark's file-source tracking replaces the directory-exists check.
+
+    All-text semantics preserved: pass an all-StringType ``schema``
+    (streaming reads require an explicit schema).
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .csv(source_dir)
+    )
+
+
+def stream_hourly_rollup(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming q16).
+
+    Late events beyond the watermark are dropped; the window state for
+    closed windows is evicted, bounding memory.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful sessionization via ``session_window`` — the streaming
+    counterpart of operators/sessionize.py (same gap semantics; batch
+    uses the SQL-expressible gaps-and-islands form, streaming uses the
+    native session window whose state merges as events arrive)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming DataFrame to a memory sink and block until the
+    source is exhausted (test/debug helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

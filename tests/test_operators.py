@@ -1,0 +1,103 @@
+"""Unit tests for the north-star operators on hand-built micro-fixtures
+(the oracle check covers fixture-scale behavior; these pin semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresimporter_spark.operators import dedup as D
+from postgresimporter_spark.operators import similarity as S
+from postgresimporter_spark.operators import textstats as T
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = docs_df(spark, ["aaa", "bbb", "aaa", "aaa"])
+    got = {r.doc_id: r.n_copies for r in D.exact_dedup(df).collect()}
+    assert got == {0: 3, 1: 1}
+
+
+def test_shingles(spark):
+    df = docs_df(spark, ["a b c d", "a b"])
+    got = [
+        r[0]
+        for r in df.orderBy("doc_id")
+        .select(D.shingles(F.col("text"), 3))
+        .collect()
+    ]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # shorter than n -> single truncated shingle
+
+
+def test_jaccard_identical_docs(spark):
+    df = docs_df(spark, ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "zz yy xx ww vv"])
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (0, 1, 1.0)
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    texts = [f"word{i} " * 20 for i in range(10)]
+    texts.append(texts[0])  # 10 == 0
+    pairs = D.minhash_lsh_pairs(docs_df(spark, texts), threshold=0.5).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 10)}
+    assert pairs[0].est_jaccard == 1.0
+
+
+def test_simhash_identical_and_different(spark):
+    df = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "zeta eta theta"])
+    got = {r.id: r.simhash for r in D.simhash(df).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_cosine_topk_self_is_rank_one(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]
+    assert got[0].score == 1.0
+
+
+def test_lang_id_markers(spark):
+    df = docs_df(
+        spark,
+        [
+            "the cat and the dog is here",
+            "der hund ist nicht hier und da",
+            "xyzzy plugh",
+        ],
+    )
+    got = [
+        r[0]
+        for r in df.orderBy("doc_id")
+        .select(T.predict_language(F.col("text")))
+        .collect()
+    ]
+    assert got == ["en", "de", "und"]
+
+
+def test_quality_features_blank_text(spark):
+    df = docs_df(spark, ["", "  ", "one two, three!"])
+    rows = {
+        r.doc_id: r
+        for r in T.quality_features(df).collect()
+    }
+    assert rows[0].n_tokens == 0
+    assert rows[1].n_tokens == 0
+    assert rows[2].n_tokens == 3
+    assert rows[2].punct_ratio > 0
