@@ -727,10 +727,13 @@ def _relational_registry() -> list[QueryDef]:
 
 
 def registry() -> dict[str, QueryDef]:
-    """All declared queries, relational + north-star."""
+    """All declared queries: relational + north-star + extra batch."""
+    from .catalog_extra import extra_registry
     from .catalog_northstar import northstar_registry
 
     out = {q.name: q for q in _relational_registry()}
     for q in northstar_registry():
+        out[q.name] = q
+    for q in extra_registry():
         out[q.name] = q
     return out
