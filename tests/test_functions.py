@@ -114,3 +114,26 @@ def test_sql_registration(spark):
     assert row.s == "x"
     assert row.d == dt.date(2019, 2, 1)
     assert row.z == "GMT"
+
+
+def test_sql_parse_timestamp_matches_column_api(spark):
+    register_all(spark)
+    corpus = [
+        "31-JAN-19 03.20.00.000000000 PM +01:00",
+        "31-JAN-19 03.20.00 PM +01:00",
+        "28-MAR-19 05.02.10.000000000 AM GMT",
+        "28-MAR-19 05.02.10 AM GMT",
+        "20190101013449+0000",
+        "garbage",
+        None,
+    ]
+    df = spark.createDataFrame([(v,) for v in corpus], ["raw"])
+    df.createOrReplaceTempView("ts_corpus")
+    via_sql = [
+        r[0]
+        for r in spark.sql(
+            "SELECT parse_timestamp(raw) FROM ts_corpus"
+        ).collect()
+    ]
+    via_col = run_scalar(spark, parse_timestamp_col, corpus)
+    assert via_sql == via_col
