@@ -132,9 +132,96 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are driver-provided literals (seeded k-means in a real
+    deployment; any deterministic pick works for the index structure).
+    Assignment is a pure projection — no shuffle; at 100 TB the corpus
+    can then be repartitioned/bucketed by ``cell`` once so every probe
+    touches only its cells' partitions.
+    """
+    best = None
+    for cid, vec in centroids:
+        score = cosine(
+            F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
+        )
+        cand = F.struct(score.alias("score"), F.lit(cid).alias("cid"))
+        best = cand if best is None else F.when(
+            (cand["score"] > best["score"])
+            | ((cand["score"] == best["score"]) & (cand["cid"] < best["cid"])),
+            cand,
+        ).otherwise(best)
+    return df.withColumn("cell", best["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF-style ANN: probe only the ``nprobe`` cells nearest each query.
+
+    The corpus-side join key is the cell id, so a probe reads ~nprobe/K
+    of the corpus instead of all of it — the standard inverted-file
+    trade (recall vs. cells probed).
+    """
+    c = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(corpus_id), F.col(vec_col).alias("_cvec"), "cell"
+    )
+
+    # query -> its nprobe nearest cells (small side, broadcast)
+    q_cells = None
+    for cid, vec in centroids:
+        score = cosine(
+            F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
+        )
+        entry = queries.select(
+            F.col(query_id),
+            F.col(vec_col).alias("_qvec"),
+            F.lit(cid).alias("cell"),
+            score.alias("_cscore"),
+        )
+        q_cells = entry if q_cells is None else q_cells.unionByName(entry)
+    wq = Window.partitionBy(query_id).orderBy(
+        F.desc("_cscore"), F.asc("cell")
+    )
+    probes = F.broadcast(
+        q_cells.withColumn("_crk", F.row_number().over(wq))
+        .where(F.col("_crk") <= nprobe)
+        .select(query_id, "_qvec", "cell")
+    )
+
+    scored = c.join(probes, on="cell")
+    sim = cosine(F.col("_cvec"), F.col("_qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("score", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )
+
+
 __all__ = [
     "cosine",
     "brute_force_topk",
     "hyperplane_signature",
     "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
 ]

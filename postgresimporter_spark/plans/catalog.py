@@ -730,10 +730,13 @@ def registry() -> dict[str, QueryDef]:
     """All declared queries: relational + north-star + extra batch."""
     from .catalog_extra import extra_registry
     from .catalog_northstar import northstar_registry
+    from .catalog_pandas import pandas_registry
 
     out = {q.name: q for q in _relational_registry()}
     for q in northstar_registry():
         out[q.name] = q
     for q in extra_registry():
+        out[q.name] = q
+    for q in pandas_registry():
         out[q.name] = q
     return out
