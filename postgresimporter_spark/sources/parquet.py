@@ -26,6 +26,7 @@ def load_tables(
     Parquet scans get predicate pushdown + column pruning from Catalyst;
     nothing is cached here — at 100 TB you stream, not pin.
     """
+    _ensure_session_confs(spark)
     out: dict[str, DataFrame] = {}
     for t in tables or TABLES:
         path = f"{sf_dir}/{t}.parquet"
@@ -34,6 +35,24 @@ def load_tables(
         df.createOrReplaceTempView(t)
         out[t] = df
     return out
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions not built by ``session.py``
+    (e.g. a test harness hands us its own SparkSession):
+
+    - ``nanosAsLong``: without it, reading TIMESTAMP(NANOS) parquet
+      (events) throws PARQUET_TYPE_ILLEGAL;
+    - UTC session zone: timestamp results are hash-compared against a
+      UTC oracle — a local-zone session would shift every value.
+
+    Both are runtime-settable SQL confs; set before any read happens.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 - conf locked: proceed, reads may work
+        pass
 
 
 def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
