@@ -30,6 +30,9 @@ HEADLINE = [
     "q24_dedup_exact",
     "q26_minhash_lsh",
     "q28_similarity_topk",
+    "q46_similarity_ivf",
+    "q48_salted_agg",
+    "q49_pandas_tokenize",
 ]
 
 

@@ -21,6 +21,22 @@ def strip_col(col: Column | str) -> Column:
     return F.nullif(F.regexp_replace(c, STRIP_PATTERN, ""), F.lit(""))
 
 
+def collect_json(df) -> str:
+    """``json_agg``-equivalent result fetch (reference exec.py:110 wraps
+    inline commands as ``SELECT json_agg(query) FROM (<cmd>) query``).
+
+    One aggregated row: the full result set as a JSON array string.
+    Driver-side by construction (it is the IPC fetch path, not an
+    operator) — use only on small/final results.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.to_json(F.collect_list(F.struct(*df.columns))).alias("j")
+    ).collect()[0]
+    return row.j or "[]"
+
+
 def has_column(spark: SparkSession, table: str, column: str) -> bool:
     """``has_column(schema, table, col)`` — catalog existence probe.
 

@@ -145,18 +145,24 @@ def ivf_assign(
     can then be repartitioned/bucketed by ``cell`` once so every probe
     touches only its cells' partitions.
     """
-    best = None
-    for cid, vec in centroids:
-        score = cosine(
-            F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
-        )
-        cand = F.struct(score.alias("score"), F.lit(cid).alias("cid"))
-        best = cand if best is None else F.when(
-            (cand["score"] > best["score"])
-            | ((cand["score"] == best["score"]) & (cand["cid"] < best["cid"])),
-            cand,
-        ).otherwise(best)
-    return df.withColumn("cell", best["cid"])
+    # linear-size argmax: array of (score, -cid) structs + array_max.
+    # (A when/otherwise chain embeds prior subtrees twice per level —
+    # exponential expression size, minutes of codegen at larger K.)
+    # Lexicographic max of (score, -cid) = best score, ties -> lowest cid.
+    entries = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in vec]),
+                ).alias("score"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_max(entries)
+    return df.withColumn("cell", (-best["negcid"]).cast("int"))
 
 
 def ivf_topk(
@@ -180,26 +186,31 @@ def ivf_topk(
         F.col(corpus_id), F.col(vec_col).alias("_cvec"), "cell"
     )
 
-    # query -> its nprobe nearest cells (small side, broadcast)
-    q_cells = None
-    for cid, vec in centroids:
-        score = cosine(
-            F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
-        )
-        entry = queries.select(
+    # query -> its nprobe nearest cells: per-row struct array sorted
+    # desc + slice + explode (no union fan-out, no window shuffle).
+    # Sort desc on (cscore, -cell): ties -> lowest cell first, matching
+    # ROW_NUMBER() OVER (ORDER BY cscore DESC, cell).
+    entries = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in vec]),
+                ).alias("cscore"),
+                F.lit(-cid).alias("negcell"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    top_cells = F.slice(F.sort_array(entries, asc=False), 1, nprobe)
+    probes = F.broadcast(
+        queries.select(
             F.col(query_id),
             F.col(vec_col).alias("_qvec"),
-            F.lit(cid).alias("cell"),
-            score.alias("_cscore"),
+            F.explode(top_cells).alias("_p"),
+        ).select(
+            query_id, "_qvec", (-F.col("_p.negcell")).cast("int").alias("cell")
         )
-        q_cells = entry if q_cells is None else q_cells.unionByName(entry)
-    wq = Window.partitionBy(query_id).orderBy(
-        F.desc("_cscore"), F.asc("cell")
-    )
-    probes = F.broadcast(
-        q_cells.withColumn("_crk", F.row_number().over(wq))
-        .where(F.col("_crk") <= nprobe)
-        .select(query_id, "_qvec", "cell")
     )
 
     scored = c.join(probes, on="cell")

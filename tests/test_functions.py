@@ -137,3 +137,14 @@ def test_sql_parse_timestamp_matches_column_api(spark):
     ]
     via_col = run_scalar(spark, parse_timestamp_col, corpus)
     assert via_sql == via_col
+
+
+def test_collect_json(spark):
+    from postgresimporter_spark.functions.text import collect_json
+    import json
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    got = json.loads(collect_json(df.orderBy("id")))
+    assert got == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    empty = spark.createDataFrame([], "id int")
+    assert json.loads(collect_json(empty)) == []
