@@ -20,6 +20,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row stages use the cluster.
+
+    A small parquet file arrives as 1-2 input splits (row-group bound),
+    serializing the shingle/hash computation on one core. If the input
+    has far fewer partitions than the session's parallelism, repartition
+    up; with realistically-partitioned input (100 TB = ~800k splits)
+    this is a no-op — no shuffle is added at scale.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one canonical row (min id) per distinct text.
 
@@ -67,7 +83,7 @@ def ngram_jaccard_pairs(
     the join (drop shingles appearing in > X% of docs — they generate
     candidates without discriminating).
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
@@ -144,7 +160,7 @@ def minhash_signatures(
     # collapse inlines the shingle+md5 lineage into each of the 16
     # consumers, recomputing it 16x.) The groupBy shuffles on doc id,
     # which AQE coalesces; map-side partial mins keep it small.
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("s"),
     ).select("id", _md5_base(F.col("s")).alias("base"))
@@ -250,7 +266,7 @@ def simhash(
     groupBy(id) — one shuffle on doc id; at scale prefer the array-fold
     variant (transform + aggregate) which needs no shuffle.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
