@@ -124,3 +124,28 @@ def test_pre_load_hook_runs_first(spark, animals_dir, tmp_path):
     cfg = PipelineConfig(sources=[animals_dir], pre_load=[pre])
     run_pipeline(spark, cfg)
     assert spark.table("preload_marker").collect()[0].ok == 1
+
+
+def test_csvcount_cli(spark, tmp_path, capsys):
+    import json
+
+    from postgresimporter_spark.csvcount import main as csvcount_main
+
+    (tmp_path / "a_1.csv").write_text('h\n1\n"multi\nline"\n')
+    (tmp_path / "b_1.csv").write_text("h\n")
+    assert csvcount_main([str(tmp_path)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by_name = {k.rsplit("/", 1)[-1]: v for k, v in out.items()}
+    # quoted newline counted as ONE data row (better than wc -l)
+    assert by_name == {"a_1.csv": 2, "b_1.csv": 0}
+
+
+def test_progress_reporter(spark):
+    from postgresimporter_spark.progress import report_progress
+
+    lines = []
+    with report_progress(spark, interval_s=0.1, sink=lines.append):
+        spark.range(10_000_000).selectExpr("sum(id)").collect()
+    # polling thread ran; lines may or may not catch an active stage on
+    # a fast job — the contract is clean start/stop without error
+    assert isinstance(lines, list)
