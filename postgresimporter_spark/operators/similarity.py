@@ -72,7 +72,7 @@ def brute_force_topk(
     )
     return (
         scored.withColumn("score", sim)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, "score", "rank")
     )
@@ -126,7 +126,7 @@ def lsh_topk(
     )
     return (
         scored.withColumn("score", sim)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, "score", "rank")
     )
@@ -222,7 +222,7 @@ def ivf_topk(
     )
     return (
         scored.withColumn("score", sim)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, "score", "rank")
     )

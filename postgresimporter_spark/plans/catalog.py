@@ -327,7 +327,7 @@ def q10_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["customer"]
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .join(
             F.broadcast(t["nation"]),
@@ -527,9 +527,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts, value,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      AS session_id
+         AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id,
   CAST(MIN(ts) AS TIMESTAMP) AS session_start,
@@ -731,6 +731,7 @@ def registry() -> dict[str, QueryDef]:
     from .catalog_extra import extra_registry
     from .catalog_northstar import northstar_registry
     from .catalog_pandas import pandas_registry
+    from .catalog_tpch2 import tpch2_registry
 
     out = {q.name: q for q in _relational_registry()}
     for q in northstar_registry():
@@ -738,5 +739,7 @@ def registry() -> dict[str, QueryDef]:
     for q in extra_registry():
         out[q.name] = q
     for q in pandas_registry():
+        out[q.name] = q
+    for q in tpch2_registry():
         out[q.name] = q
     return out

@@ -205,7 +205,7 @@ def q38_user_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("value"), F.asc("event_id")
     )
     return (
-        ev.withColumn("rk", F.row_number().over(w))
+        ev.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .select("user_id", "event_id", "event_type", "value", "rk")
     )
@@ -271,8 +271,8 @@ def q40_quarterly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q40 = """
 SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter,
   COUNT(*) AS n_orders,
-  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
   CAST(MAX(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS max_price
 FROM orders GROUP BY 1
 """
@@ -286,7 +286,7 @@ def q41_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, ["orders"])["orders"]
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.withColumn("quartile", F.ntile(4).over(w))
+        o.withColumn("quartile", F.ntile(4).over(w).cast("long"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_orders"),
@@ -321,7 +321,7 @@ def q42_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(name, 1, 8).alias("prefix8"),
         F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("replaced"),
         F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padded_key"),
-        F.length(name).alias("name_len"),
+        F.length(name).cast("long").alias("name_len"),
         F.concat(name, F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
     )
 

@@ -228,8 +228,8 @@ def q29_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return T.quality_features(docs).select(
         "doc_id",
-        "n_tokens",
-        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         "avg_token_len",
         "punct_ratio",
         "stopword_ratio",

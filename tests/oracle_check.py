@@ -28,6 +28,19 @@ TABLES = [
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # normalize pandas conversion artifacts: timestamp unit (Spark->ns,
+    # DuckDB->us; both are semantically microsecond TIMESTAMP) and
+    # date-as-object vs date-as-datetime64
+    for c in df.columns:
+        if df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object and len(df) and all(
+            v is None or hasattr(v, "year") for v in df[c].head(20)
+        ):
+            try:
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            except (ValueError, TypeError):
+                pass
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -41,6 +54,10 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
             f"columns spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
         ]
     s, o = canon(spark_df), canon(oracle_df)
+    for col in s.columns:
+        sk, ok = s[col].dtype, o[col].dtype
+        if sk != ok and not (sk.kind == "M" and ok.kind == "M"):
+            issues.append(f"dtype {col}: spark={sk} oracle={ok}")
     for col in s.columns:
         sc, oc = s[col], o[col]
         if sc.dtype.kind == "f" or oc.dtype.kind == "f":
