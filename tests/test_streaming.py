@@ -74,3 +74,43 @@ def test_stream_sessionize_matches_batch(spark):
     assert {(u, s) for u, s in got} == {(u, s) for u, s in batch}
     for key, (n_events,) in got.items():
         assert batch[key][1] == n_events
+
+
+def test_stateful_running_user_stats(spark):
+    """applyInPandasWithState custom operator: running per-user stats
+    across micro-batches match a batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.streaming.stateful import running_user_stats
+
+    events = load_tables(spark, SF, ["events"])["events"]
+    batch = {
+        r.user_id: (r.n, round(r.tv, 6))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+                / 1_000_000
+            ).alias("tv"),
+        )
+        .collect()
+    }
+
+    stream = running_user_stats(_streaming_events(spark))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_stats_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: keep the last emitted row per user
+    rows = spark.table("user_stats_stream").collect()
+    got = {}
+    for r in rows:
+        prev = got.get(r.user_id)
+        if prev is None or r.n_events >= prev[0]:
+            got[r.user_id] = (r.n_events, round(r.total_value, 6))
+    assert got == batch
