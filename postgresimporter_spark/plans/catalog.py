@@ -742,4 +742,8 @@ def registry() -> dict[str, QueryDef]:
         out[q.name] = q
     for q in tpch2_registry():
         out[q.name] = q
+    from .catalog_batch5 import batch5_registry
+
+    for q in batch5_registry():
+        out[q.name] = q
     return out

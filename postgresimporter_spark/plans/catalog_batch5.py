@@ -1,0 +1,148 @@
+"""Fifth catalog batch: bag-semantics set ops, exact percentiles, and
+TF-IDF term scoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.textstats import tokens
+from ..sources.parquet import load_tables
+from .catalog import QueryDef
+
+
+# q58: bag-semantics set operations -----------------------------------------
+
+
+def q58_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (multiplicity-preserving set ops) over
+    order-priority multisets of two customer segments."""
+    o = load_tables(spark, sf_dir, ["orders", "customer"])
+    seg = (
+        o["orders"]
+        .join(o["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_orderpriority")
+    )
+    a = seg.where(F.col("c_mktsegment") == "BUILDING").select("o_orderpriority")
+    b = seg.where(F.col("c_mktsegment") == "MACHINERY").select("o_orderpriority")
+    both = a.intersectAll(b).withColumn("which", F.lit("intersect_all"))
+    only_a = a.exceptAll(b).withColumn("which", F.lit("except_all"))
+    return (
+        both.unionByName(only_a)
+        .groupBy("which", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_Q58 = """
+WITH a AS (SELECT o_orderpriority FROM orders JOIN customer
+           ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'),
+b AS (SELECT o_orderpriority FROM orders JOIN customer
+      ON o_custkey = c_custkey WHERE c_mktsegment = 'MACHINERY'),
+tagged AS (
+  SELECT o_orderpriority, 'intersect_all' AS which FROM
+    (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t
+  UNION ALL
+  SELECT o_orderpriority, 'except_all' AS which FROM
+    (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t)
+SELECT which, o_orderpriority, COUNT(*) AS n
+FROM tagged GROUP BY 1, 2
+"""
+
+
+# q60: exact percentiles / median -------------------------------------------
+
+
+def q60_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles + median per priority — Spark's
+    sort-based ``percentile`` matches quantile_cont bit-for-bit (probed:
+    identical doubles at every grouping)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.median("o_totalprice").alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+        F.min("o_totalprice").alias("p_min"),
+        F.max("o_totalprice").alias("p_max"),
+    )
+
+
+ORACLE_Q60 = """
+SELECT o_orderpriority,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.75) AS p75,
+  MIN(o_totalprice) AS p_min,
+  MAX(o_totalprice) AS p_max
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# q61: TF-IDF ----------------------------------------------------------------
+
+
+def q61_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (doc_id < 50): term frequency by
+    explode+count, document frequency by distinct count, idf = ln(N/df).
+
+    Scale shape: two shuffles (tf on (doc, token), df on token); the df
+    side is a small broadcastable table after aggregation. ln() agrees
+    across engines well inside the 6-digit round.
+    """
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), on="token")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.where(F.col("doc_id") < 50)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "tfidf", "rk")
+    )
+
+
+ORACLE_Q61 = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+SELECT doc_id, token, tf, tfidf, rk FROM (
+  SELECT doc_id, token, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rk
+  FROM scored WHERE doc_id < 50) t
+WHERE rk <= 3
+"""
+
+
+def batch5_registry() -> list[QueryDef]:
+    return [
+        QueryDef("q58_set_ops_all", q58_set_ops_all, ORACLE_Q58, "INTERSECT ALL / EXCEPT ALL"),
+        QueryDef("q60_price_percentiles", q60_price_percentiles, ORACLE_Q60, "exact percentiles + median"),
+        QueryDef("q61_tfidf_top_terms", q61_tfidf_top_terms, ORACLE_Q61, "TF-IDF top terms per doc"),
+    ]
