@@ -140,9 +140,56 @@ WHERE rk <= 3
 """
 
 
+# q62: int8 embedding quantization ------------------------------------------
+
+
+def q62_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization summary (scale + integer checksums;
+    scalars rather than the arrays themselves keep the hash compare
+    unambiguous)."""
+    from ..operators.quantize import quantize_embeddings
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = quantize_embeddings(emb)
+    qsum = F.aggregate(
+        F.col("qvec"), F.lit(0), lambda acc, x: acc + x
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale6"),
+        qsum.cast("long").alias("q_sum"),
+        F.array_min("qvec").cast("long").alias("q_min"),
+        F.array_max("qvec").cast("long").alias("q_max"),
+    )
+
+
+ORACLE_Q62 = """
+WITH scaled AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+      AS scale,
+    embedding
+  FROM embeddings),
+quant AS (
+  SELECT vec_id, scale,
+    CASE WHEN scale = 0
+         THEN list_transform(embedding, x -> 0)
+         ELSE list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END
+      AS qvec
+  FROM scaled)
+SELECT vec_id, round(scale, 6) AS scale6,
+  CAST(list_aggregate(qvec, 'sum') AS BIGINT) AS q_sum,
+  CAST(list_aggregate(qvec, 'min') AS BIGINT) AS q_min,
+  CAST(list_aggregate(qvec, 'max') AS BIGINT) AS q_max
+FROM quant
+"""
+
+
 def batch5_registry() -> list[QueryDef]:
     return [
         QueryDef("q58_set_ops_all", q58_set_ops_all, ORACLE_Q58, "INTERSECT ALL / EXCEPT ALL"),
         QueryDef("q60_price_percentiles", q60_price_percentiles, ORACLE_Q60, "exact percentiles + median"),
         QueryDef("q61_tfidf_top_terms", q61_tfidf_top_terms, ORACLE_Q61, "TF-IDF top terms per doc"),
+        QueryDef("q62_quantize_embeddings", q62_quantize_embeddings, ORACLE_Q62, "int8 embedding quantization"),
     ]

@@ -1,0 +1,64 @@
+"""Approximate aggregates: the 100 TB fast path (sketches) validated
+against exact answers with error bounds, plus quantized-cosine accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresimporter_spark.sources.parquet import load_tables
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_bounded_error(spark):
+    li = load_tables(spark, SF, ["lineitem"])["lineitem"]
+    exact = li.select(F.count_distinct("l_orderkey")).collect()[0][0]
+    approx = li.select(
+        F.approx_count_distinct("l_orderkey", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd
+
+
+def test_percentile_approx_bounded_error(spark):
+    o = load_tables(spark, SF, ["orders"])["orders"]
+    exact, approx = o.select(
+        F.percentile("o_totalprice", 0.5),
+        F.percentile_approx("o_totalprice", 0.5, 1000),
+    ).collect()[0]
+    assert abs(approx - exact) / exact < 0.02
+
+
+def test_quantized_cosine_close_to_exact(spark):
+    from postgresimporter_spark.operators.quantize import (
+        dequantized_cosine,
+        quantize_embeddings,
+    )
+    from postgresimporter_spark.operators.similarity import cosine
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"]
+    q = quantize_embeddings(emb)
+    a = q.where(F.col("vec_id") < 50).alias("a")
+    b = q.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 100)).alias("b")
+    pairs = a.crossJoin(b).select(
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("exact"),
+        dequantized_cosine(
+            F.col("a.qvec"), F.col("a.scale"), F.col("b.qvec"), F.col("b.scale")
+        ).alias("approx"),
+    )
+    max_err = pairs.select(
+        F.max(F.abs(F.col("exact") - F.col("approx")))
+    ).collect()[0][0]
+    assert max_err < 0.02
+
+
+def test_quantize_roundtrip_bounds(spark):
+    from postgresimporter_spark.operators.quantize import quantize_embeddings
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"]
+    q = quantize_embeddings(emb)
+    bad = q.select(
+        F.size(
+            F.filter(F.col("qvec"), lambda x: (x < -127) | (x > 127))
+        ).alias("oob")
+    ).agg(F.sum("oob")).collect()[0][0]
+    assert bad == 0
