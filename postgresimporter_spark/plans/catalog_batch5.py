@@ -186,8 +186,47 @@ FROM quant
 """
 
 
+# q63: dedup clusters (connected components over near-dup pairs) ------------
+
+
+def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> cluster summary.
+    Iterative min-label propagation on the Spark side; the oracle
+    computes the same components with a recursive CTE."""
+    from ..operators.components import dedup_clusters
+    from .catalog_northstar import q26_minhash_lsh
+
+    pairs = q26_minhash_lsh(spark, sf_dir)
+    return dedup_clusters(pairs)
+
+
+def _q63_oracle() -> str:
+    from .catalog_northstar import ORACLE_Q26
+
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLE_Q26}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+labels AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT component, COUNT(*) AS cluster_size,
+       MIN(id) AS min_id, MAX(id) AS max_id
+FROM labels GROUP BY component
+"""
+
+
+ORACLE_Q63 = _q63_oracle()
+
+
 def batch5_registry() -> list[QueryDef]:
     return [
+        QueryDef("q63_dedup_clusters", q63_dedup_clusters, ORACLE_Q63, "connected-components dedup clusters"),
         QueryDef("q58_set_ops_all", q58_set_ops_all, ORACLE_Q58, "INTERSECT ALL / EXCEPT ALL"),
         QueryDef("q60_price_percentiles", q60_price_percentiles, ORACLE_Q60, "exact percentiles + median"),
         QueryDef("q61_tfidf_top_terms", q61_tfidf_top_terms, ORACLE_Q61, "TF-IDF top terms per doc"),

@@ -101,3 +101,36 @@ def test_quality_features_blank_text(spark):
     assert rows[1].n_tokens == 0
     assert rows[2].n_tokens == 3
     assert rows[2].punct_ratio > 0
+
+
+def test_connected_components_chain_and_star(spark):
+    from postgresimporter_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3, star 10-(11,12,13), singleton pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    cc = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    clusters = {
+        r.component: r.cluster_size for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters == {1: 3, 10: 4, 20: 2}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from postgresimporter_spark.operators.components import (
+        connected_components,
+    )
+
+    # a 30-node chain needs ~log-n doubling rounds; must converge < cap
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    cc = connected_components(pairs).collect()
+    assert {r.component for r in cc} == {0}
+    assert len(cc) == 31
