@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the scale claims in SCALE.md held as
+assertions — pushdown reaches scans, dims broadcast, top-k avoids global
+sorts, aggregations use map-side partials. If a refactor silently turns
+a broadcast join into a shuffle or drops a pushed filter, these fail."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgresimporter_spark.operators.bucketing import (
+    count_exchanges,
+    physical_plan,
+)
+from postgresimporter_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def plan_of(spark, reg, name):
+    return physical_plan(reg[name].fn(spark, SF))
+
+
+def test_q01_pushdown_and_pruning(spark, reg):
+    df = reg["q01_pricing_summary"].fn(spark, SF)
+    plan = physical_plan(df)
+    # filter pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched wide columns never read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    # one shuffle total (partial agg -> exchange -> final agg)
+    assert count_exchanges(df) == 1
+
+
+def test_q05_star_join_broadcasts_dims(spark, reg):
+    plan = plan_of(spark, reg, "q05_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    # region filter reaches its scan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_q02_topk_avoids_global_sort(spark, reg):
+    plan = plan_of(spark, reg, "q02_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    # no full-sort operator
+    assert "Sort [" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_q06_scalar_agg_single_exchange(spark, reg):
+    df = reg["q06_revenue_delta"].fn(spark, SF)
+    assert count_exchanges(df) == 0  # partial->final uses single-partition exchange, not hash
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan and "l_discount" in plan
+
+
+def test_q28_corpus_never_shuffles(spark, reg):
+    df = reg["q28_similarity_topk"].fn(spark, SF)
+    plan = physical_plan(df)
+    # queries broadcast into a nested-loop join; the only exchange is the
+    # final per-query window (partitioned by the tiny query-id key)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert count_exchanges(df) <= 1
+
+
+def test_q07_whole_stage_codegen_covers_agg(spark, reg):
+    df = reg["q07_segment_stats"].fn(spark, SF)
+    # codegen explain mode is the only stringification that reports
+    # WholeStageCodegen subtrees under AQE
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "codegen"
+    )
+    jplan = df._jdf.queryExecution().explainString(mode)
+    assert "WholeStageCodegen" in jplan
+
+
+def test_q19_strip_stays_in_codegen(spark, reg):
+    """Function library is pure Catalyst expressions: no Python eval
+    operators in the plan."""
+    for q in ["q19_strip", "q20_parse_timestamp_roundtrip", "q21_parse_date_roundtrip"]:
+        plan = plan_of(spark, reg, q)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_python_paths_are_arrow_batched(spark, reg):
+    """The sanctioned Python operators use Arrow-batched map/grouped-map
+    (FlatMapGroupsInPandas / MapInPandas), never row-at-a-time eval."""
+    for q in ["q47_label_centroids", "q49_pandas_tokenize"]:
+        plan = plan_of(spark, reg, q)
+        assert "BatchEvalPython" not in plan
+        assert ("FlatMapGroupsInPandas" in plan) or ("MapInPandas" in plan)
