@@ -71,6 +71,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_ratio: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -78,17 +79,30 @@ def ngram_jaccard_pairs(
     shingle meet — a shuffle join on shingle, never a cross join), then
     exact |A ∩ B| / |A ∪ B| from the shared-shingle count.
 
-    Scale posture: hot shingles (stop-phrase skew) bounded by AQE skew
-    handling; for 100 TB add a document-frequency cap on shingles before
-    the join (drop shingles appearing in > X% of docs — they generate
-    candidates without discriminating).
+    Scale posture: hot shingles (stop-phrase skew) are the join's skew
+    risk — ``max_doc_ratio`` drops shingles appearing in more than that
+    fraction of documents before the join (they generate candidate
+    pairs without discriminating); the Jaccard is then computed over
+    the surviving shingle space. AQE's skew handling covers the rest.
     """
     sh = _spread(df).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    )
+    exploded_raw = sh.select("id", F.explode("sh").alias("shingle"))
 
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_doc_ratio is not None:
+        n_docs = df.count()
+        rare = (
+            exploded_raw.groupBy("shingle")
+            .agg(F.count_distinct("id").alias("_df"))
+            .where(F.col("_df") <= max_doc_ratio * n_docs)
+            .select("shingle")
+        )
+        exploded_raw = exploded_raw.join(rare, on="shingle")
+
+    sizes = exploded_raw.groupBy("id").agg(F.count("*").alias("n_sh"))
+    exploded = exploded_raw.join(sizes, on="id")
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(b, on="shingle")

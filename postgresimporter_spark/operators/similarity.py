@@ -95,6 +95,23 @@ def hyperplane_signature(
     return F.concat_ws("", *[b.cast("string") for b in bits])
 
 
+def multiprobe_signatures(sig: Column, n_planes: int) -> Column:
+    """The signature plus its one-bit-flipped neighbors (multi-probe
+    LSH): probing adjacent buckets recovers most of the recall lost to
+    an unlucky hyperplane without adding planes or shrinking buckets."""
+    flips = [
+        F.concat(
+            F.substring(sig, 1, b),
+            (F.lit(1) - F.substring(sig, b + 1, 1).cast("int")).cast(
+                "string"
+            ),
+            F.substring(sig, b + 2, n_planes - b - 1),
+        )
+        for b in range(n_planes)
+    ]
+    return F.array(sig, *flips)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -104,20 +121,36 @@ def lsh_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors sharing an LSH bucket.
 
-    Equi-join on the signature replaces the cross join; recall depends on
-    the plane count (more planes -> smaller buckets -> faster/lower
-    recall). Multi-probe (flip one bit) would raise recall; kept simple.
+    Equi-join on the signature replaces the cross join; recall depends
+    on the plane count (more planes -> smaller buckets -> faster/lower
+    recall). ``multiprobe=True`` additionally probes every one-bit-
+    flipped bucket of each query (corpus side unchanged — the explosion
+    stays on the small broadcast side).
     """
     sig = lambda df, idc: df.select(  # noqa: E731
         F.col(idc),
         F.col(vec_col).alias(f"_{idc}_vec"),
         hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
     )
-    c, q = sig(corpus, corpus_id), F.broadcast(sig(queries, query_id))
+    c = sig(corpus, corpus_id)
+    q = sig(queries, query_id)
+    if multiprobe:
+        q = q.select(
+            query_id,
+            f"_{query_id}_vec",
+            F.explode(
+                multiprobe_signatures(F.col("_sig"), len(planes))
+            ).alias("_sig"),
+        )
+    q = F.broadcast(q)
     scored = c.join(q, on="_sig")
+    if multiprobe:
+        # a corpus vector can match a query through several probes
+        scored = scored.dropDuplicates([corpus_id, query_id])
     sim = cosine(F.col(f"_{corpus_id}_vec"), F.col(f"_{query_id}_vec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
