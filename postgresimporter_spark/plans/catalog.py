@@ -302,20 +302,25 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def q09_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    """Left-anti join (NOT EXISTS): customers with no urgent orders.
+
+    (Every customer in the fixture has *some* order, so the anti join is
+    against the urgent subset — a 0-row result would be weak evidence.)
+    """
     t = load_tables(spark, sf_dir, ["customer", "orders"])
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
     return (
         t["customer"]
-        .join(
-            t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-        )
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
     )
 
 
 ORACLE_Q09 = """
 SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 

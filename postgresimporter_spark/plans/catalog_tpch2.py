@@ -287,11 +287,10 @@ def q55_prospect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .a
     )
     seg = F.substring(F.col("c_name"), -1, 1)
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.where(F.col("c_acctbal") > F.lit(float(avg_bal)))
-        .join(
-            t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-        )
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(seg.alias("segment"))
         .agg(
             F.count("*").alias("numcust"),
@@ -307,7 +306,9 @@ SELECT substring(c_name, length(c_name), 1) AS segment,
 FROM customer
 WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE)
                    FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 GROUP BY 1
 """
 
