@@ -224,8 +224,68 @@ FROM labels GROUP BY component
 ORACLE_Q63 = _q63_oracle()
 
 
+# q64: Python UDTF (lateral table function) ---------------------------------
+
+
+def q64_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF applied laterally, aggregated to per-position
+    token stats — differentially testable against pure SQL."""
+    from ..operators.udtf_ops import udtf_token_positions
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = udtf_token_positions(docs.where(F.col("doc_id") < 100))
+    toks = toks.withColumn("position", F.col("position").cast("long"))
+    return toks.groupBy("position").agg(
+        F.count("*").alias("n_docs_with_position"),
+        F.count_distinct("token").alias("n_distinct_tokens"),
+        F.min("token").alias("first_token"),
+    )
+
+
+ORACLE_Q64 = """
+WITH tok AS (
+  SELECT doc_id, u.tok AS token, u.pos AS position FROM (
+    SELECT doc_id,
+      unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t != '')) AS tok,
+      unnest(generate_series(1,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        t -> t != '')))) AS pos
+    FROM documents WHERE doc_id < 100) u(doc_id, tok, pos))
+SELECT position, COUNT(*) AS n_docs_with_position,
+       COUNT(DISTINCT token) AS n_distinct_tokens,
+       MIN(token) AS first_token
+FROM tok GROUP BY position
+"""
+
+
+# q65: grouped-agg pandas UDF ------------------------------------------------
+
+
+def q65_pandas_grouped_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (UDAF surface): fixed-point mean of order
+    value per priority."""
+    from ..operators.udtf_ops import grouped_fixed_mean
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return grouped_fixed_mean(
+        o, key="o_orderpriority", value="o_totalprice", out_name="mean_price"
+    )
+
+
+ORACLE_Q65 = """
+SELECT o_orderpriority,
+  (CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+   / 1000000.0) / COUNT(*) AS mean_price,
+  COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def batch5_registry() -> list[QueryDef]:
     return [
+        QueryDef("q64_udtf_tokenize", q64_udtf_tokenize, ORACLE_Q64, "Python UDTF lateral tokenize"),
+        QueryDef("q65_pandas_grouped_mean", q65_pandas_grouped_mean, ORACLE_Q65, "grouped-agg pandas UDF mean"),
         QueryDef("q63_dedup_clusters", q63_dedup_clusters, ORACLE_Q63, "connected-components dedup clusters"),
         QueryDef("q58_set_ops_all", q58_set_ops_all, ORACLE_Q58, "INTERSECT ALL / EXCEPT ALL"),
         QueryDef("q60_price_percentiles", q60_price_percentiles, ORACLE_Q60, "exact percentiles + median"),
