@@ -149,3 +149,37 @@ def test_progress_reporter(spark):
     # polling thread ran; lines may or may not catch an active stage on
     # a fast job — the contract is clean start/stop without error
     assert isinstance(lines, list)
+
+
+def test_pipeline_at_fixture_scale(spark, tmp_path):
+    """Full pipeline over CSVs exported from the sf0.01 lineitem fixture:
+    3 prefix-grouped files, combine, reconciliation — 60k rows."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    n = li.count()
+    pdf = li.toPandas()
+    third = len(pdf) // 3
+    for i in range(3):
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        chunk.to_csv(tmp_path / f"lineitem_{i}.csv", index=False)
+
+    cfg = PipelineConfig(sources=[tmp_path], combine_tables=True)
+    result = run_pipeline(spark, cfg)
+    assert result.check_passed
+    combined = spark.table("import_lineitem")
+    assert combined.count() == n
+    # all-text ingest: every column string
+    assert all(t == "string" for _, t in combined.dtypes)
+    # typed post-load query over the combined view reproduces a fixture agg
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.l_returnflag, r.n)
+        for r in combined.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expected = {
+        (r.l_returnflag, r.n)
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
