@@ -61,7 +61,15 @@ def parse_args(argv: list[str] | None = None) -> PipelineConfig:
     p.add_argument("--db-password", default=None)
     a = p.parse_args(argv)
     db = None
-    if a.db_name or a.db_host or a.db_user:
+    # CLI flags OR env vars activate the sink (reference cli.py:122-127:
+    # env is a first-class configuration path, not just a default)
+    import os
+
+    env_db = any(
+        os.environ.get(k)
+        for k in ("DB_NAME", "DB_HOST", "DB_PORT", "DB_USER", "DB_PASSWORD")
+    )
+    if a.db_name or a.db_host or a.db_user or env_db:
         db = DbOptions(
             database=a.db_name,
             host=a.db_host,

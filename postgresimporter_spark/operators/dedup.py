@@ -211,9 +211,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # Materialize signatures: they feed both sides of the self-join (and
     # the verify stage), and projection collapse would otherwise inline
-    # the whole shingle+hash lineage into every consumer. Signatures are
-    # ~num_hashes longs per doc — small even at 100 TB corpus scale.
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
+    # the whole shingle+hash lineage into every consumer. localCheckpoint
+    # (not persist) so the blocks are reclaimed by the ContextCleaner
+    # when the result goes out of scope — persist() here leaked cache on
+    # every invocation. Signatures are ~num_hashes longs per doc.
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
 
     band_entries = sigs.select(
         "id",

@@ -84,7 +84,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                 content = r["content"] or b""
                 try:
                     decoded = DECODERS[r["modality"]](content)
-                except (KeyError, NotImplementedError):
+                except Exception:  # noqa: BLE001 - log-and-continue:
+                    # a corrupt media file must yield nulls, never fail
+                    # the task (reference failure semantics)
                     decoded = {}
                 rows.append(
                     {

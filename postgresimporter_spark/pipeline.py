@@ -57,20 +57,63 @@ def _sql_scripts(paths: list[Path]) -> list[Path]:
     return out
 
 
+def split_sql_statements(text: str) -> list[str]:
+    """Split a SQL script on ``;`` respecting single/double-quoted
+    strings (with doubled-quote escapes) and ``--`` line comments —
+    psql-style, so literals containing semicolons survive."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                if i + 1 < n and text[i + 1] == quote:  # escaped ''/""
+                    buf.append(text[i + 1])
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
+
+
 def run_sql_hooks(spark: SparkSession, scripts: list[Path]) -> None:
     """Execute hook SQL against the session catalog (engine-native mode).
 
     Reference exec.py:97-131 pipes scripts through psql; here each
-    ``;``-separated statement runs through ``spark.sql``. Failures log and
-    continue (reference semantics)."""
+    statement (quote-aware split) runs through ``spark.sql``. A failing
+    statement is logged and the REST OF THE SCRIPT continues — psql's
+    default behavior, and the reference's log-and-continue semantics."""
     for script in scripts:
         try:
-            for stmt in filter(
-                None, (s.strip() for s in script.read_text().split(";"))
-            ):
-                spark.sql(stmt)
+            statements = split_sql_statements(script.read_text())
         except Exception:  # noqa: BLE001
-            log.exception("hook script failed: %s", script)
+            log.exception("hook script unreadable: %s", script)
+            continue
+        for stmt in statements:
+            try:
+                spark.sql(stmt)
+            except Exception:  # noqa: BLE001
+                log.exception(
+                    "hook statement failed (continuing): %s: %.80s",
+                    script,
+                    stmt,
+                )
 
 
 class Loader:
@@ -87,16 +130,21 @@ class Loader:
         # Step 0: pre-load hooks (main.py:312-329)
         run_sql_hooks(self.spark, _sql_scripts(cfg.pre_load))
 
-        # Step 1: unzip (main.py:331-332)
-        if not cfg.disable_unzip:
+        # Step 1: unzip (main.py:331-332). Reference gate:
+        # `disable_unzip and not all` — --all overrides the toggle.
+        if not cfg.disable_unzip or cfg.process_all:
             from .sources.zips import extract_zips
 
             extract_zips(discover_zips(cfg.sources, cfg.process_all))
 
-        # Step 2: import (main.py:334-335 -> 171-213)
-        if not cfg.disable_import:
-            d = discover_csvs(cfg.sources, cfg.exclude_regex)
-            result.table_csv_files = d.table_csv_files
+        # Discovery always runs (reference step2_import computes the
+        # grouping even when loading is disabled, so the reconciliation
+        # check still has its file list).
+        d = discover_csvs(cfg.sources, cfg.exclude_regex)
+        result.table_csv_files = d.table_csv_files
+
+        # Step 2: import (main.py:334-335 -> 171-213); --all overrides.
+        if not cfg.disable_import or cfg.process_all:
             for f in d.dump_files:
                 try:
                     df = read_csv_all_text(self.spark, f)
@@ -137,7 +185,9 @@ class Loader:
         schema mismatch fails the group, logged, others continue."""
         for table, files in groups.items():
             member_names = {file_table_name(f) for f in files}
-            if table in member_names and len(files) > 1:
+            # reference skips whenever the prefix equals ANY member table
+            # name, including single-file groups (main.py:222-226)
+            if table in member_names:
                 log.warning(
                     "skipping combine for %s: collides with member table",
                     table,

@@ -53,12 +53,26 @@ def read_csv_group(
     every file's header must equal the first file's header.
     """
     if strict_schema and len(files) > 1:
-        first = read_csv_all_text(spark, files[0]).columns
+        first = _header(files[0])
         for f in files[1:]:
-            cols = read_csv_all_text(spark, f).columns
-            if cols != first:
+            cols = _header(f)
+            if cols is not None and first is not None and cols != first:
                 raise ValueError(
                     f"schema mismatch combining {f}: {cols} != {first} "
                     "(reference LIKE-first-file semantics, main.py:247)"
                 )
     return read_csv_all_text(spark, files)
+
+
+def _header(path: str | Path) -> list[str] | None:
+    """First-line header via direct IO — no Spark job per file (a
+    per-file spark.read just to compare headers serializes N job setups
+    on the driver). Non-local paths return None (check skipped; the
+    union read will still fail on column-count mismatch)."""
+    import csv as _csv
+
+    try:
+        with open(path, newline="") as fh:
+            return next(_csv.reader(fh))
+    except (OSError, StopIteration):
+        return None

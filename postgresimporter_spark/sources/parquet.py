@@ -70,7 +70,14 @@ def _restore_nanos_timestamps(df: DataFrame, path: str) -> DataFrame:
         import pyarrow.parquet as pq
 
         schema = pq.read_schema(path)
-    except Exception:  # noqa: BLE001 - non-local paths: leave as-is
+    except Exception:  # noqa: BLE001 - non-local/dir-style paths
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "could not read parquet footer for %s: TIMESTAMP(NANOS) "
+            "columns (if any) remain raw longs under nanosAsLong",
+            path,
+        )
         return df
     import pyarrow as pa
 

@@ -32,6 +32,11 @@ def stream_csv_ingest(
     return (
         spark.readStream.schema(schema)
         .option("header", "true")
+        # identical parse options to the batch reader (sources/csv.py):
+        # quoted embedded newlines and doubled quotes must round-trip
+        # the same way on both paths
+        .option("multiLine", "true")
+        .option("escape", '"')
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .csv(source_dir)
     )

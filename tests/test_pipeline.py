@@ -183,3 +183,73 @@ def test_pipeline_at_fixture_scale(spark, tmp_path):
         for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_disable_import_still_reconciles(spark, animals_dir):
+    """Reference always discovers + checks, even when loading is
+    disabled (main.py runs post_load_check regardless)."""
+    spark.catalog.dropTempView("import_animals") if any(
+        t.name == "import_animals" for t in spark.catalog.listTables()
+    ) else None
+    cfg = PipelineConfig(sources=[animals_dir], disable_import=True)
+    result = run_pipeline(spark, cfg)
+    assert result.file_views == {}
+    assert result.report is not None  # check stage ran
+    assert set(result.table_csv_files) == {"animals"}
+
+
+def test_all_overrides_disable_import(spark, animals_dir):
+    cfg = PipelineConfig(
+        sources=[animals_dir], disable_import=True, process_all=True
+    )
+    result = run_pipeline(spark, cfg)
+    assert set(result.file_views) == {"import_animals_1", "import_animals_2"}
+
+
+def test_env_only_db_config_activates_sink(monkeypatch):
+    from postgresimporter_spark.config import parse_args
+
+    monkeypatch.setenv("DB_NAME", "envdb")
+    cfg = parse_args(["some_dir"])
+    assert cfg.db is not None
+    assert cfg.db.database == "envdb"
+    monkeypatch.delenv("DB_NAME")
+    for k in ("DB_HOST", "DB_PORT", "DB_USER", "DB_PASSWORD"):
+        monkeypatch.delenv(k, raising=False)
+    assert parse_args(["some_dir"]).db is None
+
+
+def test_split_sql_statements_quote_aware():
+    from postgresimporter_spark.pipeline import split_sql_statements
+
+    got = split_sql_statements(
+        "INSERT INTO t VALUES ('a;b');\n"
+        "-- a comment; with semicolon\n"
+        "SELECT 'it''s;fine';  SELECT 2"
+    )
+    assert got == [
+        "INSERT INTO t VALUES ('a;b')",
+        "SELECT 'it''s;fine'",
+        "SELECT 2",
+    ]
+
+
+def test_hook_statement_failure_continues(spark, animals_dir, tmp_path):
+    hook = tmp_path / "partial.sql"
+    hook.write_text(
+        "SELECT * FROM nonexistent_table_xyz;\n"
+        "CREATE OR REPLACE TEMPORARY VIEW hook_survivor AS SELECT 42 AS v"
+    )
+    cfg = PipelineConfig(sources=[animals_dir], post_load=[hook])
+    run_pipeline(spark, cfg)
+    assert spark.table("hook_survivor").collect()[0].v == 42
+
+
+def test_single_file_collision_skips_combine(spark, tmp_path):
+    """running.csv: prefix name == member table name -> combine skipped
+    (reference main.py:222-226), per-file view remains."""
+    (tmp_path / "running.csv").write_text("a,b\n1,2\n")
+    cfg = PipelineConfig(sources=[tmp_path], combine_tables=True)
+    result = run_pipeline(spark, cfg)
+    assert "import_running" in result.file_views
+    assert "import_running" not in result.combined_views
