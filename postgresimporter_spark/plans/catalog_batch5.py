@@ -282,8 +282,71 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# q66/q67: funnel + retention ------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q66_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return funnel(ev, FUNNEL_STEPS, window_minutes=60)
+
+
+ORACLE_Q66 = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+  FROM events GROUP BY user_id),
+flags AS (
+  SELECT user_id,
+    CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS r0,
+    CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+          AND t1 - t0 <= 3600000000 THEN 1 ELSE 0 END AS r1,
+    CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+          AND t1 - t0 <= 3600000000
+          AND t2 IS NOT NULL AND t2 >= t1
+          AND t2 - t0 <= 3600000000 THEN 1 ELSE 0 END AS r2
+  FROM per_user),
+totals AS (
+  SELECT CAST(SUM(r0) AS BIGINT) AS n0, CAST(SUM(r1) AS BIGINT) AS n1,
+         CAST(SUM(r2) AS BIGINT) AS n2
+  FROM flags)
+SELECT CAST(0 AS BIGINT) AS step, 'view' AS event_type, n0 AS n_users FROM totals
+UNION ALL SELECT 1, 'click', n1 FROM totals
+UNION ALL SELECT 2, 'purchase', n2 FROM totals
+"""
+
+
+def q67_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import retention
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return retention(ev, max_days=7)
+
+
+ORACLE_Q67 = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events),
+first_day AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT)
+         AS day_offset,
+       COUNT(DISTINCT days.user_id) AS n_users
+FROM days JOIN first_day ON days.user_id = first_day.user_id
+WHERE date_diff('day', cohort_day, day) <= 7
+GROUP BY 1, 2
+"""
+
+
 def batch5_registry() -> list[QueryDef]:
     return [
+        QueryDef("q66_funnel", q66_funnel, ORACLE_Q66, "ordered funnel conversion"),
+        QueryDef("q67_retention", q67_retention, ORACLE_Q67, "cohort retention triangle"),
         QueryDef("q64_udtf_tokenize", q64_udtf_tokenize, ORACLE_Q64, "Python UDTF lateral tokenize"),
         QueryDef("q65_pandas_grouped_mean", q65_pandas_grouped_mean, ORACLE_Q65, "grouped-agg pandas UDF mean"),
         QueryDef("q63_dedup_clusters", q63_dedup_clusters, ORACLE_Q63, "connected-components dedup clusters"),
