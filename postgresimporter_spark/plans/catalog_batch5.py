@@ -343,8 +343,101 @@ GROUP BY 1, 2
 """
 
 
+# q68: multi-supplier order anomalies (TPC-H Q21 shape) ----------------------
+
+
+def q68_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on a multi-supplier
+    order — EXISTS (another supplier on the order) + NOT EXISTS (another
+    late supplier), the nested correlated-predicate shape of TPC-H Q21."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
+    li = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS")
+    l1 = li.select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    # per-order supplier stats: distinct suppliers, distinct late suppliers
+    order_stats = l1.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        l1.where(F.col("is_late"))
+        .join(order_stats, on="l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sole_late.join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+ORACLE_Q68 = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+order_stats AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM l1 GROUP BY l_orderkey),
+sole_late AS (
+  SELECT DISTINCT l1.l_suppkey
+  FROM l1 JOIN order_stats ON l1.l_orderkey = order_stats.l_orderkey
+  WHERE l1.is_late AND n_supp > 1 AND n_late_supp = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole_late JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+# q69: sliding event-time windows --------------------------------------------
+
+
+def q69_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in two
+    windows (F.window with slideDuration)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+ORACLE_Q69 = """
+WITH slid AS (
+  SELECT event_type,
+    unnest([CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+            CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800
+                              - 1800) AS TIMESTAMP)]) AS window_start
+  FROM events)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM slid GROUP BY 1, 2
+"""
+
+
 def batch5_registry() -> list[QueryDef]:
     return [
+        QueryDef("q68_sole_late_supplier", q68_sole_late_supplier, ORACLE_Q68, "nested EXISTS/NOT EXISTS (Q21)"),
+        QueryDef("q69_sliding_windows", q69_sliding_windows, ORACLE_Q69, "sliding event-time windows"),
         QueryDef("q66_funnel", q66_funnel, ORACLE_Q66, "ordered funnel conversion"),
         QueryDef("q67_retention", q67_retention, ORACLE_Q67, "cohort retention triangle"),
         QueryDef("q64_udtf_tokenize", q64_udtf_tokenize, ORACLE_Q64, "Python UDTF lateral tokenize"),
