@@ -30,3 +30,27 @@ def test_copy_class_batching_defaults():
     assert db.properties["reWriteBatchedInserts"] == "true"
     assert int(db.properties["batchsize"]) >= 10000
     assert db.properties["driver"] == "org.postgresql.Driver"
+
+
+def test_copy_sink_gated_without_psycopg(spark):
+    import pytest
+
+    from postgresimporter_spark.sources.copy_sink import (
+        HAVE_PSYCOPG,
+        copy_write,
+        rows_to_copy_csv,
+    )
+
+    # CSV encoding works standalone (the unit-testable layer)
+    chunks = list(
+        rows_to_copy_csv([(1, "a,b", None), (2, 'say "hi"', "x")], 3)
+    )
+    text = b"".join(chunks).decode()
+    assert text == '1,"a,b",\n2,"say ""hi""",x\n'
+
+    if not HAVE_PSYCOPG:
+        df = spark.createDataFrame([(1,)], ["a"])
+        from postgresimporter_spark.sources.jdbc import DbOptions
+
+        with pytest.raises(RuntimeError, match="psycopg is not installed"):
+            copy_write(df, DbOptions(database="d"), "t")
