@@ -69,7 +69,14 @@ def parse_args(argv: list[str] | None = None) -> PipelineConfig:
         os.environ.get(k)
         for k in ("DB_NAME", "DB_HOST", "DB_PORT", "DB_USER", "DB_PASSWORD")
     )
-    if a.db_name or a.db_host or a.db_user or env_db:
+    if (
+        a.db_name
+        or a.db_host
+        or a.db_port
+        or a.db_user
+        or a.db_password
+        or env_db
+    ):
         db = DbOptions(
             database=a.db_name,
             host=a.db_host,

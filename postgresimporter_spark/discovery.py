@@ -73,7 +73,10 @@ def discover_csvs(
     """
     found: set[Path] = set()
     for src in _as_paths(sources):
-        if src.is_file() and src.suffix.lower() == ".csv":
+        # case-sensitive suffix match: the reference accepts only
+        # lowercase extensions in both literal-file branches
+        # (main.py:146, main.py:173)
+        if src.is_file() and src.suffix == ".csv":
             found.add(src)
         elif src.is_dir():
             found.update(src.rglob("*.csv"))

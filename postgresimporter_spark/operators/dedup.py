@@ -162,11 +162,8 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash signature per document: min over the shingle set of each
-    of ``num_hashes`` hash functions.
-
-    Expressed with ``F.transform``/``F.array_min`` over the shingle array
-    — no explode, no shuffle; one md5 per shingle (base hashes computed
-    once, per-function values are integer arithmetic on top).
+    of ``num_hashes`` hash functions — one md5 per shingle, the
+    per-function values are integer arithmetic on the shared base hash.
     """
     # explode + one grouped aggregation: computes md5 exactly once per
     # shingle. (The pure-projection alternative — 16 array_min(transform)

@@ -68,16 +68,22 @@ def funnel(
         for i in range(len(steps))
     ]
     totals = reached.agg(*rows)
-    # long-form output: (step, event_type, n_users)
-    out = None
-    for i, s in enumerate(steps):
-        row = totals.select(
-            F.lit(i).cast("long").alias("step"),
-            F.lit(s).alias("event_type"),
-            F.col(f"n_step_{i}").alias("n_users"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    # long-form output via one explode of the single aggregate row — a
+    # union of k selects would embed (and potentially re-execute) the
+    # per-user aggregation subtree k times
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"n_step_{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return totals.select(F.explode(entries).alias("e")).select(
+        "e.step", "e.event_type", "e.n_users"
+    )
 
 
 def retention(events: DataFrame, max_days: int = 7) -> DataFrame:

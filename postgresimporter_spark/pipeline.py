@@ -144,6 +144,9 @@ class Loader:
         result.table_csv_files = d.table_csv_files
 
         # Step 2: import (main.py:334-335 -> 171-213); --all overrides.
+        # Only the per-file LOAD is gated — function installation and
+        # combine run unconditionally in the reference (main.py:195-213:
+        # the disable gate wraps import_data alone).
         if not cfg.disable_import or cfg.process_all:
             for f in d.dump_files:
                 try:
@@ -154,12 +157,12 @@ class Loader:
                 except Exception:  # noqa: BLE001
                     log.exception("import failed: %s", f)
 
-            # install packaged function library (main.py:202-208)
-            register_all(self.spark)
+        # install packaged function library (main.py:202-208)
+        register_all(self.spark)
 
-            # combine (main.py:210-248)
-            if cfg.combine_tables:
-                self._combine(d.table_csv_files, result)
+        # combine (main.py:210-248)
+        if cfg.combine_tables:
+            self._combine(d.table_csv_files, result)
 
         # Step 3: post-load hooks (main.py:337-356)
         run_sql_hooks(self.spark, _sql_scripts(cfg.post_load))

@@ -26,8 +26,52 @@ log = logging.getLogger(__name__)
 def csv_row_counts(
     spark: SparkSession, table_csv_files: dict[str, list[Path]]
 ) -> dict[str, int]:
-    """Data-row count per combined table, one distributed CSV read per
-    group (S9/S10 equivalent)."""
+    """Data-row count per combined table, as ONE distributed job over
+    every file (S9/S10 equivalent): per-group sequential counts would
+    pay one job setup per prefix group.
+
+    Files are tagged by ``input_file_name`` and grouped with the same
+    prefix-derivation expression used on the driver, so group keys match
+    the discovery grouping exactly.
+    """
+    from pyspark.sql import functions as F
+
+    from .naming import table_name_for_path_col
+    from .sources.csv import read_csv_all_text
+
+    all_files = sorted({f for fs in table_csv_files.values() for f in fs})
+    if not all_files:
+        return {}
+    # header=false: count raw lines per file, subtract the header row —
+    # a multi-path header=true read would merge-by-position and lose
+    # per-file identity for heterogeneous groups
+    counts = (
+        spark.read.text([str(f) for f in all_files])
+        .select(
+            table_name_for_path_col(
+                F.url_decode(F.input_file_name())
+            ).alias("table")
+        )
+        .groupBy("table")
+        .agg((F.count("*")).alias("n_lines"))
+    )
+    raw = {r.table: r.n_lines for r in counts.collect()}
+    out = {}
+    for table, files in table_csv_files.items():
+        # subtract one header line per file; quoted embedded newlines
+        # make line counts an approximation (exactly like the
+        # reference's wc -l fast path, csvcount.py:43-49) — the precise
+        # path is a per-group read_csv count
+        n_lines = raw.get(table, 0)
+        out[table] = max(n_lines - len(files), 0)
+    return out
+
+
+def csv_row_counts_precise(
+    spark: SparkSession, table_csv_files: dict[str, list[Path]]
+) -> dict[str, int]:
+    """Precise per-group counts (quoted-newline-correct), one read per
+    group — the reference's ``precise=True`` path (csvcount.py:13-23)."""
     from .sources.csv import read_csv_all_text
 
     return {

@@ -15,7 +15,6 @@ server.
 
 from __future__ import annotations
 
-import csv
 import io
 from collections.abc import Iterable, Iterator
 
@@ -32,17 +31,22 @@ except ImportError:
     HAVE_PSYCOPG = False
 
 
-def rows_to_copy_csv(rows: Iterable, n_cols: int) -> Iterator[bytes]:
-    """Encode partition rows as COPY-friendly CSV chunks (~1 MiB).
+def _encode_field(v) -> str:
+    """COPY CSV field encoding with ``NULL ''``: NULL -> unquoted empty,
+    everything else ALWAYS quoted — so an empty STRING round-trips as
+    ``\"\"`` instead of being collapsed into NULL by the NULL rule
+    (which applies to unquoted values only)."""
+    if v is None:
+        return ""
+    return '"' + str(v).replace('"', '""') + '"'
 
-    NULL is encoded as an unquoted empty field (COPY ``NULL ''`` with
-    CSV format); everything else is quoted-as-needed by the csv module.
-    """
+
+def rows_to_copy_csv(rows: Iterable, n_cols: int) -> Iterator[bytes]:
+    """Encode partition rows as COPY-friendly CSV chunks (~1 MiB)."""
     buf = io.StringIO()
-    writer = csv.writer(buf, lineterminator="\n")
     for row in rows:
-        writer.writerow(
-            ["" if v is None else v for v in (row[i] for i in range(n_cols))]
+        buf.write(
+            ",".join(_encode_field(row[i]) for i in range(n_cols)) + "\n"
         )
         if buf.tell() > 1 << 20:
             yield buf.getvalue().encode()

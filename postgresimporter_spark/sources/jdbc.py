@@ -89,9 +89,11 @@ def execute_sql(db: DbOptions, sql_text: str) -> None:
     conn = jvm.java.sql.DriverManager.getConnection(
         db.url, db.user, db.password
     )
+    from ..pipeline import split_sql_statements
+
     try:
         stmt = conn.createStatement()
-        for statement in filter(None, (s.strip() for s in sql_text.split(";"))):
+        for statement in split_sql_statements(sql_text):
             stmt.execute(statement)
     finally:
         conn.close()

@@ -41,12 +41,14 @@ def test_copy_sink_gated_without_psycopg(spark):
         rows_to_copy_csv,
     )
 
-    # CSV encoding works standalone (the unit-testable layer)
+    # CSV encoding works standalone (the unit-testable layer):
+    # every non-NULL value quoted (so '' round-trips as an empty STRING
+    # under COPY NULL ''), NULL as the unquoted empty field
     chunks = list(
-        rows_to_copy_csv([(1, "a,b", None), (2, 'say "hi"', "x")], 3)
+        rows_to_copy_csv([(1, "a,b", None), (2, 'say "hi"', "")], 3)
     )
     text = b"".join(chunks).decode()
-    assert text == '1,"a,b",\n2,"say ""hi""",x\n'
+    assert text == '"1","a,b",\n"2","say ""hi""",""\n'
 
     if not HAVE_PSYCOPG:
         df = spark.createDataFrame([(1,)], ["a"])
