@@ -748,7 +748,10 @@ def registry() -> dict[str, QueryDef]:
     for q in tpch2_registry():
         out[q.name] = q
     from .catalog_batch5 import batch5_registry
+    from .catalog_batch6 import batch6_registry
 
     for q in batch5_registry():
+        out[q.name] = q
+    for q in batch6_registry():
         out[q.name] = q
     return out

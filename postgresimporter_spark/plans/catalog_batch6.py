@@ -1,0 +1,145 @@
+"""Sixth catalog batch: grouping sets + grouping_id, pivot, array
+aggregation functions, and the date/time scalar suite.
+
+Dialect-parity notes baked in: collect_list is order-nondeterministic so
+array outputs go through sort_array + array_join (string-serialized —
+also keeps the hash compare unambiguous); day-of-week conventions differ
+(Spark Sunday=1, DuckDB Sunday=0) and are normalized explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_tables
+from .catalog import QueryDef, _dec
+
+# q70: CUBE + grouping_id ----------------------------------------------------
+
+
+def q70_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_Q70 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# q71: pivot -----------------------------------------------------------------
+
+PIVOT_STATUSES = ["F", "O"]
+
+
+def q71_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (deterministic columns)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))  # '*' is invalid inside a pivot agg
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        )
+    )
+
+
+ORACLE_Q71 = """
+SELECT l_returnflag,
+  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# q72: array aggregation functions ------------------------------------------
+
+
+def q72_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set with deterministic serialization, plus
+    array predicates over the collected values."""
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    top = c.where(F.col("c_custkey") <= 60)
+    keys_sorted = F.sort_array(F.collect_list("c_custkey"))
+    segs_sorted = F.sort_array(F.collect_set("c_mktsegment"))
+    return top.groupBy("c_nationkey").agg(
+        F.array_join(keys_sorted, ",").alias("custkeys"),
+        F.array_join(segs_sorted, ",").alias("segments"),
+        F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
+        F.element_at(keys_sorted, 1).alias("min_key"),
+        F.array_contains(segs_sorted, "BUILDING").alias("has_building"),
+    )
+
+
+ORACLE_Q72 = """
+SELECT c_nationkey,
+  array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+  MIN(c_custkey) AS min_key,
+  list_contains(list(DISTINCT c_mktsegment), 'BUILDING') AS has_building
+FROM customer WHERE c_custkey <= 60
+GROUP BY c_nationkey
+"""
+
+
+# q73: date/time scalar suite ------------------------------------------------
+
+
+def q73_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    d = F.col("o_orderdate")
+    return o.where(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow_sun0"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.trunc(d.cast("date"), "month").alias("month_start"),
+    )
+
+
+ORACLE_Q73 = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS y,
+  CAST(month(o_orderdate) AS BIGINT) AS m,
+  CAST(day(o_orderdate) AS BIGINT) AS dom,
+  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(o_orderdate AS DATE) + 30 AS plus30,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+       AS BIGINT) AS days_to_2002,
+  date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start
+FROM orders WHERE o_orderkey <= 500
+"""
+
+
+def batch6_registry() -> list[QueryDef]:
+    return [
+        QueryDef("q70_cube_grouping_id", q70_cube_grouping_id, ORACLE_Q70, "CUBE + grouping_id"),
+        QueryDef("q71_pivot_status", q71_pivot_status, ORACLE_Q71, "pivot w/ explicit values"),
+        QueryDef("q72_array_functions", q72_array_functions, ORACLE_Q72, "collect_list/set + array fns"),
+        QueryDef("q73_datetime_functions", q73_datetime_functions, ORACLE_Q73, "date/time scalar suite"),
+    ]
