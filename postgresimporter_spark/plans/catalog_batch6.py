@@ -136,8 +136,76 @@ FROM orders WHERE o_orderkey <= 500
 """
 
 
+# q74/q75: deterministic sampling -------------------------------------------
+#
+# RNG-based .sample() is engine- and partitioning-dependent; hash-based
+# sampling (keep rows where md5(key) mod N < k) is reproducible across
+# engines, re-runs, and repartitioning — the right sampling primitive
+# for a 100 TB pipeline (and trivially oracle-checkable).
+
+
+def q74_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% hash-sample of lineitem by (orderkey, linenumber), verified
+    via aggregate fingerprint."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 100
+    )
+    return (
+        li.where(bucket < 10)
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q74 = """
+SELECT COUNT(*) AS n_sampled,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty,
+  COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE ('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT
+      % 100 < 10
+"""
+
+
+def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash-sampling: per-language rates over documents
+    (downsample the dominant language, keep the rest) — the class-
+    rebalancing shape of training-data curation."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(80))
+    return (
+        docs.where(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+ORACLE_Q75 = """
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN 25 ELSE 80 END
+GROUP BY lang
+"""
+
+
 def batch6_registry() -> list[QueryDef]:
     return [
+        QueryDef("q74_deterministic_sample", q74_deterministic_sample, ORACLE_Q74, "hash-based reproducible sample"),
+        QueryDef("q75_stratified_sample", q75_stratified_sample, ORACLE_Q75, "stratified per-class sampling"),
         QueryDef("q70_cube_grouping_id", q70_cube_grouping_id, ORACLE_Q70, "CUBE + grouping_id"),
         QueryDef("q71_pivot_status", q71_pivot_status, ORACLE_Q71, "pivot w/ explicit values"),
         QueryDef("q72_array_functions", q72_array_functions, ORACLE_Q72, "collect_list/set + array fns"),
