@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.textstats import LANG_MARKERS as _LANG_MARKERS
 from ..sources.parquet import load_tables
 from .catalog import QueryDef, _dec
 
@@ -202,8 +203,136 @@ GROUP BY lang
 """
 
 
+# q76: exact-dedup survivors (full rows) ------------------------------------
+
+
+def q76_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-full-row dedup: the canonical (min doc_id) row per
+    distinct text, with its metadata — q24 returns the hash summary,
+    this returns the surviving rows themselves (min_by over the struct;
+    no window shuffle beyond the group-by)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    extra = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    duped = docs.unionByName(extra)
+    best = F.min(
+        F.struct(F.col("doc_id"), F.col("lang"), F.col("source"))
+    ).alias("best")
+    return (
+        duped.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(best, F.count("*").alias("n_copies"))
+        .select(
+            F.col("best.doc_id").alias("doc_id"),
+            F.col("best.lang").alias("lang"),
+            F.col("best.source").alias("source"),
+            "n_copies",
+        )
+    )
+
+
+ORACLE_Q76 = """
+WITH duped AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text, lang, source FROM documents
+  WHERE doc_id < 100),
+canon AS (
+  SELECT sha256(text) AS h, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+  FROM duped GROUP BY sha256(text))
+SELECT d.doc_id, d.lang, d.source, c.n_copies
+FROM canon c JOIN duped d ON c.doc_id = d.doc_id
+"""
+
+
+# q77: hybrid text + vector retrieval ----------------------------------------
+
+
+def q77_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid scoring: cosine relevance to a probe vector blended with a
+    text-quality prior (stopword ratio) — the documents⋈embeddings
+    cross-modal join (doc_id = vec_id), top 20."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+    from ..operators.textstats import quality_features
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    probe = (
+        t["embeddings"].where(F.col("vec_id") == 0).collect()[0].embedding
+    )
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    docs_q = quality_features(t["documents"]).select(
+        "doc_id", "stopword_ratio"
+    )
+    joined = t["embeddings"].join(
+        docs_q, F.col("vec_id") == F.col("doc_id")
+    )
+    rel = F.round(cosine(F.col("embedding"), probe_col), 6)
+    score = F.round(
+        0.8 * rel + 0.2 * F.col("stopword_ratio"), 6
+    )
+    w = Window.orderBy(F.desc("hybrid_score"), F.asc("vec_id"))
+    return (
+        joined.withColumn("relevance", rel)
+        .withColumn("hybrid_score", score)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 20)
+        .select("vec_id", "relevance", "hybrid_score", "rk")
+    )
+
+
+def _q77_oracle() -> str:
+    return """
+WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+quality AS (
+  SELECT doc_id,
+    CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t != '')) > 0 THEN
+      round(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''),
+                                 t -> t IN ({markers}))) AS DOUBLE)
+            / len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t != '')), 6)
+    ELSE 0.0 END AS stopword_ratio
+  FROM documents),
+scored AS (
+  SELECT e.vec_id,
+    round(list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[]) /
+      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(p.pv::DOUBLE[], p.pv::DOUBLE[]))), 6)
+      AS relevance,
+    q.stopword_ratio
+  FROM embeddings e CROSS JOIN probe p
+  JOIN quality q ON e.vec_id = q.doc_id)
+SELECT vec_id, relevance,
+       round(0.8 * relevance + 0.2 * stopword_ratio, 6) AS hybrid_score, rk
+FROM (SELECT vec_id, relevance, stopword_ratio,
+             ROW_NUMBER() OVER (
+               ORDER BY round(0.8 * relevance + 0.2 * stopword_ratio, 6)
+                        DESC, vec_id) AS rk
+      FROM scored) t
+WHERE rk <= 20
+""".format(
+        markers=", ".join(
+            "'%s'" % w
+            for w in sorted(
+                {m for ms in _LANG_MARKERS.values() for m in ms}
+            )
+        )
+    )
+
+
+ORACLE_Q77 = _q77_oracle()
+
+
 def batch6_registry() -> list[QueryDef]:
     return [
+        QueryDef("q76_dedup_survivors", q76_dedup_survivors, ORACLE_Q76, "full-row dedup survivors"),
+        QueryDef("q77_hybrid_retrieval", q77_hybrid_retrieval, ORACLE_Q77, "hybrid text+vector retrieval"),
         QueryDef("q74_deterministic_sample", q74_deterministic_sample, ORACLE_Q74, "hash-based reproducible sample"),
         QueryDef("q75_stratified_sample", q75_stratified_sample, ORACLE_Q75, "stratified per-class sampling"),
         QueryDef("q70_cube_grouping_id", q70_cube_grouping_id, ORACLE_Q70, "CUBE + grouping_id"),
