@@ -184,3 +184,64 @@ def test_lsh_multiprobe_improves_recall(spark):
     # deterministic fixture + planes: observed 0.4 multi vs lower single;
     # absolute recall is geometry-dependent, the bound just guards collapse
     assert r_multi >= 0.35
+
+
+def test_funnel_ordering_and_window(spark):
+    import datetime as dt
+
+    from postgresimporter_spark.operators.funnel import funnel
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, uid, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: full ordered funnel inside the hour
+        ev(1, 1, "view", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 20),
+        # user 2: purchase BEFORE click -> only reaches click
+        ev(4, 2, "view", 0), ev(5, 2, "purchase", 5), ev(6, 2, "click", 10),
+        # user 3: click outside the 60-min window
+        ev(7, 3, "view", 0), ev(8, 3, "click", 90),
+        # user 4: never viewed
+        ev(9, 4, "click", 0), ev(10, 4, "purchase", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        r.event_type: r.n_users
+        for r in funnel(df, ["view", "click", "purchase"], 60).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_offsets(spark):
+    import datetime as dt
+
+    from postgresimporter_spark.operators.funnel import retention
+
+    d0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def ev(i, uid, days):
+        return (i, d0 + dt.timedelta(days=days), uid, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 3),
+        ev(4, 2, 0), ev(5, 2, 0),  # same-day dup counts once
+        ev(6, 3, 1), ev(7, 3, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        (r.cohort_day.day, r.day_offset): r.n_users
+        for r in retention(df).collect()
+    }
+    assert got == {
+        (1, 0): 2,  # users 1,2 on day 1
+        (1, 1): 1,  # user 1 back next day
+        (1, 3): 1,
+        (2, 0): 1,  # user 3 cohort day 2
+        (2, 1): 1,
+    }
