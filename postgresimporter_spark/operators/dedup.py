@@ -146,6 +146,16 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 1, i * i + i + 1) for i in range(num_hashes)]
 
 
+def hash_bucket(c: Column, n: int) -> Column:
+    """Deterministic bucket 0..n-1 from md5 (engine-independent; the
+    oracle computes ('0x'||substr(md5(x),1,15))::BIGINT % n identically).
+    15 hex chars keeps the value inside signed-64; NULL input -> NULL
+    bucket (null-propagating, like SQL ||/md5)."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % n
+    )
+
+
 def _md5_base(c: Column) -> Column:
     """md5 -> 60-bit int -> mod P. Engine-independent."""
     return (

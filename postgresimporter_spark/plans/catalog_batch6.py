@@ -148,11 +148,17 @@ FROM orders WHERE o_orderkey <= 500
 def q74_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% hash-sample of lineitem by (orderkey, linenumber), verified
     via aggregate fingerprint."""
+    from ..operators.dedup import hash_bucket
+
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
-    bucket = (
-        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 100
+    # F.concat (null-propagating, matching SQL ||), not concat_ws
+    # (null-skipping): both sides must exclude NULL-keyed rows identically
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
     )
+    bucket = hash_bucket(key, 100)
     return (
         li.where(bucket < 10)
         .agg(
@@ -177,12 +183,10 @@ def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified hash-sampling: per-language rates over documents
     (downsample the dominant language, keep the rest) — the class-
     rebalancing shape of training-data curation."""
+    from ..operators.dedup import hash_bucket
+
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = hash_bucket(F.col("doc_id").cast("string"), 100)
     rate = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(80))
     return (
         docs.where(bucket < rate)
@@ -212,8 +216,11 @@ def q76_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     this returns the surviving rows themselves (min_by over the struct;
     no window shuffle beyond the group-by)."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # negative ids: disjoint from real doc_ids at ANY scale factor (a
+    # fixed +offset collides once the fixture outgrows it, which would
+    # fan out the oracle's join-back on doc_id)
     extra = docs.where(F.col("doc_id") < 100).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         "text",
         "lang",
         "source",
@@ -239,7 +246,7 @@ ORACLE_Q76 = """
 WITH duped AS (
   SELECT doc_id, text, lang, source FROM documents
   UNION ALL
-  SELECT doc_id + 10000, text, lang, source FROM documents
+  SELECT -doc_id - 1, text, lang, source FROM documents
   WHERE doc_id < 100),
 canon AS (
   SELECT sha256(text) AS h, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -262,9 +269,10 @@ def q77_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import quality_features
 
     t = load_tables(spark, sf_dir, ["documents", "embeddings"])
-    probe = (
-        t["embeddings"].where(F.col("vec_id") == 0).collect()[0].embedding
-    )
+    probe_rows = t["embeddings"].where(F.col("vec_id") == 0).collect()
+    if not probe_rows:
+        raise ValueError("q77: no embeddings row with vec_id == 0 (probe)")
+    probe = probe_rows[0].embedding
     probe_col = F.array(*[F.lit(float(x)) for x in probe])
     docs_q = quality_features(t["documents"]).select(
         "doc_id", "stopword_ratio"
@@ -276,13 +284,18 @@ def q77_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(
         0.8 * rel + 0.2 * F.col("stopword_ratio"), 6
     )
-    w = Window.orderBy(F.desc("hybrid_score"), F.asc("vec_id"))
-    return (
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps); the unpartitioned window alternative funnels the whole
+    # join through ONE partition. Ranks are then assigned over 20 rows.
+    top = (
         joined.withColumn("relevance", rel)
         .withColumn("hybrid_score", score)
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= 20)
-        .select("vec_id", "relevance", "hybrid_score", "rk")
+        .orderBy(F.desc("hybrid_score"), F.asc("vec_id"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("hybrid_score"), F.asc("vec_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "vec_id", "relevance", "hybrid_score", "rk"
     )
 
 
