@@ -749,9 +749,12 @@ def registry() -> dict[str, QueryDef]:
         out[q.name] = q
     from .catalog_batch5 import batch5_registry
     from .catalog_batch6 import batch6_registry
+    from .catalog_batch7 import batch7_registry
 
     for q in batch5_registry():
         out[q.name] = q
     for q in batch6_registry():
+        out[q.name] = q
+    for q in batch7_registry():
         out[q.name] = q
     return out
