@@ -61,21 +61,20 @@ def parse_args(argv: list[str] | None = None) -> PipelineConfig:
     p.add_argument("--db-password", default=None)
     a = p.parse_args(argv)
     db = None
-    # CLI flags OR env vars activate the sink (reference cli.py:122-127:
-    # env is a first-class configuration path, not just a default)
+    # The sink activates only on an explicit target: a CLI db flag or the
+    # DB_NAME env var (the reference always has a DB target, so env vars
+    # are mere per-option fallbacks there, cli.py:122-127; here a stray
+    # DB_HOST in the environment must not flip a Spark-native run into
+    # JDBC writes that would abort without a driver jar).
     import os
 
-    env_db = any(
-        os.environ.get(k)
-        for k in ("DB_NAME", "DB_HOST", "DB_PORT", "DB_USER", "DB_PASSWORD")
-    )
     if (
         a.db_name
         or a.db_host
         or a.db_port
         or a.db_user
         or a.db_password
-        or env_db
+        or os.environ.get("DB_NAME")
     ):
         db = DbOptions(
             database=a.db_name,

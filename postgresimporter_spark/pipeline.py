@@ -19,6 +19,7 @@ main.py:376-404 semantics), never aborting the whole run.
 from __future__ import annotations
 
 import logging
+import re
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -57,10 +58,15 @@ def _sql_scripts(paths: list[Path]) -> list[Path]:
     return out
 
 
+_DOLLAR_TAG = re.compile(r"\$[A-Za-z_][A-Za-z0-9_]*\$|\$\$")
+
+
 def split_sql_statements(text: str) -> list[str]:
     """Split a SQL script on ``;`` respecting single/double-quoted
-    strings (with doubled-quote escapes) and ``--`` line comments —
-    psql-style, so literals containing semicolons survive."""
+    strings (with doubled-quote escapes), ``--`` line comments, and
+    Postgres dollar-quoted regions (``$$...$$`` / ``$tag$...$tag$``) —
+    psql-style, so literals and function bodies containing semicolons
+    survive (reference hooks run through psql, exec.py:97-131)."""
     stmts: list[str] = []
     buf: list[str] = []
     quote: str | None = None
@@ -77,6 +83,16 @@ def split_sql_statements(text: str) -> list[str]:
                     quote = None
         elif ch in ("'", '"'):
             quote = ch
+            buf.append(ch)
+        elif ch == "$":
+            m = _DOLLAR_TAG.match(text, i)
+            if m:
+                tag = m.group(0)
+                end = text.find(tag, m.end())
+                stop = (end + len(tag)) if end != -1 else n
+                buf.append(text[i:stop])
+                i = stop
+                continue
             buf.append(ch)
         elif ch == "-" and i + 1 < n and text[i + 1] == "-":
             while i < n and text[i] != "\n":

@@ -48,8 +48,15 @@ def csv_row_counts(
     counts = (
         spark.read.text([str(f) for f in all_files])
         .select(
+            # input_file_name is %XX-encoded; url_decode also form-decodes
+            # '+' to space, which would derive a different group key than
+            # the driver-side table_name_for_path for paths containing a
+            # literal '+'. Protect '+' before decoding (percent-only
+            # decode), so both sides agree.
             table_name_for_path_col(
-                F.url_decode(F.input_file_name())
+                F.url_decode(
+                    F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+                )
             ).alias("table")
         )
         .groupBy("table")

@@ -219,6 +219,37 @@ def test_env_only_db_config_activates_sink(monkeypatch):
     assert parse_args(["some_dir"]).db is None
 
 
+def test_stray_db_host_env_does_not_activate_sink(monkeypatch):
+    """An unrelated DB_HOST in the environment must not flip a
+    Spark-native run into JDBC writes (ADVICE r01): only DB_NAME or an
+    explicit CLI flag opts in."""
+    from postgresimporter_spark.config import parse_args
+
+    monkeypatch.delenv("DB_NAME", raising=False)
+    monkeypatch.setenv("DB_HOST", "some-ambient-host")
+    monkeypatch.setenv("DB_USER", "ambient")
+    assert parse_args(["some_dir"]).db is None
+    # but an explicit CLI flag still wins
+    assert parse_args(["some_dir", "--db-name", "x"]).db is not None
+
+
+def test_csv_row_counts_path_with_plus(spark, tmp_path):
+    """A literal '+' in a CSV path must not be form-decoded to a space
+    distributed-side (ADVICE r01): the distributed group key must equal
+    the driver-side table_name_for_path key, or counts land under a
+    phantom table and reconciliation reports a spurious difference."""
+    from postgresimporter_spark.naming import table_name_for_path
+    from postgresimporter_spark.reconcile import csv_row_counts
+
+    d = tmp_path / "in+box"
+    d.mkdir()
+    f = d / "plus+name_2024.csv"
+    f.write_text("a,b\n1,2\n3,4\n")
+    key = table_name_for_path(f)
+    counts = csv_row_counts(spark, {key: [f]})
+    assert counts == {key: 2}
+
+
 def test_split_sql_statements_quote_aware():
     from postgresimporter_spark.pipeline import split_sql_statements
 
@@ -231,6 +262,37 @@ def test_split_sql_statements_quote_aware():
         "INSERT INTO t VALUES ('a;b')",
         "SELECT 'it''s;fine'",
         "SELECT 2",
+    ]
+
+
+def test_split_sql_statements_dollar_quoted():
+    """Postgres function bodies carry ';' inside $$...$$ / $tag$...$tag$
+    (reference hooks ran through psql, which honors dollar quoting)."""
+    from postgresimporter_spark.pipeline import split_sql_statements
+
+    script = (
+        "CREATE FUNCTION f() RETURNS int AS $$\n"
+        "BEGIN RETURN 1; END;\n"
+        "$$ LANGUAGE plpgsql;\n"
+        "CREATE FUNCTION g() RETURNS text AS $body$\n"
+        "SELECT 'a;b'; -- not a comment inside\n"
+        "$body$ LANGUAGE sql;\n"
+        "SELECT 3"
+    )
+    got = split_sql_statements(script)
+    assert len(got) == 3
+    assert got[0].startswith("CREATE FUNCTION f")
+    assert "BEGIN RETURN 1; END;" in got[0]
+    assert "$body$" in got[1] and "SELECT 'a;b';" in got[1]
+    assert got[2] == "SELECT 3"
+    # $5 in "price $5; cost" is not a dollar-quote opener
+    assert split_sql_statements("SELECT 'x' AS a; SELECT '$5' AS b") == [
+        "SELECT 'x' AS a",
+        "SELECT '$5' AS b",
+    ]
+    # unterminated dollar quote: rest of script swallowed, no crash
+    assert split_sql_statements("SELECT $$oops; no close") == [
+        "SELECT $$oops; no close"
     ]
 
 
