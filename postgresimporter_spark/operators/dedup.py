@@ -92,14 +92,9 @@ def ngram_jaccard_pairs(
     exploded_raw = sh.select("id", F.explode("sh").alias("shingle"))
 
     if max_doc_ratio is not None:
-        n_docs = df.count()
-        rare = (
-            exploded_raw.groupBy("shingle")
-            .agg(F.count_distinct("id").alias("_df"))
-            .where(F.col("_df") <= max_doc_ratio * n_docs)
-            .select("shingle")
+        exploded_raw = _drop_hot_shingles(
+            exploded_raw, df, max_doc_ratio
         )
-        exploded_raw = exploded_raw.join(rare, on="shingle")
 
     sizes = exploded_raw.groupBy("id").agg(F.count("*").alias("n_sh"))
     exploded = exploded_raw.join(sizes, on="id")
@@ -123,6 +118,27 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _drop_hot_shingles(
+    exploded: DataFrame, df: DataFrame, max_doc_ratio: float
+) -> DataFrame:
+    """Keep only (id, shingle) rows whose shingle appears in at most
+    ``max_doc_ratio`` of documents — the stop-phrase skew guard: hot
+    shingles generate candidate pairs without discriminating, and at
+    100 TB one boilerplate phrase would concentrate the shingle join.
+
+    The corpus size joins in as a broadcast 1-row aggregate (not an
+    eager ``df.count()`` — plan construction must not launch a job)."""
+    n_docs = df.agg(F.count("*").cast("double").alias("_n_docs"))
+    rare = (
+        exploded.groupBy("shingle")
+        .agg(F.count_distinct("id").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") <= F.lit(max_doc_ratio) * F.col("_n_docs"))
+        .select("shingle")
+    )
+    return exploded.join(rare, on="shingle")
 
 
 def _md5_long(c: Column, seed: int) -> Column:
@@ -170,10 +186,17 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_ratio: float | None = None,
 ) -> DataFrame:
     """MinHash signature per document: min over the shingle set of each
     of ``num_hashes`` hash functions — one md5 per shingle, the
     per-function values are integer arithmetic on the shared base hash.
+
+    ``max_doc_ratio`` drops shingles appearing in more than that
+    fraction of documents *before* hashing (boilerplate/stop-phrase
+    guard: hot shingles both skew the LSH bucket join and drag every
+    document's minima toward the same values, inflating estimated
+    similarity between unrelated docs).
     """
     # explode + one grouped aggregation: computes md5 exactly once per
     # shingle. (The pure-projection alternative — 16 array_min(transform)
@@ -181,10 +204,15 @@ def minhash_signatures(
     # collapse inlines the shingle+md5 lineage into each of the 16
     # consumers, recomputing it 16x.) The groupBy shuffles on doc id,
     # which AQE coalesces; map-side partial mins keep it small.
-    exploded = _spread(df).select(
+    exploded_sh = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("s"),
-    ).select("id", _md5_base(F.col("s")).alias("base"))
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_doc_ratio is not None:
+        exploded_sh = _drop_hot_shingles(exploded_sh, df, max_doc_ratio)
+    exploded = exploded_sh.select(
+        "id", _md5_base(F.col("shingle")).alias("base")
+    )
 
     mins = [
         F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
@@ -207,6 +235,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_ratio: float | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified with
     estimated Jaccard (signature agreement rate).
@@ -214,6 +243,7 @@ def minhash_lsh_pairs(
     bands x rows-per-band = num_hashes; a pair is a candidate iff some
     band's sub-signature matches exactly (bucket equi-join on the band
     hash — the scale path: no all-pairs comparison ever happens).
+    ``max_doc_ratio`` is the boilerplate guard (see minhash_signatures).
     """
     rows_per_band = num_hashes // bands
     # Materialize signatures: they feed both sides of the self-join (and
@@ -222,9 +252,9 @@ def minhash_lsh_pairs(
     # (not persist) so the blocks are reclaimed by the ContextCleaner
     # when the result goes out of scope — persist() here leaked cache on
     # every invocation. Signatures are ~num_hashes longs per doc.
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    sigs = minhash_signatures(
+        df, num_hashes, n, text_col, id_col, max_doc_ratio=max_doc_ratio
+    ).localCheckpoint(eager=False)
 
     band_entries = sigs.select(
         "id",

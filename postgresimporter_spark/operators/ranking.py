@@ -1,0 +1,128 @@
+"""Distributed global ranking — total-order row numbers without a
+single-reducer window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels every row through
+ONE partition (Spark warns "No Partition Defined for Window operation").
+Fine at sf0.1; a scale-killer at 100 TB. The classic distributed
+alternative (same idea as RDD ``zipWithIndex``, re-expressed in the
+DataFrame API so Catalyst keeps optimizing around it):
+
+1. ``repartitionByRange`` on the order columns — partition *id* order
+   now equals sort order, and the sort work is spread over all
+   executors (Spark samples range boundaries; skew spreads out).
+2. rank *locally* inside each partition (window partitioned by the
+   range-partition id — a balanced shuffle, never one reducer).
+3. add the total row count of all earlier partitions, computed from a
+   tiny per-partition count table (|partitions| rows) joined back via
+   broadcast.
+
+The per-partition count table is derived from the ranged data, so the
+ranged branch is ``localCheckpoint``-ed first: range boundaries are
+*sampled* and a recompute could repartition differently between the two
+branches (BUILD_NOTES invariant 6/7 territory — same reason the MinHash
+signatures materialize).
+
+``exact_ntile`` reproduces SQL ``NTILE(k)`` bucket-size semantics
+(first ``n mod k`` buckets get ``ceil(n/k)`` rows) from the global row
+number with pure arithmetic — bit-for-bit what a global-window NTILE
+returns, including tie splits at bucket boundaries, without the global
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _num_partitions(df: DataFrame, requested: int | None) -> int:
+    if requested:
+        return requested
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    idx_col: str = "row_idx",
+    total_col: str = "n_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based global row number over a TOTAL order (callers
+    must pass a tie-broken ordering) plus the total row count, with no
+    unpartitioned window anywhere in the plan.
+
+    Internal columns ``_pid/_local_rn/_off`` are dropped; the result
+    keeps the input columns + ``idx_col`` + ``total_col``.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_part = _num_partitions(df, num_partitions)
+
+    ranged = (
+        df.repartitionByRange(n_part, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local = ranged.withColumn(
+        "_local_rn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+    )
+
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    # offset(p) = rows in all partitions before p; theta-join over the
+    # tiny count table (|partitions| rows) instead of an unpartitioned
+    # running-sum window, so the whole plan is window-partitioned.
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    total = counts.agg(F.sum("_cnt").cast("long").alias(total_col))
+    keyed = offsets.crossJoin(F.broadcast(total))
+
+    return (
+        local.join(F.broadcast(keyed), "_pid")
+        .withColumn(idx_col, (F.col("_off") + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn", "_off")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    k: int,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL ``NTILE(k)`` over a total order, distributed.
+
+    NTILE semantics: ``base = n div k``, the first ``r = n mod k``
+    buckets hold ``base+1`` rows, the rest ``base``. For global 1-based
+    index ``i``::
+
+        i <= r*(base+1)  ->  ceil(i / (base+1))
+        otherwise        ->  r + ceil((i - r*(base+1)) / base)
+
+    (``n < k`` degenerates to bucket ``i`` via the first branch.)
+    """
+    ranked = global_row_number(
+        df, order_cols, idx_col="_gidx", total_col="_n",
+        num_partitions=num_partitions,
+    )
+    i, n = F.col("_gidx"), F.col("_n")
+    base = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    first = r * (base + 1)
+    # base >= 1 whenever the second branch is reachable; greatest() only
+    # guards ANSI division against a hypothetical eager evaluation.
+    safe_base = F.greatest(base, F.lit(1))
+    bucket = F.when(
+        i <= first, F.floor((i - 1) / (base + 1)) + 1
+    ).otherwise(r + F.floor((i - first - 1) / safe_base) + 1)
+    return ranked.withColumn(bucket_col, bucket.cast("long")).drop(
+        "_gidx", "_n"
+    )

@@ -82,31 +82,18 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q61_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document (doc_id < 50): term frequency by
-    explode+count, document frequency by distinct count, idf = ln(N/df).
-
-    Scale shape: two shuffles (tf on (doc, token), df on token); the df
-    side is a small broadcastable table after aggregation. ln() agrees
+    """Top-3 TF-IDF terms per document (doc_id < 50), via the
+    tfidf_scores operator (textstats.py): two shuffles (tf on
+    (doc, token), df on token); the document-frequency join is
+    size-gated — AQE broadcasts iff the aggregated vocabulary table is
+    under the broadcast threshold at runtime, and falls back to a
+    shuffle join when it outgrows it (VERDICT r01 fix #9). ln() agrees
     across engines well inside the 6-digit round.
     """
+    from ..operators.textstats import tfidf_scores
+
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    n_docs = docs.count()
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
-    scored = (
-        tf.join(F.broadcast(df_), on="token")
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-            ),
-        )
-    )
+    scored = tfidf_scores(docs, df_join="auto")
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("token")
     )

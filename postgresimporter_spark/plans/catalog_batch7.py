@@ -88,38 +88,28 @@ FROM customer WHERE c_custkey <= 300
 
 
 def q80_fuzzy_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record linkage by Levenshtein distance: near-identical customer
-    names (small blocked self-join — blocking on name length keeps the
-    candidate set linear-ish; at 100 TB block on a phonetic/prefix key).
-    """
+    """Record linkage by Levenshtein distance via the q-gram count
+    filter (operators/linkage.py): candidates come from an equi-join on
+    character bigrams — never an all-pairs or degenerate-block join —
+    and the filter is lossless, so the oracle below states the naive
+    quadratic definition while this plan stays sub-quadratic
+    (VERDICT r01 fix: length(name) blocking was the whole table on
+    fixed-width names)."""
+    from ..operators.linkage import edit_distance_pairs
+
     c = load_tables(spark, sf_dir, ["customer"])["customer"]
     small = c.where(F.col("c_custkey") <= 150).select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
-    a, b = small.alias("a"), small.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.length(F.col("a.name")) == F.length(F.col("b.name")))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long").alias(
-                "edit_distance"
-            ),
-        )
-        .where(F.col("edit_distance") <= 2)
+    return edit_distance_pairs(
+        small, id_col="id", text_col="name", max_dist=2, q=2
     )
-    return pairs
 
 
 ORACLE_Q80 = """
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
-FROM customer a JOIN customer b
-  ON length(a.c_name) = length(b.c_name) AND a.c_custkey < b.c_custkey
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE a.c_custkey <= 150 AND b.c_custkey <= 150
   AND levenshtein(a.c_name, b.c_name) <= 2
 """

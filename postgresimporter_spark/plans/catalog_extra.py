@@ -282,11 +282,23 @@ FROM orders GROUP BY 1
 
 
 def q41_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE(4) over a total order + per-quartile aggregates."""
+    """NTILE(4) semantics over a total order + per-quartile aggregates.
+
+    Not ``F.ntile`` over an unpartitioned window — that funnels every
+    order through ONE reducer for the sort (VERDICT r01 scale-killer).
+    ``exact_ntile`` range-partitions, ranks locally, and offsets by a
+    broadcast per-partition count table; the bucket arithmetic is
+    bit-identical to SQL NTILE (oracle below stays NTILE(4))."""
+    from ..operators.ranking import exact_ntile
+
     o = load_tables(spark, sf_dir, ["orders"])["orders"]
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        exact_ntile(
+            o.select("o_totalprice", "o_orderkey"),
+            ["o_totalprice", "o_orderkey"],
+            4,
+            bucket_col="quartile",
+        )
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_orders"),

@@ -92,6 +92,50 @@ FROM pairs WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.8
 """
 
 
+# q81: Jaccard near-dup with hot-shingle cap --------------------------------
+
+# Six-token boilerplate prepended to EVERY document: its interior
+# shingles hit document-frequency 1.0 and must be dropped by the cap.
+_BOILER = "terms of service boilerplate applies here "
+
+
+def q81_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard_pairs with the ``max_doc_ratio`` stop-phrase guard
+    wired in (VERDICT r01 fix #4): a synthetic boilerplate prefix makes
+    several shingles appear in 100% of docs; the 0.5 cap drops them
+    before the shingle join, and the Jaccard is computed over the
+    surviving shingle space. The oracle applies the identical cap."""
+    docs = _duped_docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit(_BOILER), F.col("text")).alias("text")
+    )
+    return D.ngram_jaccard_pairs(docs, threshold=0.8, max_doc_ratio=0.5)
+
+
+ORACLE_Q81 = f"""
+WITH base AS ({DUPED_DOCS_SQL}),
+duped AS (SELECT doc_id, '{_BOILER}' || text AS text FROM base),
+sh AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM duped),
+ex AS (SELECT id, unnest(sh) AS shingle FROM sh),
+rare AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING COUNT(DISTINCT id)
+         <= 0.5 * (SELECT CAST(COUNT(*) AS DOUBLE) FROM duped)),
+fx AS (SELECT ex.id, ex.shingle FROM ex JOIN rare USING (shingle)),
+sized AS (SELECT id, COUNT(*) AS n_sh FROM fx GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM fx a JOIN fx b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM pairs
+  JOIN sized sa ON sa.id = pairs.id_a
+  JOIN sized sb ON sb.id = pairs.id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+"""
+
+
 # q26: MinHash-LSH ----------------------------------------------------------
 
 
@@ -385,4 +429,5 @@ def northstar_registry() -> list[QueryDef]:
         QueryDef("q30_lang_id", q30_lang_id, ORACLE_Q30, "marker-lexicon language ID"),
         QueryDef("q31_fingerprint", q31_fingerprint, ORACLE_Q31, "min-hash document fingerprint"),
         QueryDef("q32_similarity_lsh", q32_similarity_lsh, ORACLE_Q32, "LSH-bucketed cosine top-k"),
+        QueryDef("q81_jaccard_capped", q81_jaccard_capped, ORACLE_Q81, "Jaccard near-dup with hot-shingle cap"),
     ]

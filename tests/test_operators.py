@@ -245,3 +245,176 @@ def test_retention_offsets(spark):
         (2, 0): 1,  # user 3 cohort day 2
         (2, 1): 1,
     }
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """exact_ntile must be bit-identical to SQL NTILE(k) — including the
+    first-(n mod k)-buckets-get-one-extra sizing and tie splits at
+    bucket boundaries — for n%k!=0, n<k, and duplicate keys."""
+    import random
+
+    from pyspark.sql import Window
+
+    from postgresimporter_spark.operators.ranking import exact_ntile
+
+    rng = random.Random(41)
+    for n, k in [(103, 4), (3, 5), (40, 4), (1, 1)]:
+        rows = [(i, rng.randrange(10)) for i in range(n)]  # heavy ties
+        df = spark.createDataFrame(rows, ["id", "v"])
+        got = {
+            r.id: r.bucket
+            for r in exact_ntile(df, ["v", "id"], k).collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r.id: r.nt
+            for r in df.withColumn(
+                "nt", F.ntile(k).over(w).cast("long")
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_global_row_number_total_and_dense(spark):
+    from postgresimporter_spark.operators.ranking import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(50)], ["id", "v"]
+    )
+    out = global_row_number(df, ["v", "id"], num_partitions=8).collect()
+    assert sorted(r.row_idx for r in out) == list(range(1, 51))
+    assert all(r.n_total == 50 for r in out)
+    in_order = sorted(out, key=lambda r: (r.v, r.id))
+    assert [r.row_idx for r in in_order] == list(range(1, 51))
+
+
+def _brute_edit_pairs(rows, d):
+    """Driver-side reference Levenshtein join (fixture-sized only)."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            dd = lev(ta, tb)
+            if dd <= d:
+                out.add((min(ia, ib), max(ia, ib), dd))
+    return out
+
+
+def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
+    """The q-gram count filter must be recall-lossless: result equals
+    the naive quadratic join on mixed-length strings with indels,
+    substitutions, short strings (below the filterable length), and
+    duplicate grams."""
+    from postgresimporter_spark.operators.linkage import edit_distance_pairs
+
+    rows = [
+        (1, "charlotte"), (2, "charlotte"), (3, "charlottes"),
+        (4, "sharlotte"), (5, "charlie"), (6, "karlotta"),
+        (7, "aaaaaa"), (8, "aaaaab"), (9, "aabaaa"),
+        (10, "ab"), (11, "ba"), (12, "b"), (13, ""),
+        (14, "mississippi"), (15, "mississipi"), (16, "missisippi"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in edit_distance_pairs(df, max_dist=2).collect()
+    }
+    assert got == _brute_edit_pairs(rows, 2)
+
+
+def test_edit_distance_candidates_subquadratic_on_same_length_names(spark):
+    """VERDICT r01: length-blocking was degenerate on fixed-width names.
+    On a diverse corpus where EVERY name has the same length, the gram
+    filter must still produce far fewer candidates than n^2/2."""
+    import random
+
+    from postgresimporter_spark.operators.linkage import (
+        edit_distance_candidates,
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(80)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(12)))
+        for i in range(100)
+    ]
+    # plant a few true near-duplicates
+    rows[50] = (50, rows[0][1][:-1] + "q")
+    rows[51] = (51, rows[1][1][:6] + "xx" + rows[1][1][8:])
+    df = spark.createDataFrame(rows, ["id", "text"])
+    n_cand = edit_distance_candidates(df, max_dist=2).count()
+    assert n_cand < 100 * 99 / 2 * 0.05, n_cand  # <5% of all pairs
+    got = {
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in edit_distance_pairs(df, max_dist=2).collect()
+    }
+    assert got == _brute_edit_pairs(rows, 2)
+    assert (0, 50, 1) in got and (1, 51, 2) in got
+
+
+def test_minhash_doc_frequency_cap(spark):
+    """Hot shingles drag every doc's minima toward the same values; the
+    cap must stop boilerplate-only overlap from producing LSH pairs
+    while keeping genuinely-duplicated docs paired."""
+    texts = [
+        "x y z w v u t s r q p o " + tail  # 12 hot tokens, 3-token tail
+        for tail in [
+            "a1 a2 a3",
+            "b1 b2 b3",
+            "c1 c2 c3",
+            "dup1 dup2 dup3",
+            "dup1 dup2 dup3",
+        ]
+    ]
+    df = docs_df(spark, texts)
+    uncapped = {
+        (p.id_a, p.id_b)
+        for p in D.minhash_lsh_pairs(df, threshold=0.3).collect()
+    }
+    capped = {
+        (p.id_a, p.id_b)
+        for p in D.minhash_lsh_pairs(
+            df, threshold=0.3, max_doc_ratio=0.5
+        ).collect()
+    }
+    # boilerplate-only pairs survive without the cap...
+    assert any(a < 3 and b < 3 for a, b in uncapped)
+    # ...and vanish with it; the true duplicate pair stays
+    assert not any(a < 3 and b < 3 for a, b in capped)
+    assert (3, 4) in capped
+
+
+def test_tfidf_join_paths_agree(spark):
+    """The df-table join gate (auto / forced-broadcast / forced-shuffle)
+    must not change results — only the physical join strategy."""
+    from postgresimporter_spark.operators.bucketing import physical_plan
+    from postgresimporter_spark.operators.textstats import tfidf_scores
+    from postgresimporter_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])[
+        "documents"
+    ]
+    outs = {}
+    for mode in ("auto", "broadcast", "shuffle"):
+        df = tfidf_scores(docs, df_join=mode)
+        outs[mode] = {
+            (r.doc_id, r.token, r.tf, r.tfidf) for r in df.collect()
+        }
+    assert outs["auto"] == outs["broadcast"] == outs["shuffle"]
+    # the forced-shuffle path really does avoid a broadcast of df_
+    shuffle_plan = physical_plan(tfidf_scores(docs, df_join="shuffle"))
+    assert "SortMergeJoin" in shuffle_plan

@@ -93,3 +93,43 @@ def test_python_paths_are_arrow_batched(spark, reg):
         plan = plan_of(spark, reg, q)
         assert "BatchEvalPython" not in plan
         assert ("FlatMapGroupsInPandas" in plan) or ("MapInPandas" in plan)
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window operator lines with an empty partition spec (the
+    one-reducer global sort Spark warns about). A partitioned Window
+    prints three bracket groups `Window [funcs], [part], [order]`;
+    unpartitioned prints two."""
+    return [
+        line
+        for line in plan.splitlines()
+        if "Window [" in line and line.count("], [") < 2
+    ]
+
+
+def test_q41_has_no_unpartitioned_window(spark, reg):
+    """VERDICT r01: q41's global NTILE window was a single-reducer
+    scale-killer. The exact_ntile rewrite must leave zero unpartitioned
+    windows (and no ntile at all) in the physical plan."""
+    plan = plan_of(spark, reg, "q41_price_quartiles")
+    assert "ntile" not in plan
+    assert unpartitioned_windows(plan) == []
+
+
+def test_q55_is_single_lazy_plan(spark, reg):
+    """Building q55 must not trigger an eager aggregation job (the old
+    .collect() scalar did): beyond the parquet schema-read jobs that any
+    load_tables incurs, constructing the plan launches nothing; the
+    average-balance scalar joins in as a broadcast 1-row aggregate."""
+    from postgresimporter_spark.plans.catalog import load_tables
+
+    tracker = spark.sparkContext.statusTracker()
+    n0 = len(tracker.getJobIdsForGroup(None))
+    load_tables(spark, SF, ["customer", "orders"])
+    baseline = len(tracker.getJobIdsForGroup(None)) - n0
+
+    n1 = len(tracker.getJobIdsForGroup(None))
+    df = reg["q55_prospect_segments"].fn(spark, SF)
+    spent = len(tracker.getJobIdsForGroup(None)) - n1
+    assert spent <= baseline, (spent, baseline)
+    assert "BroadcastNestedLoopJoin" in physical_plan(df)
