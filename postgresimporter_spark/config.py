@@ -35,8 +35,12 @@ class PipelineConfig:
     check_tolerance: int = 100  # reference main.py:301-302 hard-codes 100
     log_level: str = "INFO"
     db: DbOptions | None = None
+    # Postgres write path: "copy" = wire-protocol COPY FROM STDIN
+    # (pgfutter-class throughput, stdlib-only); "jdbc" = Spark JDBC
+    # writer (requires the driver jar on the classpath).
+    db_protocol: str = "copy"
     # Spark-native mode: materialize as temp views + optional parquet sink
-    # instead of JDBC (no Postgres needed).
+    # instead of a database (no Postgres needed).
     sink_dir: Path | None = None
 
 
@@ -54,6 +58,9 @@ def parse_args(argv: list[str] | None = None) -> PipelineConfig:
     p.add_argument("--check-tolerance", type=int, default=100)
     p.add_argument("--log-level", default="INFO")
     p.add_argument("--sink-dir", default=None)
+    p.add_argument(
+        "--db-protocol", choices=["copy", "jdbc"], default="copy"
+    )
     p.add_argument("--db-name", default=None)
     p.add_argument("--db-host", default=None)
     p.add_argument("--db-port", default=None)
@@ -96,5 +103,6 @@ def parse_args(argv: list[str] | None = None) -> PipelineConfig:
         check_tolerance=a.check_tolerance,
         log_level=a.log_level,
         db=db,
+        db_protocol=a.db_protocol,
         sink_dir=Path(a.sink_dir) if a.sink_dir else None,
     )

@@ -132,6 +132,36 @@ def run_sql_hooks(spark: SparkSession, scripts: list[Path]) -> None:
                 )
 
 
+def run_sql_hooks_db(db, scripts: list[Path]) -> None:
+    """Execute hook SQL against the sink Postgres (reference
+    exec.py:97-131 piped scripts through psql). psql's default is
+    per-statement autocommit with continue-on-error; we reproduce that:
+    quote-and-dollar-aware split, one statement per Query, failures
+    logged and the rest of the script continues."""
+    from .sources.pgwire import connect
+
+    for script in scripts:
+        try:
+            statements = split_sql_statements(script.read_text())
+        except Exception:  # noqa: BLE001
+            log.exception("hook script unreadable: %s", script)
+            continue
+        try:
+            with connect(db) as conn:
+                for stmt in statements:
+                    try:
+                        conn.query(stmt)
+                    except Exception:  # noqa: BLE001
+                        log.exception(
+                            "sink hook statement failed (continuing): "
+                            "%s: %.80s",
+                            script,
+                            stmt,
+                        )
+        except Exception:  # noqa: BLE001
+            log.exception("sink hook connection failed: %s", script)
+
+
 class Loader:
     """Spark-native counterpart of reference ``Loader`` (main.py:28-404)."""
 
@@ -143,8 +173,13 @@ class Loader:
         cfg = self.config
         result = LoadResult()
 
-        # Step 0: pre-load hooks (main.py:312-329)
-        run_sql_hooks(self.spark, _sql_scripts(cfg.pre_load))
+        # Step 0: pre-load hooks (main.py:312-329). With a Postgres
+        # sink they run against the DB (reference semantics: psql);
+        # engine-native runs use spark.sql.
+        if cfg.db is not None:
+            run_sql_hooks_db(cfg.db, _sql_scripts(cfg.pre_load))
+        else:
+            run_sql_hooks(self.spark, _sql_scripts(cfg.pre_load))
 
         # Step 1: unzip (main.py:331-332). Reference gate:
         # `disable_unzip and not all` — --all overrides the toggle.
@@ -180,15 +215,27 @@ class Loader:
         if cfg.combine_tables:
             self._combine(d.table_csv_files, result)
 
-        # Step 3: post-load hooks (main.py:337-356)
-        run_sql_hooks(self.spark, _sql_scripts(cfg.post_load))
+        # Step 2.5: materialize to the sink BEFORE post-hooks/check —
+        # the reference loads into Postgres during import (pgfutter,
+        # main.py:491-542), so its post-load hooks and reconciliation
+        # see the data in the DB.
+        if cfg.db is not None or cfg.sink_dir is not None:
+            self.write_sink(result)
 
-        # Steps 4+5: counts + reconciliation (main.py:358-369)
+        # Step 3: post-load hooks (main.py:337-356)
+        if cfg.db is not None:
+            run_sql_hooks_db(cfg.db, _sql_scripts(cfg.post_load))
+        else:
+            run_sql_hooks(self.spark, _sql_scripts(cfg.post_load))
+
+        # Steps 4+5: counts + reconciliation (main.py:358-369); with a
+        # Postgres sink the DB side counts come from the sink itself.
         if not cfg.disable_check and result.table_csv_files:
             report, passed, csv_counts = reconciliation_report(
                 self.spark,
                 result.table_csv_files,
                 tolerance=cfg.check_tolerance,
+                db=cfg.db,
             )
             result.report = report
             result.check_passed = passed
@@ -221,13 +268,25 @@ class Loader:
                 log.exception("combine failed for table %s", table)
 
     def write_sink(self, result: LoadResult) -> None:
-        """Materialize import views to the configured sink."""
+        """Materialize import views to the configured sink.
+
+        Postgres sink default is the COPY wire protocol (pgfutter-class
+        throughput, no driver jar needed); ``db_protocol="jdbc"`` opts
+        into Spark's JDBC writer. Per-table failures are logged and the
+        rest of the tables continue (reference main.py:376-404 never
+        aborts the whole run on one table)."""
         cfg = self.config
         if cfg.db is not None:
-            from .sources.jdbc import write_table
+            if cfg.db_protocol == "jdbc":
+                from .sources.jdbc import write_table as _write
+            else:
+                from .sources.copy_sink import copy_write as _write
 
             for view, df in {**result.file_views, **result.combined_views}.items():
-                write_table(df, cfg.db, view.removeprefix("import_"))
+                try:
+                    _write(df, cfg.db, view.removeprefix("import_"))
+                except Exception:  # noqa: BLE001
+                    log.exception("sink write failed for %s", view)
         elif cfg.sink_dir is not None:
             for view, df in {**result.file_views, **result.combined_views}.items():
                 df.write.mode("overwrite").parquet(str(cfg.sink_dir / view))
@@ -237,7 +296,7 @@ def run_pipeline(
     spark: SparkSession, config: PipelineConfig
 ) -> LoadResult:
     loader = Loader(spark, config)
-    result = loader.load()
-    if config.db is not None or config.sink_dir is not None:
-        loader.write_sink(result)
-    return result
+    # load() writes the sink itself (step 2.5) so that post-load hooks
+    # and the reconciliation check observe the sink state, exactly like
+    # the reference's psql-hooks-after-pgfutter ordering.
+    return loader.load()

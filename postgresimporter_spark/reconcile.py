@@ -105,11 +105,22 @@ def reconciliation_report(
     spark: SparkSession,
     table_csv_files: dict[str, list[Path]],
     tolerance: int = 100,
+    db=None,
 ) -> tuple[DataFrame, bool, dict[str, int]]:
     """Build the reconciliation report (reference report columns,
-    main.py:263-299) and evaluate the tolerance gate (main.py:301-302)."""
+    main.py:263-299) and evaluate the tolerance gate (main.py:301-302).
+
+    With ``db`` (DbOptions), the DB side counts come from the sink
+    Postgres itself — the reference's actual contract (it SELECTed
+    count(*) from the import schema, main.py:250-306); otherwise from
+    the session's import views."""
     csv_counts = csv_row_counts(spark, table_csv_files)
-    db_counts = db_row_counts(spark, list(table_csv_files))
+    if db is not None:
+        from .sources.copy_sink import table_counts
+
+        db_counts = table_counts(db, list(table_csv_files))
+    else:
+        db_counts = db_row_counts(spark, list(table_csv_files))
 
     rows = [
         Row(

@@ -1,43 +1,92 @@
 """COPY-protocol Postgres sink (the pgfutter-class fast path).
 
 The reference's loader is pgfutter, a Go wrapper over Postgres ``COPY``
-(Dockerfile:1-10,26) — substantially faster than JDBC INSERT batches.
-This module provides the same class of throughput from Spark: each
-partition opens one connection and streams its rows through
-``COPY ... FROM STDIN`` via psycopg.
+(reference Dockerfile:1-10,26; invocation main.py:491-542) — the
+COPY protocol is the fast bulk path, typically several times quicker
+than JDBC INSERT batches. This module provides the same class of
+throughput from Spark with zero non-stdlib dependencies: each partition
+opens one wire-protocol connection (``sources/pgwire.py``) and streams
+its rows through ``COPY ... FROM STDIN (FORMAT csv)``.
 
-psycopg is not available in this build environment, so the module is
-import-gated: constructing the writer without psycopg raises a clear
-error, and everything above the connection boundary (CSV encoding of
-partitions, connection fan-in capping) is unit-testable without a
-server.
+Scale posture: the write is embarrassingly parallel — no shuffle is
+introduced unless ``num_partitions`` asks for one (cap it to bound
+connection fan-in: 1000 executors × cores would otherwise open that
+many backends). Each partition's COPY is a single implicit transaction,
+so a failed task leaves nothing behind and Spark's task retry is safe;
+with speculative execution enabled, use ``mode="append"`` into a
+staging table instead.
+
+Reference semantics parity: pgfutter creates all-text columns in the
+``import`` schema from the CSV header (reference README.md:51-53);
+``copy_write`` does the same for all-string frames and maps Spark types
+to Postgres types for typed frames.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import io
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as Tp
 
 from .jdbc import DbOptions
+from .pgwire import PgConnection, connect
 
-try:  # pragma: no cover - exercised only where psycopg exists
-    import psycopg  # type: ignore
+_PG_TYPES: list[tuple[type, str]] = [
+    (Tp.StringType, "text"),
+    (Tp.BooleanType, "boolean"),
+    (Tp.ByteType, "smallint"),
+    (Tp.ShortType, "smallint"),
+    (Tp.IntegerType, "integer"),
+    (Tp.LongType, "bigint"),
+    (Tp.FloatType, "real"),
+    (Tp.DoubleType, "double precision"),
+    (Tp.DateType, "date"),
+    (Tp.TimestampType, "timestamp"),
+    (Tp.BinaryType, "bytea"),
+]
 
-    HAVE_PSYCOPG = True
-except ImportError:
-    psycopg = None
-    HAVE_PSYCOPG = False
+
+def pg_type_for(dt: Tp.DataType) -> str:
+    """Spark type -> Postgres column type (unhandled types: text)."""
+    if isinstance(dt, Tp.DecimalType):
+        return f"numeric({dt.precision},{dt.scale})"
+    for spark_t, pg_t in _PG_TYPES:
+        if isinstance(dt, spark_t):
+            return pg_t
+    return "text"
+
+
+def qualified(table: str, schema: str = "import") -> str:
+    return f'"{schema}"."{table}"'
+
+
+def create_table_ddl(
+    df: DataFrame, table: str, schema: str = "import"
+) -> str:
+    cols = ", ".join(
+        f'"{f.name}" {pg_type_for(f.dataType)}' for f in df.schema.fields
+    )
+    return f"CREATE TABLE {qualified(table, schema)} ({cols})"
 
 
 def _encode_field(v) -> str:
     """COPY CSV field encoding with ``NULL ''``: NULL -> unquoted empty,
     everything else ALWAYS quoted — so an empty STRING round-trips as
-    ``\"\"`` instead of being collapsed into NULL by the NULL rule
+    ``""`` instead of being collapsed into NULL by the NULL rule
     (which applies to unquoted values only)."""
     if v is None:
         return ""
+    if isinstance(v, bool):
+        return '"t"' if v else '"f"'
+    if isinstance(v, (bytes, bytearray)):
+        return '"\\x' + bytes(v).hex() + '"'
+    if isinstance(v, _dt.datetime):
+        return '"' + v.isoformat(sep=" ") + '"'
+    if isinstance(v, _dt.date):
+        return '"' + v.isoformat() + '"'
     return '"' + str(v).replace('"', '""') + '"'
 
 
@@ -60,36 +109,92 @@ def copy_write(
     df: DataFrame,
     db: DbOptions,
     table: str,
+    mode: str = "overwrite",
+    schema: str = "import",
     num_partitions: int | None = None,
 ) -> None:
-    """Stream a DataFrame into ``import.<table>`` via COPY, one
-    connection per partition (``num_partitions`` caps connection
-    fan-in — 1000 executors must not open 1000x cores connections).
-    """
-    if not HAVE_PSYCOPG:
-        raise RuntimeError(
-            "psycopg is not installed: COPY sink unavailable; use "
-            "sources.jdbc.write_table (batched JDBC) instead"
-        )
-    n_cols = len(df.columns)
-    conninfo = (
-        f"host={db.host} port={db.port} dbname={db.database} "
-        f"user={db.user} password={db.password}"
-    )
-    target = f'import."{table}"'
+    """Stream a DataFrame into ``<schema>.<table>`` via COPY, one
+    connection per partition.
 
-    def _write_partition(rows):  # pragma: no cover - needs a server
-        with psycopg.connect(conninfo) as conn:
-            with conn.cursor() as cur:
-                with cur.copy(
-                    f"COPY {target} FROM STDIN (FORMAT csv, NULL '')"
-                ) as cp:
-                    for chunk in rows_to_copy_csv(rows, n_cols):
-                        cp.write(chunk)
-            conn.commit()
+    ``mode``: ``overwrite`` drops + recreates the table from the
+    DataFrame schema; ``append`` requires it to exist. DDL runs on the
+    driver over one connection; data flows executor-side.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append: {mode}")
+    with connect(db) as conn:
+        conn.query(f'CREATE SCHEMA IF NOT EXISTS "{schema}"')
+        if mode == "overwrite":
+            conn.query(
+                f"DROP TABLE IF EXISTS {qualified(table, schema)};"
+                + create_table_ddl(df, table, schema)
+            )
+
+    n_cols = len(df.columns)
+    target = qualified(table, schema)
+    host = db.host or "localhost"
+    port = db.port or 5432
+    database = db.database or "postgres"
+    user = db.user or "postgres"
+    password = db.password
+
+    def _write_partition(rows):
+        chunks = rows_to_copy_csv(rows, n_cols)
+        first = next(chunks, None)
+        if first is None:  # empty partition: don't open a connection
+            return
+        with PgConnection(
+            host=host, port=port, database=database,
+            user=user, password=password,
+        ) as pc:
+            pc.copy_in(
+                f"COPY {target} FROM STDIN (FORMAT csv, NULL '')",
+                _chain_first(first, chunks),
+            )
 
     out = df.repartition(num_partitions) if num_partitions else df
     out.foreachPartition(_write_partition)
 
 
-__all__ = ["copy_write", "rows_to_copy_csv", "HAVE_PSYCOPG"]
+def _chain_first(first: bytes, rest: Iterator[bytes]) -> Iterator[bytes]:
+    yield first
+    yield from rest
+
+
+def execute_sql(db: DbOptions, sql_text: str) -> None:
+    """Run a sink-side SQL script (pre/post hooks against Postgres —
+    reference exec.py:97-131 via psql). The whole script goes through
+    one simple-protocol Query: the backend does the statement
+    splitting, so dollar-quoted function bodies are safe verbatim."""
+    with connect(db) as conn:
+        conn.query(sql_text)
+
+
+def table_counts(
+    db: DbOptions, tables: list[str], schema: str = "import"
+) -> dict[str, int]:
+    """``SELECT count(*)`` per sink table (reconciliation read-back,
+    reference post_load_check main.py:250-306). Missing tables -> 0."""
+    out: dict[str, int] = {}
+    with connect(db) as conn:
+        for t in tables:
+            exists = conn.scalar(
+                "SELECT 1 FROM information_schema.tables "
+                f"WHERE table_schema = '{schema}' AND table_name = '{t}'"
+            )
+            out[t] = (
+                int(conn.scalar(f"SELECT count(*) FROM {qualified(t, schema)}"))
+                if exists
+                else 0
+            )
+    return out
+
+
+__all__ = [
+    "copy_write",
+    "execute_sql",
+    "table_counts",
+    "rows_to_copy_csv",
+    "create_table_ddl",
+    "pg_type_for",
+]

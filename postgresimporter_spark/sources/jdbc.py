@@ -1,13 +1,16 @@
 """JDBC (PostgreSQL) sink — the reference's storage target.
 
 The reference bulk-loads via pgfutter, a Go wrapper around Postgres
-``COPY`` (Dockerfile:1-10,26). Spark's JDBC writer approaches COPY
-throughput with ``reWriteBatchedInserts=true`` + large ``batchsize`` +
-one writing partition per executor core (SURVEY §4.3).
+``COPY`` (Dockerfile:1-10,26). The pipeline's DEFAULT Postgres path is
+the wire-protocol COPY sink (``sources/copy_sink.py`` — pgfutter-class
+throughput, live-tested in ``tests/test_postgres_live.py``); this JDBC
+module is the ``db_protocol="jdbc"`` alternative for clusters where the
+driver jar is on the classpath. It approaches COPY throughput with
+``reWriteBatchedInserts=true`` + large ``batchsize`` + one writing
+partition per executor core (SURVEY §4.3).
 
-No Postgres server (or JDBC driver jar) ships in this container, so this
-module is exercised by unit tests only up to URL/property construction;
-the write path is integration-gated.
+No JDBC driver jar ships in this container, so this module is exercised
+by unit tests only up to URL/property construction.
 """
 
 from __future__ import annotations

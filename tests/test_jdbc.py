@@ -32,14 +32,8 @@ def test_copy_class_batching_defaults():
     assert db.properties["driver"] == "org.postgresql.Driver"
 
 
-def test_copy_sink_gated_without_psycopg(spark):
-    import pytest
-
-    from postgresimporter_spark.sources.copy_sink import (
-        HAVE_PSYCOPG,
-        copy_write,
-        rows_to_copy_csv,
-    )
+def test_copy_csv_encoding():
+    from postgresimporter_spark.sources.copy_sink import rows_to_copy_csv
 
     # CSV encoding works standalone (the unit-testable layer):
     # every non-NULL value quoted (so '' round-trips as an empty STRING
@@ -50,9 +44,17 @@ def test_copy_sink_gated_without_psycopg(spark):
     text = b"".join(chunks).decode()
     assert text == '"1","a,b",\n"2","say ""hi""",""\n'
 
-    if not HAVE_PSYCOPG:
-        df = spark.createDataFrame([(1,)], ["a"])
-        from postgresimporter_spark.sources.jdbc import DbOptions
 
-        with pytest.raises(RuntimeError, match="psycopg is not installed"):
-            copy_write(df, DbOptions(database="d"), "t")
+def test_copy_ddl_type_mapping(spark):
+    from postgresimporter_spark.sources.copy_sink import create_table_ddl
+
+    df = spark.createDataFrame(
+        [], "id long, s string, d double, n decimal(12,3), "
+        "dy date, ts timestamp, b boolean, bin binary, arr array<int>"
+    )
+    ddl = create_table_ddl(df, "t")
+    assert ddl == (
+        'CREATE TABLE "import"."t" ("id" bigint, "s" text, '
+        '"d" double precision, "n" numeric(12,3), "dy" date, '
+        '"ts" timestamp, "b" boolean, "bin" bytea, "arr" text)'
+    )
