@@ -14,17 +14,76 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+# BOM table, longest-prefix first (UTF-32 LE starts with the UTF-16 LE
+# BOM bytes — order matters).
+_BOMS: list[tuple[bytes, str]] = [
+    (b"\xef\xbb\xbf", "UTF-8"),
+    (b"\xff\xfe\x00\x00", "UTF-32LE"),
+    (b"\x00\x00\xfe\xff", "UTF-32BE"),
+    (b"\xff\xfe", "UTF-16LE"),
+    (b"\xfe\xff", "UTF-16BE"),
+]
+
+
+def detect_encoding(
+    path: str | Path, sample_size: int = 1 << 16
+) -> str:
+    """Charset sniff for a CSV file (reference: chardet over the first
+    bytes, utils.py:12-17; chardet isn't available here, so this is the
+    deterministic stdlib equivalent):
+
+    1. BOM → the BOM's encoding (UTF-8/16/32, either endianness).
+    2. sample strict-decodes as UTF-8 → ``UTF-8`` (ASCII is a subset;
+       a random byte sequence passes this probe with vanishing
+       probability, which is the same bet chardet makes).
+    3. otherwise → ``ISO-8859-1`` (decodes any byte sequence; the
+       standard fallback for legacy single-byte dumps).
+
+    Driver-side, reads at most ``sample_size`` bytes.
+    """
+    with open(path, "rb") as fh:
+        head = fh.read(sample_size)
+    for bom, enc in _BOMS:
+        if head.startswith(bom):
+            return enc
+    try:
+        head.decode("utf-8")
+        return "UTF-8"
+    except UnicodeDecodeError as e:
+        # a multi-byte sequence truncated by the sample boundary is not
+        # evidence against UTF-8 — retry without the tail (only when the
+        # sample really was cut short; a decode error near the end of a
+        # COMPLETE file is a genuine non-UTF-8 byte)
+        if len(head) == sample_size and e.start >= len(head) - 4:
+            try:
+                head[: e.start].decode("utf-8")
+                return "UTF-8"
+            except UnicodeDecodeError:
+                pass
+        return "ISO-8859-1"
+
 
 def read_csv_all_text(
     spark: SparkSession,
     paths: list[str | Path] | str | Path,
-    encoding: str | None = None,
+    encoding: str | None = "auto",
 ) -> DataFrame:
     """Read CSV file(s) with the header as column names, all columns
     StringType (``inferSchema`` off is Spark's default — it matches the
-    reference's untyped ingest exactly)."""
+    reference's untyped ingest exactly).
+
+    ``encoding="auto"`` (default) sniffs the charset from the first
+    file's head bytes (the reference ran chardet per file before
+    handing pgfutter the dump, utils.py:12-17; a prefix group is one
+    dump split into parts, so one sniff covers the group). Pass an
+    explicit encoding to override, or ``None`` for Spark's default.
+    """
     if isinstance(paths, (str, Path)):
         paths = [paths]
+    if encoding == "auto":
+        encoding = detect_encoding(paths[0]) if paths else None
+        if encoding == "UTF-8":
+            encoding = None  # Spark default; skip the option
     reader = (
         spark.read.option("header", "true")
         # Quoted embedded newlines parse correctly (strictly better than
@@ -72,7 +131,13 @@ def _header(path: str | Path) -> list[str] | None:
     import csv as _csv
 
     try:
-        with open(path, newline="") as fh:
+        enc = detect_encoding(path)
+        # utf-8-sig strips the BOM from the header's first column name
+        with open(
+            path,
+            newline="",
+            encoding="utf-8-sig" if enc == "UTF-8" else enc,
+        ) as fh:
             return next(_csv.reader(fh))
-    except (OSError, StopIteration):
+    except (OSError, StopIteration, UnicodeDecodeError):
         return None
