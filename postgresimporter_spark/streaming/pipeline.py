@@ -16,11 +16,44 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state_store(
+    spark: SparkSession, changelog_checkpointing: bool = True
+) -> None:
+    """Switch stateful streaming queries started after this call to the
+    RocksDB state store provider — the production posture for large
+    state: per-key state lives off-heap/on-disk per executor instead of
+    in the JVM heap (the default HDFSBackedStateStore keeps every key in
+    memory, which caps state at heap size). Changelog checkpointing
+    uploads per-batch deltas rather than full snapshots — the knob that
+    keeps checkpoint time flat as state grows to 100 TB-scale key
+    counts."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true" if changelog_checkpointing else "false",
+    )
+
+
+def reset_state_store_provider(spark: SparkSession) -> None:
+    """Back to the session default provider (new queries only)."""
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def stream_csv_ingest(
     spark: SparkSession,
     source_dir: str,
     schema: StructType,
     max_files_per_trigger: int = 100,
+    max_bytes_per_trigger: str | None = None,
 ) -> DataFrame:
     """Incremental CSV load: the streaming generalization of the
     reference's skip-if-already-processed re-run model (main.py:156-168)
@@ -28,8 +61,15 @@ def stream_csv_ingest(
 
     All-text semantics preserved: pass an all-StringType ``schema``
     (streaming reads require an explicit schema).
+
+    Rate limits bound micro-batch size so one giant backlog drop can't
+    OOM a batch: ``max_files_per_trigger`` caps file count,
+    ``max_bytes_per_trigger`` (a byte count, e.g. ``"1073741824"``) caps
+    input size. Spark rejects setting both on one source, so a byte cap
+    replaces the file cap here (bytes bound memory more directly —
+    10 000 tiny files are fine, one 100 GB file is not).
     """
-    return (
+    reader = (
         spark.readStream.schema(schema)
         .option("header", "true")
         # identical parse options to the batch reader (sources/csv.py):
@@ -37,9 +77,14 @@ def stream_csv_ingest(
         # the same way on both paths
         .option("multiLine", "true")
         .option("escape", '"')
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .csv(source_dir)
     )
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    else:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.csv(source_dir)
 
 
 def stream_hourly_rollup(

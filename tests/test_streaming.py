@@ -156,3 +156,87 @@ def test_foreachbatch_sink_and_checkpoint_resume(spark, tmp_path):
     (src / "a_2.csv").write_text("k,v\n3,z\n")
     run_once()
     assert spark.read.parquet(str(out)).count() == 3
+
+
+def test_stateful_stats_with_rocksdb_state_store(spark):
+    """Same stream==batch contract as test_stateful_running_user_stats,
+    but with the RocksDB state store provider (the production posture
+    for large state) — results must be identical to the default
+    HDFS-backed provider."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.streaming.pipeline import (
+        ROCKSDB_PROVIDER,
+        enable_rocksdb_state_store,
+        reset_state_store_provider,
+    )
+    from postgresimporter_spark.streaming.stateful import running_user_stats
+
+    events = load_tables(spark, SF, ["events"])["events"]
+    batch = {
+        r.user_id: (r.n, round(r.tv, 6))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+                / 1_000_000
+            ).alias("tv"),
+        )
+        .collect()
+    }
+
+    enable_rocksdb_state_store(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        stream = running_user_stats(_streaming_events(spark))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("user_stats_rocksdb")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        reset_state_store_provider(spark)
+    got = {}
+    for r in spark.table("user_stats_rocksdb").collect():
+        prev = got.get(r.user_id)
+        if prev is None or r.n_events >= prev[0]:
+            got[r.user_id] = (r.n_events, round(r.total_value, 6))
+    assert got == batch
+
+
+def test_stream_ingest_max_bytes_per_trigger(spark, tmp_path):
+    """maxBytesPerTrigger splits a multi-file backlog into multiple
+    micro-batches instead of one giant batch."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from postgresimporter_spark.streaming.pipeline import stream_csv_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        (src / f"f_{i}.csv").write_text(
+            "k,v\n" + "".join(f"{j},{'x' * 50}\n" for j in range(100))
+        )
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", StringType())]
+    )
+    stream = stream_csv_ingest(
+        spark, str(src), schema, max_bytes_per_trigger="1000"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_limited")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("rate_limited").count() == 400
+    # >1 micro-batch ran (each ~one file under the 1k byte cap)
+    assert len(q.recentProgress) >= 2
