@@ -340,6 +340,74 @@ def simhash(
     return agg.select("id", fingerprint.cast("long").alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    fingerprints: DataFrame,
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """All pairs of fingerprints within ``max_hamming`` bit flips,
+    found WITHOUT an all-pairs comparison.
+
+    Classic exact Hamming-join banding: split the ``bits``-bit
+    fingerprint into ``chunks`` equal chunks and equi-join on
+    (chunk index, chunk value). When ``max_hamming < chunks``, the
+    pigeonhole principle guarantees every qualifying pair shares at
+    least one unchanged chunk, so the banded candidate set is EXACT —
+    no recall loss, and the join is a hash equi-join on short keys
+    instead of an O(n²) scan. Verification = ``bit_count(a XOR b)``,
+    pure JVM bit math.
+
+    Input: a DataFrame of (id, simhash) — compose with ``simhash()``.
+    At 100 TB the only shuffle is the chunk-key join; hot chunk values
+    (e.g. all-zero chunks from short docs) behave like hot shingles —
+    cap them with a frequency filter if skew shows up.
+    """
+    if bits % chunks:
+        raise ValueError("bits must divide evenly into chunks")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col(hash_col), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    keyed = fingerprints.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("fp"),
+        F.explode(entries).alias("e"),
+    ).select("id", "fp", "e.chunk", "e.val")
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, on=["chunk", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(
+        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -347,4 +415,5 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_hamming_pairs",
 ]

@@ -261,6 +261,77 @@ def ivf_topk(
     )
 
 
+def signband_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bit band LSH.
+
+    Band ``b``'s key = the sign bits of components
+    ``[b*bits_per_band, (b+1)*bits_per_band)``; two vectors are
+    candidates iff they share at least one band key (axis-aligned
+    hyperplane LSH — each sign bit is the hyperplane ``x_d >= 0``).
+    Candidates are verified with the exact cosine, so precision is 1;
+    recall comes from the band count (a near-dup pair disagrees on few
+    signs, so some 4-bit band almost surely matches — and for vectors
+    whose per-dim perturbation never crosses zero, recall is exactly 1).
+
+    Scale shape mirrors MinHash-LSH: explode ``bands`` short keys per
+    row, hash equi-join on (band, key), dedup pairs, verify. The corpus
+    is never self-crossed; the only shuffle is on band keys (2^bits
+    buckets per band — increase ``bits_per_band`` to sharpen buckets at
+    scale). Axis-aligned planes keep the signature SQL-expressible, so
+    the operator stays differentially testable (oracle: q85).
+    """
+    sign_bits = F.transform(
+        F.col(vec_col), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.element_at(sign_bits, b * bits_per_band + d + 1)
+                        for d in range(bits_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(entries).alias("e"),
+    ).select("id", "vec", "e.band", "e.key")
+
+    a, b_ = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b_, on=["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    score = F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits)
+    return (
+        cand.withColumn("cosine", score)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 __all__ = [
     "cosine",
     "brute_force_topk",
@@ -268,4 +339,5 @@ __all__ = [
     "lsh_topk",
     "ivf_assign",
     "ivf_topk",
+    "signband_neardup_pairs",
 ]

@@ -1,0 +1,227 @@
+"""Temporal join operators: as-of join, interval (range) join, and
+time-bucket rollup with gap-fill.
+
+These are net-new engine surface (no counterpart in the reference,
+whose pipeline delegates all query work to Postgres — see
+``/root/reference/postgresimporter/main.py``): they cover the temporal
+operators a time-series / event workload needs that Spark does not ship
+as built-ins (TimescaleDB's ``time_bucket_gapfill``, kdb's ``aj``,
+Flink's interval join).
+
+Scale design notes (the whole point of each implementation):
+
+* ``asof_join`` is the **union-merge** formulation: tag both sides,
+  union them, and run one ``last_value(..., ignoreNulls)`` window
+  partitioned by the join key. Cost = ONE shuffle of (left + right) on
+  the key, then a per-key sort — the same work a merge join would do.
+  The naive alternative (theta-join on ``l.ts >= r.ts`` + groupBy max)
+  is a range join that degenerates to per-key cartesian; at 100 TB a
+  hot key with 1M left × 1M right rows explodes to 10^12 pairs, while
+  the union-merge shape stays at 2M rows for that key.
+* ``interval_join`` never evaluates point × interval pairs globally: it
+  explodes each interval into the coarse time buckets it covers and
+  equi-joins on the bucket, so Spark hash-partitions by bucket and only
+  co-bucketed pairs are refined with the exact range predicate. Pick
+  ``granularity`` ≈ typical interval length: each interval then explodes
+  into ~2 rows and each point probes exactly one bucket. Wall-clock
+  scales with data size, not |points| × |intervals|.
+* ``time_bucket_gapfill`` aggregates FIRST (one shuffle on
+  (bucket, group)), and only then densifies against the generated
+  calendar — the dense grid is |buckets| × |groups| (metadata-scale),
+  never touched by the raw-event scan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    strict: bool = True,
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the latest right row with the same key
+    whose timestamp is before (``strict=True``: strictly before;
+    ``strict=False``: at-or-before) the left row's timestamp.
+
+    Single-shuffle union-merge (see module docstring). Output: all left
+    columns plus ``asof_<col>`` for each requested right value column
+    and ``asof_ts`` (the matched right timestamp; null when no match and
+    ``how='left'``). ``how='inner'`` drops unmatched left rows.
+
+    Ties: when several right rows share the qualifying max timestamp,
+    the one sorting last by timestamp wins per ``last_value`` over the
+    (ts, tag) order — callers needing total determinism should ensure
+    (key, ts) is unique on the right, or pre-aggregate.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    lcols = left.columns
+    # tag order at equal ts: strict -> left first (right row at the same
+    # instant must NOT be visible yet); non-strict -> right first.
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(left_tag).alias("_tag"),
+        F.lit(True).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_tag).alias("_tag"),
+        F.lit(False).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_ts).alias("_rts"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    out = filled.where(F.col("_is_left")).select(
+        *lcols,
+        *[F.col(f"asof_{c}") for c in value_cols],
+        "asof_ts",
+    )
+    if how == "inner":
+        out = out.where(F.col("asof_ts").isNotNull())
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    granularity_s: int,
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Join each point row to every interval row whose half-open range
+    ``[start, end)`` contains the point's timestamp.
+
+    Bucketed candidate generation (see module docstring): intervals
+    explode into the ``granularity_s``-second buckets they cover, points
+    map to exactly one bucket, the join is an equi-join on the bucket
+    refined by the exact range predicate. No pair outside a shared
+    bucket is ever materialized. Each (point, interval) match appears
+    exactly once — an interval covers a given bucket at most once.
+
+    ``broadcast_intervals=True`` hints the exploded interval side as a
+    broadcast build (right when intervals are metadata-scale, e.g. an
+    incident or maintenance-window table).
+    """
+    bucket = (F.unix_micros(F.col(point_ts).cast("timestamp")) / F.lit(1_000_000)).cast(
+        "long"
+    ) / F.lit(granularity_s)
+    p = points.withColumn("_bucket", F.floor(bucket).cast("long"))
+
+    s_sec = (
+        F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(1_000_000)
+    ).cast("long")
+    # end is exclusive: last covered bucket is floor((end - 1us) / g);
+    # integer floor on seconds is enough because granularity >= 1s
+    e_sec = (
+        (F.unix_micros(F.col(end_col).cast("timestamp")) - F.lit(1))
+        / F.lit(1_000_000)
+    ).cast("long")
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s_sec / F.lit(granularity_s)).cast("long"),
+                F.floor(e_sec / F.lit(granularity_s)).cast("long"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    return (
+        p.join(iv, on="_bucket")
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    fill: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Hypertable-style rollup: aggregate into fixed time buckets, then
+    densify so every (bucket, group) combination in the observed span
+    appears — TimescaleDB's ``time_bucket_gapfill`` semantics.
+
+    ``bucket`` is a window width for ``date_trunc`` ('hour', 'day', ...).
+    ``aggs`` are aggregate Columns (already aliased). ``fill`` maps
+    output column name -> fill expression for gap rows (default: leave
+    nulls).
+
+    The raw scan only feeds the FIRST aggregation; the dense calendar is
+    sequence()-generated from the global min/max bucket (a 2-row
+    aggregate) crossed with the distinct groups — metadata-scale work.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("_bucket_ts")
+    agg = df.groupBy(b, *[F.col(c) for c in group_cols]).agg(*aggs)
+
+    step = F.expr(f"INTERVAL 1 {bucket}")
+    span = df.select(
+        F.date_trunc(bucket, F.min(ts_col)).alias("lo"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("hi"),
+    )
+    calendar = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), step)).alias(
+            "_bucket_ts"
+        )
+    )
+    groups = df.select(*group_cols).distinct()
+    dense = calendar.crossJoin(groups)
+
+    out = dense.join(agg, on=["_bucket_ts", *group_cols], how="left")
+    if fill:
+        out = out.select(
+            *[
+                F.coalesce(F.col(c), fill[c]).alias(c)
+                if c in fill
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
+    return out.withColumnRenamed("_bucket_ts", "bucket_ts")
+
+
+__all__ = ["asof_join", "interval_join", "time_bucket_gapfill"]

@@ -757,4 +757,8 @@ def registry() -> dict[str, QueryDef]:
         out[q.name] = q
     for q in batch7_registry():
         out[q.name] = q
+    from .catalog_batch8 import batch8_registry
+
+    for q in batch8_registry():
+        out[q.name] = q
     return out

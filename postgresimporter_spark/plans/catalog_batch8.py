@@ -1,0 +1,305 @@
+"""Eighth catalog batch: temporal joins (as-of, interval, gap-filled
+rollup) and banded near-duplicate pair joins (embedding sign-band LSH,
+SimHash Hamming).
+
+Net-new engine surface beyond the reference (which delegates all query
+work to Postgres): the temporal operators cover TimescaleDB /
+Flink-style event workloads; the near-dup pair joins complete the
+LLM-data-pipeline dedup stack (embedding-cosine near-dup was the one
+SURVEY §2.10 dedup family without a pair-join query).
+
+Oracle design: every Spark-side hash/band key in this batch is
+SQL-expressible (sign bits, bit chunks, md5), so the oracles replicate
+the CANDIDATE GENERATION too, not just the verify step — the compare
+fails if banding loses a pair the oracle keeps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import temporal as TP
+from ..sources.parquet import load_tables
+from .catalog import QueryDef, _dec
+from .catalog_northstar import DUPED_DOCS_SQL, _TOKS, _duped_docs
+
+# q82: as-of join ------------------------------------------------------------
+
+
+def q82_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the most recent strictly-prior click by
+    the same user (value + timestamp), or nulls if none. Union-merge
+    single-shuffle as-of join (operators/temporal.py) — the kdb ``aj``
+    / Flink temporal-join shape without a range join."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return TP.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        strict=True,
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_value").alias("last_click_value"),
+        F.col("asof_ts").alias("last_click_ts"),
+    )
+
+
+ORACLE_Q82 = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.value AS last_click_value, c.ts AS last_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
+
+# q83: interval (range) join -------------------------------------------------
+
+INCIDENT_HOURS = 2
+N_INCIDENTS = 20
+
+
+def q83_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts inside incident windows: the top-20 error events by
+    value open a 2-hour window each; count/sum all events landing in
+    ``[start, start+2h)``. Bucketed interval join (granularity = window
+    length): intervals explode into <=2 bucket keys, points probe one —
+    an equi-join, never a point-x-interval cartesian."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    incidents = (
+        ev.where(F.col("event_type") == "error")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(N_INCIDENTS)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {INCIDENT_HOURS} HOURS")).alias(
+                "end_ts"
+            ),
+        )
+    )
+    joined = TP.interval_join(
+        ev.select("ts", "value"),
+        incidents,
+        point_ts="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        granularity_s=INCIDENT_HOURS * 3600,
+        broadcast_intervals=True,
+    )
+    return joined.groupBy("incident_id", "start_ts").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_Q83 = f"""
+WITH inc AS (
+  SELECT event_id AS incident_id, ts AS start_ts,
+         ts + INTERVAL {INCIDENT_HOURS} HOUR AS end_ts
+  FROM events WHERE event_type = 'error'
+  ORDER BY value DESC, event_id LIMIT {N_INCIDENTS})
+SELECT incident_id, start_ts, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sum_value
+FROM inc JOIN events e ON e.ts >= inc.start_ts AND e.ts < inc.end_ts
+GROUP BY 1, 2
+"""
+
+
+# q84: time-bucket rollup with gap-fill --------------------------------------
+
+
+def q84_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event rollup with zero-filled gaps over the full
+    observed span (TimescaleDB ``time_bucket_gapfill`` semantics). The
+    raw scan feeds one aggregation; the dense calendar is generated."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return TP.time_bucket_gapfill(
+        ev,
+        ts_col="ts",
+        bucket="hour",
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        ],
+        fill={
+            "n_events": F.lit(0).cast("long"),
+            "sum_value": F.lit(0.0),
+        },
+    )
+
+
+ORACLE_Q84 = """
+WITH span AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                     date_trunc('hour', MAX(ts)) AS hi FROM events),
+cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+          AS bucket_ts FROM span),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (SELECT date_trunc('hour', ts) AS b, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS s
+        FROM events GROUP BY 1, 2)
+SELECT cal.bucket_ts, types.event_type,
+       COALESCE(agg.n, 0) AS n_events,
+       COALESCE(agg.s, 0.0) AS sum_value
+FROM cal CROSS JOIN types
+LEFT JOIN agg ON agg.b = cal.bucket_ts AND agg.event_type = types.event_type
+"""
+
+
+# q85: embedding-cosine near-dup pairs (sign-band LSH) -----------------------
+
+NEARDUP_THRESHOLD = 0.95
+NEARDUP_BANDS = 4
+NEARDUP_BITS = 4
+
+# duped embeddings: ids < 50 get a +0.001-perturbed copy shifted by 10000
+# (cosine vs the original ~0.9999; both engines build the identical union)
+DUPED_EMB_SQL = """
+SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+UNION ALL
+SELECT vec_id + 10000 AS vec_id, list_transform(embedding::DOUBLE[], x -> x + 0.001) AS v
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+def _duped_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    extra = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias(
+            "embedding"
+        ),
+    )
+    return base.unionByName(extra)
+
+
+def q85_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bit band LSH
+    candidates, exact-cosine verify at 0.95. The planted perturbed
+    copies are the expected survivors; the oracle replicates the band
+    keys, so banding recall is part of the contract."""
+    return S.signband_neardup_pairs(
+        _duped_embeddings(spark, sf_dir),
+        threshold=NEARDUP_THRESHOLD,
+        bands=NEARDUP_BANDS,
+        bits_per_band=NEARDUP_BITS,
+    )
+
+
+def _emb_bands_sql() -> str:
+    entries = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            b,
+            " || ".join(
+                f"(CASE WHEN v[{b * NEARDUP_BITS + d + 1}] >= 0 "
+                "THEN '1' ELSE '0' END)"
+                for d in range(NEARDUP_BITS)
+            ),
+        )
+        for b in range(NEARDUP_BANDS)
+    )
+    return f"[{entries}]"
+
+
+ORACLE_Q85 = f"""
+WITH duped AS ({DUPED_EMB_SQL}),
+keyed AS (
+  SELECT vec_id, v, unnest({_emb_bands_sql()}, recursive := true)
+  FROM duped),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.v AS va, b.v AS vb
+  FROM keyed a
+  JOIN keyed b ON a.band = b.band AND a.key = b.key
+              AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+  round(list_dot_product(va, vb) /
+        (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
+        6) AS cosine
+FROM cand
+WHERE round(list_dot_product(va, vb) /
+            (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
+            6) >= {NEARDUP_THRESHOLD}
+"""
+
+
+# q86: SimHash Hamming-distance pair join ------------------------------------
+
+HAMMING_BITS = 32
+HAMMING_CHUNKS = 4
+MAX_HAMMING = 2
+
+
+def q86_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within Hamming distance 2 on the 32-bit
+    SimHash, via exact pigeonhole banding (4 chunks, <=2 flips => a
+    shared chunk is guaranteed). Because banding is exact, the oracle
+    can brute-force all pairs — any banding recall loss shows up as a
+    missing row."""
+    fps = D.simhash(_duped_docs(spark, sf_dir), bits=HAMMING_BITS)
+    return D.simhash_hamming_pairs(
+        fps,
+        bits=HAMMING_BITS,
+        chunks=HAMMING_CHUNKS,
+        max_hamming=MAX_HAMMING,
+    )
+
+
+def _simhash_cte() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(HAMMING_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(HAMMING_BITS)
+    )
+    return f"""
+duped AS ({DUPED_DOCS_SQL}),
+toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM duped),
+h AS (SELECT id, ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h
+      FROM toks),
+v AS (SELECT id, {votes} FROM h GROUP BY id),
+sh AS (SELECT id, CAST({fp} AS BIGINT) AS simhash FROM v)
+"""
+
+
+ORACLE_Q86 = f"""
+WITH {_simhash_cte()}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+"""
+
+
+def batch8_registry() -> list[QueryDef]:
+    return [
+        QueryDef("q82_asof_join", q82_asof_join, ORACLE_Q82, "as-of join: latest prior click per purchase (union-merge)"),
+        QueryDef("q83_interval_join", q83_interval_join, ORACLE_Q83, "bucketed interval join: events within incident windows"),
+        QueryDef("q84_gapfill_rollup", q84_gapfill_rollup, ORACLE_Q84, "hourly rollup with zero-filled gaps"),
+        QueryDef("q85_embedding_neardup", q85_embedding_neardup, ORACLE_Q85, "embedding-cosine near-dup pairs (sign-band LSH)"),
+        QueryDef("q86_simhash_hamming", q86_simhash_hamming, ORACLE_Q86, "SimHash pairs within Hamming 2 (pigeonhole banding)"),
+    ]

@@ -1,0 +1,232 @@
+"""Unit tests for the temporal operators (as-of join, interval join,
+gap-filled rollup) and the banded near-dup pair joins, on hand-built
+micro-fixtures. The oracle check (q82-q86) covers fixture-scale
+behavior; these pin the edge semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from postgresimporter_spark.operators import dedup as D
+from postgresimporter_spark.operators import similarity as S
+from postgresimporter_spark.operators import temporal as TP
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _events(spark, rows, cols=("id", "k", "ts", "v")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+# asof_join ------------------------------------------------------------------
+
+
+def test_asof_strict_excludes_same_instant(spark):
+    left = _events(spark, [(1, "a", _ts(5), 0.0)])
+    right = spark.createDataFrame(
+        [("a", _ts(5), 50.0), ("a", _ts(3), 30.0)], ["k", "ts", "v"]
+    )
+    out = TP.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+    ).collect()
+    # strict: the right row AT :05 is invisible; :03 wins
+    assert out[0].asof_v == 30.0 and out[0].asof_ts == _ts(3)
+
+    out2 = TP.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], strict=False,
+    ).collect()
+    assert out2[0].asof_v == 50.0  # at-or-before: same instant matches
+
+
+def test_asof_no_match_is_null_and_inner_drops(spark):
+    left = _events(spark, [(1, "a", _ts(1), 0.0), (2, "b", _ts(9), 0.0)])
+    right = spark.createDataFrame([("a", _ts(2), 20.0)], ["k", "ts", "v"])
+    rows = {
+        r.id: r
+        for r in TP.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert rows[1].asof_v is None and rows[1].asof_ts is None
+    assert rows[2].asof_v is None  # key 'b' has no right rows at all
+    inner = TP.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], how="inner",
+    ).collect()
+    assert inner == []
+
+
+def test_asof_picks_latest_prior_per_key(spark):
+    left = _events(
+        spark, [(1, "a", _ts(10), 0.0), (2, "a", _ts(20), 0.0)]
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(4), 4.0), ("a", _ts(9), 9.0), ("a", _ts(15), 15.0)],
+        ["k", "ts", "v"],
+    )
+    rows = {
+        r.id: r.asof_v
+        for r in TP.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert rows == {1: 9.0, 2: 15.0}
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The union-merge shape must cost ONE exchange (the window
+    partitioning) — not a range join, not a per-side shuffle pair."""
+    left = _events(spark, [(1, "a", _ts(5), 0.0)])
+    right = spark.createDataFrame([("a", _ts(3), 3.0)], ["k", "ts", "v"])
+    plan = TP.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+# interval_join --------------------------------------------------------------
+
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(rows, ["iid", "start_ts", "end_ts"])
+
+
+def test_interval_join_boundaries_half_open(spark):
+    pts = spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(19)), (3, _ts(20)), (4, _ts(9))],
+        ["pid", "ts"],
+    )
+    iv = _intervals(spark, [(100, _ts(10), _ts(20))])
+    got = sorted(
+        r.pid
+        for r in TP.interval_join(
+            pts, iv, "ts", "start_ts", "end_ts", granularity_s=60
+        ).collect()
+    )
+    assert got == [1, 2]  # start inclusive, end exclusive
+
+
+def test_interval_join_spanning_many_buckets_no_dup_matches(spark):
+    # interval spans 10 one-minute buckets; each contained point must
+    # match exactly once despite the interval exploding into 10 keys
+    pts = spark.createDataFrame(
+        [(i, _ts(i)) for i in range(15)], ["pid", "ts"]
+    )
+    iv = _intervals(spark, [(100, _ts(2), _ts(12))])
+    out = TP.interval_join(
+        pts, iv, "ts", "start_ts", "end_ts", granularity_s=60
+    ).collect()
+    assert sorted(r.pid for r in out) == list(range(2, 12))
+
+
+def test_interval_join_overlapping_intervals(spark):
+    pts = spark.createDataFrame([(1, _ts(5))], ["pid", "ts"])
+    iv = _intervals(
+        spark, [(100, _ts(0), _ts(10)), (200, _ts(4), _ts(6))]
+    )
+    got = sorted(
+        r.iid
+        for r in TP.interval_join(
+            pts, iv, "ts", "start_ts", "end_ts", granularity_s=300
+        ).collect()
+    )
+    assert got == [100, 200]
+
+
+# time_bucket_gapfill --------------------------------------------------------
+
+
+def test_gapfill_fills_missing_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            ("x", dt.datetime(2024, 1, 1, 0, 30), 1.0),
+            ("x", dt.datetime(2024, 1, 1, 3, 10), 2.0),
+            ("y", dt.datetime(2024, 1, 1, 1, 0), 5.0),
+        ],
+        ["g", "ts", "v"],
+    )
+    out = TP.time_bucket_gapfill(
+        df,
+        ts_col="ts",
+        bucket="hour",
+        group_cols=["g"],
+        aggs=[F.count("*").alias("n")],
+        fill={"n": F.lit(0).cast("long")},
+    )
+    rows = {(r.g, r.bucket_ts.hour): r.n for r in out.collect()}
+    # span is hours 0..3 for BOTH groups (global span x all groups)
+    assert len(rows) == 8
+    assert rows[("x", 0)] == 1 and rows[("x", 3)] == 1
+    assert rows[("x", 1)] == 0 and rows[("x", 2)] == 0
+    assert rows[("y", 1)] == 1 and rows[("y", 0)] == 0
+
+
+# simhash_hamming_pairs ------------------------------------------------------
+
+
+def test_hamming_banding_is_exact_vs_brute_force(spark):
+    """Pigeonhole: with 4 chunks and max_hamming 3, banded candidates
+    must reproduce brute force exactly on fingerprints engineered to
+    differ in specific chunks."""
+    fps = [
+        (1, 0b0000_0000_0000_0000_0000_0000_0000_0000),
+        (2, 0b0000_0000_0000_0000_0000_0000_0000_0111),  # ham 3 vs 1
+        (3, 0b1000_0000_1000_0000_1000_0000_1000_0000),  # spread across chunks
+        (4, 0b1000_0000_1000_0000_1000_0000_1000_0001),  # ham 1 vs 3
+        (5, 0b1111_1111_1111_1111_0000_0000_0000_0000),
+    ]
+    df = spark.createDataFrame(fps, ["id", "simhash"])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_hamming_pairs(df, max_hamming=3).collect()
+    }
+    expect = {}
+    for i, (ia, fa) in enumerate(fps):
+        for ib, fb in fps[i + 1:]:
+            h = bin(fa ^ fb).count("1")
+            if h <= 3:
+                expect[(ia, ib)] = h
+    assert got == expect and (1, 2) in got and (3, 4) in got
+
+
+def test_hamming_rejects_uneven_chunks(spark):
+    df = spark.createDataFrame([(1, 0)], ["id", "simhash"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.simhash_hamming_pairs(df, bits=32, chunks=5)
+
+
+# signband_neardup_pairs -----------------------------------------------------
+
+
+def test_signband_finds_planted_neardup(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [x + 0.001 for x in base]
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["vec_id", "embedding"]
+    )
+    out = S.signband_neardup_pairs(df, threshold=0.99)
+    rows = [(r.id_a, r.id_b) for r in out.collect()]
+    assert rows == [(1, 2)]
+
+
+def test_signband_candidates_via_shared_band_only(spark):
+    """Vectors with NO shared band key are never compared, even if
+    cosine-close: precision of the contract is 'shared band AND
+    cosine' (the oracle replicates both)."""
+    a = [1.0] * 16
+    b = [-1.0] * 16  # opposite signs in every band, cosine -1 anyway
+    df = spark.createDataFrame([(1, a), (2, b)], ["vec_id", "embedding"])
+    assert S.signband_neardup_pairs(df, threshold=-2.0).count() == 0
