@@ -1,0 +1,151 @@
+"""Training-data curation operators: benchmark decontamination,
+intra-document repetition scoring, and mixture upsampling.
+
+These are LLM-data-pipeline operators with no counterpart in the
+reference (whose scope ends at CSV→Postgres loading): the standard
+curation steps between "raw corpus" and "training mix".
+
+Scale notes:
+
+* ``ngram_contamination`` is a distinct-shingle equi-join — identical
+  cost shape to ``dedup.ngram_jaccard_pairs`` (never a cross join).
+  The eval/benchmark side is almost always metadata-scale relative to
+  the corpus, so it broadcasts; the corpus is scanned once, exploded,
+  and hash-joined on the shingle. Contaminated-doc output is tiny.
+* ``repetition_ratio`` is pure per-row array math (no shuffle at all):
+  tokens → raw n-gram array → ``size`` vs ``size(array_distinct)``.
+  Whole-stage-codegen friendly, trivially 100 TB-safe.
+* ``mixture_upsample`` materializes epochs via ``explode(sequence)``
+  — row expansion happens executor-side after a broadcast join with
+  the (tiny) weights table; the fractional epoch uses md5-bucket
+  sampling (engine/partitioning-independent, same primitive as q74).
+  Integer percent weights avoid float drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash_bucket, shingles
+
+
+def raw_ngrams(text: Column, n: int) -> Column:
+    """Word n-gram array WITHOUT dedup (repetition analysis needs the
+    duplicates; ``dedup.shingles`` is the distinct variant)."""
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, count how
+    many of its distinct word n-grams also occur anywhere in the eval
+    set. Docs with no overlap are absent from the output (the common
+    case — keep the result tiny).
+
+    The downstream policy (drop the doc, strip the span, weight it
+    down) is the caller's; this operator just surfaces the evidence.
+    """
+    ev = (
+        eval_df.select(
+            F.explode(shingles(F.col(text_col), n)).alias("_s")
+        ).distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("_s"),
+    )
+    # (id, shingle) is unique on both sides post-distinct, so count(*)
+    # IS the distinct shared-shingle count
+    return (
+        tr.join(ev, on="_s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher-style intra-document repetition: per document and n-gram
+    size, the fraction of n-gram occurrences that are duplicates
+    (``1 - distinct/total``). High ratios flag boilerplate/looping text
+    that quality filters should drop."""
+    cols: list[Column] = [F.col(id_col)]
+    for n in ns:
+        grams = raw_ngrams(F.col(text_col), n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        cols += [
+            total.cast("long").alias(f"n_{n}grams"),
+            distinct.cast("long").alias(f"n_distinct_{n}grams"),
+            F.round(
+                F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+                round_digits,
+            ).alias(f"dup{n}_ratio"),
+        ]
+    return df.select(*cols)
+
+
+def mixture_upsample(
+    df: DataFrame,
+    weights_pct: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mix construction: replicate each row according to its
+    source's weight, expressed in integer percent (250 = 2.5 epochs:
+    two full copies plus a deterministic 50% hash-sample third copy;
+    25 = keep a 25% sample; 0 = drop the source).
+
+    Output = input rows × an ``epoch`` column (1-based). Fractional
+    epochs use the md5-bucket primitive keyed on the row id, so the
+    SAME rows are chosen on every engine, re-run, and partitioning.
+    Sources missing from ``weights_pct`` are dropped (explicit mix).
+    """
+    spark = df.sparkSession
+    w = F.broadcast(
+        spark.createDataFrame(
+            list(weights_pct.items()), [source_col, "_w_pct"]
+        )
+    )
+    n_full = (F.col("_w_pct") / 100).cast("long")
+    frac = F.col("_w_pct") % 100
+    extra = F.when(
+        hash_bucket(F.col(id_col).cast("string"), 100) < frac, 1
+    ).otherwise(0)
+    n_epochs = (n_full + extra).alias("_n_epochs")
+    # sequence(1, 0) in Spark yields [1, 0] (descending), not empty —
+    # guard zero-epoch rows explicitly
+    epochs = F.when(
+        F.col("_n_epochs") >= 1,
+        F.sequence(F.lit(1), F.col("_n_epochs")),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.join(w, on=source_col)
+        .withColumn("_n_epochs", n_epochs)
+        .withColumn("epoch", F.explode(epochs))
+        .drop("_w_pct", "_n_epochs")
+    )
+
+
+__all__ = [
+    "raw_ngrams",
+    "ngram_contamination",
+    "repetition_ratio",
+    "mixture_upsample",
+]

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import curation as C
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import temporal as TP
@@ -295,6 +296,125 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
 """
 
 
+# q87: benchmark decontamination ---------------------------------------------
+
+CONTAM_N = 4  # real pipelines use 8-13; the tiny fixture vocabulary
+# needs 4 to produce non-trivial natural collisions
+
+EVAL_CUTOFF = 20  # doc_id < 20 plays the benchmark/eval set
+
+
+def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram contamination: training docs (doc_id >= 20)
+    sharing any word 4-gram with the pretend benchmark (doc_id < 20),
+    with the shared-ngram count. Distinct-shingle equi-join, eval side
+    broadcast (operators/curation.py)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return C.ngram_contamination(
+        docs.where(F.col("doc_id") >= EVAL_CUTOFF),
+        docs.where(F.col("doc_id") < EVAL_CUTOFF),
+        n=CONTAM_N,
+    )
+
+
+_SHINGLES_N = (
+    "list_distinct(list_transform("
+    "generate_series(0, greatest(len({toks}) - {n}, 0)), "
+    "i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')))"
+)
+
+ORACLE_Q87 = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_SHINGLES_N.format(toks=_TOKS, n=CONTAM_N)}) AS s
+  FROM documents WHERE doc_id < {EVAL_CUTOFF}),
+tr AS (
+  SELECT doc_id, unnest({_SHINGLES_N.format(toks=_TOKS, n=CONTAM_N)}) AS s
+  FROM documents WHERE doc_id >= {EVAL_CUTOFF})
+SELECT tr.doc_id, COUNT(*) AS n_shared_ngrams
+FROM tr JOIN ev USING (s)
+GROUP BY tr.doc_id
+"""
+
+
+# q88: intra-document repetition (Gopher-style quality rule) -----------------
+
+
+def q88_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate n-gram fractions for n=2,3 — pure
+    per-row array math, zero shuffles (operators/curation.py)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return C.repetition_ratio(docs, ns=(2, 3))
+
+
+def _rep_sql(n: int) -> str:
+    grams = (
+        "list_transform(generate_series(0, greatest(len({toks}) - {n}, 0)), "
+        "i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' '))"
+    ).format(toks=_TOKS, n=n)
+    return (
+        f"len(g{n}) AS n_{n}grams, "
+        f"len(list_distinct(g{n})) AS n_distinct_{n}grams, "
+        f"round(1.0 - CAST(len(list_distinct(g{n})) AS DOUBLE) "
+        f"/ len(g{n}), 6) AS dup{n}_ratio"
+    ), grams
+
+
+_R2, _G2 = _rep_sql(2)
+_R3, _G3 = _rep_sql(3)
+
+ORACLE_Q88 = f"""
+WITH g AS (SELECT doc_id, {_G2} AS g2, {_G3} AS g3 FROM documents)
+SELECT doc_id, {_R2}, {_R3} FROM g
+"""
+
+
+# q89: mixture upsampling (training-mix construction) ------------------------
+
+# weight by source number mod 4: 0 -> 2.5 epochs, 1 -> 1.0, 2 -> 0.5,
+# 3 -> 0.25 — exercises full copies, the no-op weight, and two
+# fractional sampling rates in one mix
+MIX_WEIGHTS = {
+    f"src{i}": {0: 250, 1: 100, 2: 50, 3: 25}[i % 4] for i in range(20)
+}
+
+
+def q89_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture upsampling: per-source epoch weights in
+    integer percent; fractional epochs are md5-bucket samples keyed on
+    doc_id (operators/curation.py). Verified via per-source epoch
+    counts (the row set itself is the exploded copies)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    mixed = C.mixture_upsample(docs, MIX_WEIGHTS)
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+def _mix_values_sql() -> str:
+    return ", ".join(f"('{s}', {w})" for s, w in sorted(MIX_WEIGHTS.items()))
+
+
+ORACLE_Q89 = f"""
+WITH w(source, w_pct) AS (VALUES {_mix_values_sql()}),
+d AS (
+  SELECT doc_id, d.source,
+         w_pct // 100
+         + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 < w_pct % 100
+                THEN 1 ELSE 0 END AS n_epochs
+  FROM documents d JOIN w USING (source)),
+exploded AS (
+  SELECT doc_id, source, unnest(generate_series(1, n_epochs)) AS epoch
+  FROM d)
+SELECT source, COUNT(*) AS n_rows, MAX(epoch) AS max_epoch,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM exploded
+GROUP BY source
+"""
+
+
 def batch8_registry() -> list[QueryDef]:
     return [
         QueryDef("q82_asof_join", q82_asof_join, ORACLE_Q82, "as-of join: latest prior click per purchase (union-merge)"),
@@ -302,4 +422,7 @@ def batch8_registry() -> list[QueryDef]:
         QueryDef("q84_gapfill_rollup", q84_gapfill_rollup, ORACLE_Q84, "hourly rollup with zero-filled gaps"),
         QueryDef("q85_embedding_neardup", q85_embedding_neardup, ORACLE_Q85, "embedding-cosine near-dup pairs (sign-band LSH)"),
         QueryDef("q86_simhash_hamming", q86_simhash_hamming, ORACLE_Q86, "SimHash pairs within Hamming 2 (pigeonhole banding)"),
+        QueryDef("q87_decontaminate", q87_decontaminate, ORACLE_Q87, "eval-set n-gram contamination scan"),
+        QueryDef("q88_repetition_ratio", q88_repetition_ratio, ORACLE_Q88, "Gopher-style intra-doc repetition ratios"),
+        QueryDef("q89_mixture_upsample", q89_mixture_upsample, ORACLE_Q89, "deterministic mixture upsampling (epoch weights)"),
     ]

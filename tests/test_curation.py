@@ -1,0 +1,67 @@
+"""Micro-fixture tests for the curation operators (decontamination,
+repetition scoring, mixture upsampling); q87-q89 cover fixture scale."""
+
+from __future__ import annotations
+
+from postgresimporter_spark.operators import curation as C
+
+
+def test_contamination_counts_shared_ngrams(spark):
+    ev = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    tr = spark.createDataFrame(
+        [
+            (10, "a b c d zz"),     # shares 'a b c d'
+            (11, "b c d e f g"),    # shares 'b c d e'
+            (12, "zz yy xx ww vv"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.n_shared_ngrams
+        for r in C.ngram_contamination(tr, ev, n=4).collect()
+    }
+    assert got == {10: 1, 11: 1}  # clean doc absent, not zero
+
+
+def test_repetition_ratio_extremes(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in C.repetition_ratio(df, ns=(2,)).collect()}
+    assert rows[1].n_2grams == 3 and rows[1].n_distinct_2grams == 1
+    assert abs(rows[1].dup2_ratio - (1 - 1 / 3)) < 1e-6
+    assert rows[2].dup2_ratio == 0.0
+
+
+def test_mixture_upsample_epochs_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "s0", "t") for i in range(100)]
+        + [(i + 100, "s1", "t") for i in range(100)]
+        + [(900, "dropped_source", "t")],
+        ["doc_id", "source", "text"],
+    )
+    out = C.mixture_upsample(df, {"s0": 200, "s1": 50}).cache()
+    per_source = {
+        r.source: r.n
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    # s0: exactly 2 copies of all 100 docs; s1: ~50% of 100 docs, one copy
+    assert per_source["s0"] == 200
+    assert 20 <= per_source["s1"] <= 80
+    assert "dropped_source" not in per_source  # not in the mix -> dropped
+    # epochs are 1..n_full per doc for integral weights
+    epochs = sorted(
+        r.epoch for r in out.where("source = 's0' AND doc_id = 0").collect()
+    )
+    assert epochs == [1, 2]
+    # deterministic: second run picks the identical fractional sample
+    again = C.mixture_upsample(df, {"s0": 200, "s1": 50})
+    a = sorted((r.doc_id, r.epoch) for r in out.collect())
+    b = sorted((r.doc_id, r.epoch) for r in again.collect())
+    assert a == b
+    out.unpersist()
+
+
+def test_mixture_upsample_zero_weight_drops(spark):
+    df = spark.createDataFrame([(1, "s0", "t")], ["doc_id", "source", "text"])
+    assert C.mixture_upsample(df, {"s0": 0}).count() == 0
