@@ -133,3 +133,28 @@ def test_q55_is_single_lazy_plan(spark, reg):
     spent = len(tracker.getJobIdsForGroup(None)) - n1
     assert spent <= baseline, (spent, baseline)
     assert "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def test_q83_interval_join_is_bucketed_equi_join(spark, reg):
+    """The interval join must be a (broadcast) hash equi-join on the
+    coarse time bucket — never a cartesian/nested-loop point-x-interval
+    comparison."""
+    plan = plan_of(spark, reg, "q83_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q88_repetition_is_shuffle_free(spark, reg):
+    """Per-row array math only: zero exchanges in the whole plan."""
+    df = reg["q88_repetition_ratio"].fn(spark, SF)
+    assert count_exchanges(df) == 0
+
+
+def test_q87_decontaminate_broadcasts_eval_side(spark, reg):
+    """The eval/benchmark shingle set must be the broadcast build side;
+    the training corpus is never shuffled for the join itself (its only
+    exchanges are the final per-doc aggregation)."""
+    plan = plan_of(spark, reg, "q87_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
