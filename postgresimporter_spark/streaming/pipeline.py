@@ -144,6 +144,35 @@ def stream_sessionize(
     )
 
 
+def stream_dedup(
+    records: DataFrame,
+    ts_col: str = "ts",
+    content_cols: tuple[str, ...] = ("text",),
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication — the incremental counterpart of
+    ``operators/dedup.exact_dedup`` for continuous corpus ingest: keep
+    the first arrival of each content hash, drop replays.
+
+    Dedup key = sha256 over the content columns (same canonical hash as
+    the batch operator, so batch backfill and the live stream agree on
+    identity). ``within_watermark=True`` uses
+    ``dropDuplicatesWithinWatermark``: per-key state is EVICTED once the
+    watermark passes it, so state size tracks the duplicate-arrival
+    horizon, not corpus history — the only posture that survives an
+    unbounded 100 TB/day stream. Set it False for exact all-history
+    dedup (state grows with distinct keys; pair with RocksDB provider).
+    """
+    hashed = records.withColumn(
+        "content_hash",
+        F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]), 256),
+    ).withWatermark(ts_col, watermark)
+    if within_watermark:
+        return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

@@ -240,3 +240,53 @@ def test_stream_ingest_max_bytes_per_trigger(spark, tmp_path):
     assert spark.table("rate_limited").count() == 400
     # >1 micro-batch ran (each ~one file under the 1k byte cap)
     assert len(q.recentProgress) >= 2
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """stream_dedup (all-history mode) keeps exactly one row per
+    distinct text — same survivor count as the batch exact_dedup."""
+    from postgresimporter_spark.streaming.pipeline import stream_dedup
+
+    docs = load_tables(spark, SF, ["documents"])["documents"].select(
+        "doc_id", "text", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    duped = docs.unionByName(
+        docs.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    path = str(tmp_path / "docs_parquet")
+    duped.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(duped.schema).parquet(path)
+
+    out = stream_dedup(stream, within_watermark=False)
+    run_to_memory(out, "dedup_stream", output_mode="append")
+    got = spark.table("dedup_stream")
+    n_batch_distinct = duped.select("text").distinct().count()
+    assert got.count() == n_batch_distinct
+    # one row per content hash, never two
+    assert got.groupBy("content_hash").count().where("count > 1").count() == 0
+
+
+def test_stream_dedup_within_watermark_drops_replay(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed row inside the
+    watermark horizon is dropped; survivors carry the first arrival."""
+    import datetime as dt
+
+    from postgresimporter_spark.streaming.pipeline import stream_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "same text", t0),
+        (2, "same text", t0 + dt.timedelta(minutes=5)),  # replay
+        (3, "other", t0 + dt.timedelta(minutes=6)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ts"])
+    path = str(tmp_path / "replay_parquet")
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+
+    out = stream_dedup(stream, watermark="1 hour", within_watermark=True)
+    run_to_memory(out, "dedup_wm_stream", output_mode="append")
+    got = {r.doc_id for r in spark.table("dedup_wm_stream").collect()}
+    assert 3 in got and len(got) == 2 and (1 in got or 2 in got)
