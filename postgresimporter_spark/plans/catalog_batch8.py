@@ -415,6 +415,72 @@ GROUP BY source
 """
 
 
+# q90: snapshot merge / upsert (CDC apply) ----------------------------------
+
+
+def q90_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins merge of the orders snapshot with a synthesized
+    change batch (price bumps for keys %100<10, inserts cloned from
+    keys %100>=95), verified via per-status aggregate fingerprints.
+    Single-shuffle max_by merge (operators/merge.py)."""
+    from ..operators.merge import merge_upsert
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    snap = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    bumps = snap.where(F.col("o_orderkey") % 100 < 10).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    inserts = snap.where(F.col("o_orderkey") % 100 >= 95).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(2).alias("version"),
+    )
+    merged = merge_upsert(
+        snap, bumps.unionByName(inserts), ["o_orderkey"], "version"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+    )
+
+
+ORACLE_Q90 = """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders),
+bumps AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+         2 AS version
+  FROM snap WHERE o_orderkey % 100 < 10),
+inserts AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_totalprice,
+         2 AS version
+  FROM snap WHERE o_orderkey % 100 >= 95),
+unioned AS (
+  SELECT *, 0 AS src FROM snap
+  UNION ALL SELECT *, 1 AS src FROM bumps
+  UNION ALL SELECT *, 1 AS src FROM inserts),
+merged AS (
+  SELECT * FROM unioned
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                             ORDER BY version DESC, src DESC) = 1)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
 def batch8_registry() -> list[QueryDef]:
     return [
         QueryDef("q82_asof_join", q82_asof_join, ORACLE_Q82, "as-of join: latest prior click per purchase (union-merge)"),
@@ -425,4 +491,5 @@ def batch8_registry() -> list[QueryDef]:
         QueryDef("q87_decontaminate", q87_decontaminate, ORACLE_Q87, "eval-set n-gram contamination scan"),
         QueryDef("q88_repetition_ratio", q88_repetition_ratio, ORACLE_Q88, "Gopher-style intra-doc repetition ratios"),
         QueryDef("q89_mixture_upsample", q89_mixture_upsample, ORACLE_Q89, "deterministic mixture upsampling (epoch weights)"),
+        QueryDef("q90_merge_upsert", q90_merge_upsert, ORACLE_Q90, "latest-wins snapshot merge (CDC apply)"),
     ]

@@ -122,3 +122,104 @@ def test_parse_timestamp_compact_roundtrip(spark, stamps):
         r[0] for r in df.select(parse_timestamp_col(F.col("raw"))).collect()
     ]
     assert got == stamps
+
+
+# temporal operators vs independent Python models ---------------------------
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=50),  # minute offset
+        st.integers(min_value=0, max_value=99),  # value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=event_rows, right=event_rows)
+def test_asof_join_matches_python_model(spark, left, right):
+    from postgresimporter_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, f"k{k}", base + dt.timedelta(minutes=m), float(v))
+        for i, (k, m, v) in enumerate(left)
+    ]
+    # unique (key, ts) on the right: the operator documents ties as
+    # caller-resolved, so the model assumes none
+    seen, rrows = set(), []
+    for k, m, v in right:
+        if (k, m) not in seen:
+            seen.add((k, m))
+            rrows.append((f"k{k}", base + dt.timedelta(minutes=m), float(v)))
+    ldf = spark.createDataFrame(lrows, ["id", "k", "ts", "v"]) if lrows else None
+    if ldf is None:
+        return
+    rdf = spark.createDataFrame(rrows, ["k", "ts", "v"]) if rrows else (
+        spark.createDataFrame([], "k string, ts timestamp, v double")
+    )
+    got = {
+        r.id: (r.asof_v, r.asof_ts)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    for i, k, ts, _ in lrows:
+        prior = [(rts, rv) for rk, rts, rv in rrows if rk == k and rts < ts]
+        want = max(prior) if prior else None
+        assert got[i] == ((want[1], want[0]) if want else (None, None)), (
+            i, got[i], want)
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),  # start minute
+        st.integers(min_value=1, max_value=30),  # duration minutes
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=90), max_size=15),
+    intervals=interval_rows,
+    gran=st.sampled_from([60, 300, 600]),
+)
+def test_interval_join_matches_python_model(spark, points, intervals, gran):
+    from postgresimporter_spark.operators.temporal import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    prows = [(i, base + dt.timedelta(minutes=m)) for i, m in enumerate(points)]
+    irows = [
+        (j, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + d))
+        for j, (s, d) in enumerate(intervals)
+    ]
+    if not prows or not irows:
+        return
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            spark.createDataFrame(prows, ["pid", "ts"]),
+            spark.createDataFrame(irows, ["iid", "start_ts", "end_ts"]),
+            "ts", "start_ts", "end_ts", granularity_s=gran,
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, ts in prows
+        for iid, s, e in irows
+        if s <= ts < e
+    )
+    assert got == want
