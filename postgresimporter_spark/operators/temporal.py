@@ -48,10 +48,15 @@ def asof_join(
     value_cols: Sequence[str],
     strict: bool = True,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with the same key
     whose timestamp is before (``strict=True``: strictly before;
     ``strict=False``: at-or-before) the left row's timestamp.
+
+    ``direction='forward'`` flips the match to the EARLIEST right row
+    after (strictly after / at-or-after) the left timestamp — same
+    union-merge cost, just a descending merge order.
 
     Single-shuffle union-merge (see module docstring). Output: all left
     columns plus ``asof_<col>`` for each requested right value column
@@ -65,9 +70,15 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     lcols = left.columns
     # tag order at equal ts: strict -> left first (right row at the same
     # instant must NOT be visible yet); non-strict -> right first.
+    # The same tag assignment serves both directions because 'forward'
+    # only flips the timestamp sort, not the equal-ts visibility rule.
     left_tag, right_tag = (0, 1) if strict else (1, 0)
 
     l_tagged = left.select(
@@ -93,9 +104,12 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    ts_order = (
+        F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag")
+        .orderBy(ts_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

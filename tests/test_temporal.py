@@ -230,3 +230,30 @@ def test_signband_candidates_via_shared_band_only(spark):
     b = [-1.0] * 16  # opposite signs in every band, cosine -1 anyway
     df = spark.createDataFrame([(1, a), (2, b)], ["vec_id", "embedding"])
     assert S.signband_neardup_pairs(df, threshold=-2.0).count() == 0
+
+
+def test_asof_forward_direction(spark):
+    left = _events(spark, [(1, "a", _ts(5), 0.0)])
+    right = spark.createDataFrame(
+        [("a", _ts(5), 50.0), ("a", _ts(8), 80.0), ("a", _ts(3), 30.0)],
+        ["k", "ts", "v"],
+    )
+    fwd = TP.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], direction="forward",
+    ).collect()
+    # strict forward: same-instant row invisible; earliest AFTER wins
+    assert fwd[0].asof_v == 80.0 and fwd[0].asof_ts == _ts(8)
+    fwd2 = TP.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], direction="forward", strict=False,
+    ).collect()
+    assert fwd2[0].asof_v == 50.0  # at-or-after matches the same instant
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        TP.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction="sideways",
+        )
