@@ -1,0 +1,115 @@
+"""Deterministic k-means (Lloyd) over an embedding column — the
+iterative ML-loop operator, built so every iteration is differentially
+testable against a sequential SQL oracle.
+
+Scale design (the production k-means shape on 100 TB):
+
+* Centroids are METADATA (k x dim doubles). Each Lloyd iteration is one
+  full scan of the corpus with the centroids embedded as broadcast
+  literals — assignment is per-row math in whole-stage codegen, no join,
+  no shuffle. The only shuffle per iteration is the (cluster, dim)
+  partial-sum aggregation: k*dim cells, map-side combined. The
+  driver-side ``collect()`` per iteration moves k*dim rows — metadata,
+  not data (same justification as components.py's loop control).
+* Unlike the connected-components loop, no localCheckpoint is needed:
+  each iteration rebuilds the plan from the BASE DataFrame with new
+  centroid literals, so lineage never grows.
+
+Determinism rules (why this matches a sequential oracle bit-for-bit):
+
+* Input components quantize to ``round_digits`` decimals first.
+* Per-dimension sums accumulate in exact int64 micro-units
+  (``bround`` = half-even, matching numpy ``rint`` and DuckDB's
+  double->BIGINT cast; see operators/pandas_ops.label_centroids).
+* The mean is ONE IEEE division of exact integers.
+* Assignment argmin breaks distance ties on the lowest cluster id
+  (first occurrence of the array minimum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(v: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid — sequential fold in
+    array-index order (deterministic for a given row)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    quantized: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+) -> DataFrame:
+    """Attach ``cid`` = index of the nearest centroid (ties -> lowest
+    index). Centroids ride into the plan as literals: zero joins."""
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    # array_position returns the 1-based FIRST occurrence of the min —
+    # exactly the lowest-id tiebreak
+    cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return quantized.withColumn("cid", cid)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; returns the final assignment
+    (id, quantized vector, cid). Init = the ``k`` rows with the
+    smallest ids (deterministic, engine-independent).
+
+    Empty clusters keep their previous centroid (no reseeding — keeps
+    the trajectory reproducible).
+    """
+    scale = 10**round_digits
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x, round_digits),
+        ).alias("v"),
+    )
+    init = base.orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(init)}")
+    centroids: list[list[float]] = [list(r.v) for r in init]
+
+    for _ in range(iters):
+        assigned = assign_clusters(base, centroids)
+        stats = (
+            assigned.select(
+                "cid", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum(
+                    F.bround(F.col("val") * scale, 0).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters unchanged
+        by_cid: dict[int, list] = {}
+        for r in stats:
+            by_cid.setdefault(r.cid, []).append(r)
+        for cid, rows in by_cid.items():
+            for r in rows:
+                new[cid][r.dim] = r.s / (scale * r.n)
+        centroids = new
+
+    return assign_clusters(base, centroids)
+
+
+__all__ = ["kmeans_lloyd", "assign_clusters"]

@@ -481,6 +481,82 @@ GROUP BY o_orderstatus
 """
 
 
+# q91: deterministic k-means (2 Lloyd iterations) ---------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q91_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (vec_id, cid) assignment after 2 deterministic Lloyd
+    iterations (operators/kmeans.py): init = lowest-id vectors,
+    fixed-point centroid means, lowest-cid distance tiebreaks. The
+    oracle unrolls both iterations in SQL — the full training loop is
+    differentially tested, not just one step."""
+    from ..operators.kmeans import kmeans_lloyd
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = kmeans_lloyd(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return out.select("vec_id", F.col("cid").cast("long").alias("cid"))
+
+
+_KM_DIST = (
+    "list_sum(list_transform(generate_series(1, len({v})), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+)
+
+
+def _km_assign_cte(vectors: str, cents: str, out: str) -> str:
+    d = _KM_DIST.format(v=f"{vectors}.v", c=f"{cents}.cv")
+    return f"""
+{out} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT {vectors}.vec_id, {vectors}.v, {cents}.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY {vectors}.vec_id
+             ORDER BY {d}, {cents}.cid) AS rn
+    FROM {vectors} CROSS JOIN {cents})
+  WHERE rn = 1)
+"""
+
+
+def _km_update_cte(assigned: str, prev: str, out: str) -> str:
+    return f"""
+{out}_means AS (
+  SELECT cid, dim,
+         CAST(SUM(CAST(val * 1000000 AS BIGINT)) AS DOUBLE)
+           / (1000000.0 * COUNT(*)) AS mean_val
+  FROM (SELECT cid,
+               unnest(generate_series(1, len(v))) AS dim,
+               unnest(v) AS val
+        FROM {assigned})
+  GROUP BY cid, dim),
+{out}_vecs AS (
+  SELECT cid, list(mean_val ORDER BY dim) AS cv
+  FROM {out}_means GROUP BY cid),
+{out} AS (
+  SELECT {prev}.cid, COALESCE({out}_vecs.cv, {prev}.cv) AS cv
+  FROM {prev} LEFT JOIN {out}_vecs ON {prev}.cid = {out}_vecs.cid)
+"""
+
+
+ORACLE_Q91 = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {KMEANS_K})),
+{_km_assign_cte('q', 'c0', 'a1')},
+{_km_update_cte('a1', 'c0', 'c1')},
+{_km_assign_cte('q', 'c1', 'a2')},
+{_km_update_cte('a2', 'c1', 'c2')},
+{_km_assign_cte('q', 'c2', 'a3')}
+SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM a3
+"""
+
+
 def batch8_registry() -> list[QueryDef]:
     return [
         QueryDef("q82_asof_join", q82_asof_join, ORACLE_Q82, "as-of join: latest prior click per purchase (union-merge)"),
@@ -492,4 +568,5 @@ def batch8_registry() -> list[QueryDef]:
         QueryDef("q88_repetition_ratio", q88_repetition_ratio, ORACLE_Q88, "Gopher-style intra-doc repetition ratios"),
         QueryDef("q89_mixture_upsample", q89_mixture_upsample, ORACLE_Q89, "deterministic mixture upsampling (epoch weights)"),
         QueryDef("q90_merge_upsert", q90_merge_upsert, ORACLE_Q90, "latest-wins snapshot merge (CDC apply)"),
+        QueryDef("q91_kmeans_assign", q91_kmeans_assign, ORACLE_Q91, "deterministic k-means: 2 Lloyd iterations, full-loop oracle"),
     ]

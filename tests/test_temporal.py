@@ -257,3 +257,31 @@ def test_asof_forward_direction(spark):
             left, right, on="k", left_ts="ts", right_ts="ts",
             value_cols=["v"], direction="sideways",
         )
+
+
+# kmeans_lloyd ---------------------------------------------------------------
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    pts = (
+        [(i, [0.0 + i * 0.001, 0.0]) for i in range(5)]
+        + [(10 + i, [10.0 + i * 0.001, 10.0]) for i in range(5)]
+    )
+    from postgresimporter_spark.operators.kmeans import kmeans_lloyd
+
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = kmeans_lloyd(df, k=2, iters=3)
+    got = {r.vec_id: r.cid for r in out.collect()}
+    low = {got[i] for i in range(5)}
+    high = {got[10 + i] for i in range(5)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_kmeans_requires_k_rows(spark):
+    import pytest
+
+    from postgresimporter_spark.operators.kmeans import kmeans_lloyd
+
+    df = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=5, iters=1)
