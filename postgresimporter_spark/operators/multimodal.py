@@ -144,12 +144,77 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def deterministic_fake_resize(
+    content: bytes, width: int, height: int
+) -> bytes:
+    """Stand-in for a real image resampler: produces deterministic
+    bytes whose length encodes the target area, so tests can assert
+    the transform ran per-row without a real codec. A deployment swaps
+    in PIL/libvips with the same (bytes, w, h) -> bytes signature."""
+    n = (width * height) % 1024 + 1
+    seed = (len(content or b"") % 251).to_bytes(1, "big")
+    return seed * n
+
+
+RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {
+    "image": deterministic_fake_resize,
+}
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Resize plumbing: binary in -> binary out, one row per input row,
+    target dims recorded in the output metadata. The transform itself is
+    stubbed (``RESIZERS``); the Arrow-batched streaming shape — the part
+    that matters at 100 TB, where output bytes can exceed input bytes —
+    is real: each batch is transformed and yielded without materializing
+    the partition, so peak memory is one Arrow batch of images.
+    Unsupported modalities raise (explicitly-stubbed surface, same
+    policy as ``DECODERS``)."""
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                fn = RESIZERS.get(r["modality"])
+                if fn is None:
+                    raise NotImplementedError(
+                        f"no resizer for modality {r['modality']!r}"
+                    )
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "modality": r["modality"],
+                        "content": fn(r["content"], width, height),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "modality", "content", "width", "height"],
+            )
+
+    return media.mapInPandas(
+        _resize,
+        schema=(
+            "path string, modality string, content binary, "
+            "width int, height int"
+        ),
+    )
+
+
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
     "DECODERS",
+    "RESIZERS",
     "deterministic_fake_decode",
+    "deterministic_fake_resize",
     "read_media_dir",
     "extract_features",
     "sample_frames",
+    "resize_media",
 ]

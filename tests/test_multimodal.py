@@ -60,3 +60,32 @@ def test_sample_frames_expands_rows(spark, tmp_path):
         2000,
         3000,
     ]
+
+
+def test_resize_media_transforms_per_row(spark, tmp_path):
+    from postgresimporter_spark.operators.multimodal import (
+        deterministic_fake_resize,
+        resize_media,
+    )
+
+    (tmp_path / "a.bin").write_bytes(b"x" * 100)
+    (tmp_path / "b.bin").write_bytes(b"y" * 300)
+    media = read_media_dir(spark, str(tmp_path / "*.bin"), "image")
+    out = {r.path.rsplit("/", 1)[-1]: r for r in resize_media(media, 64, 48).collect()}
+    assert out["a.bin"].width == 64 and out["a.bin"].height == 48
+    # the stub transform ran per row with the row's own content
+    assert bytes(out["a.bin"].content) == deterministic_fake_resize(b"x" * 100, 64, 48)
+    assert bytes(out["b.bin"].content) == deterministic_fake_resize(b"y" * 300, 64, 48)
+    assert bytes(out["a.bin"].content) != bytes(out["b.bin"].content)
+
+
+def test_resize_media_unsupported_modality_raises(spark, tmp_path):
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from postgresimporter_spark.operators.multimodal import resize_media
+
+    (tmp_path / "a.bin").write_bytes(b"x")
+    media = read_media_dir(spark, str(tmp_path / "*.bin"), "video")
+    with pytest.raises(PySparkException, match="no resizer"):
+        resize_media(media, 64, 48).collect()
