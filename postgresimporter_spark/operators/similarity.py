@@ -269,6 +269,7 @@ def signband_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_bucket_ratio: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-bit band LSH.
 
@@ -287,6 +288,13 @@ def signband_neardup_pairs(
     buckets per band — increase ``bits_per_band`` to sharpen buckets at
     scale). Axis-aligned planes keep the signature SQL-expressible, so
     the operator stays differentially testable (oracle: q85).
+
+    ``max_bucket_ratio`` is the hot-bucket skew guard (same posture as
+    the Jaccard hot-shingle cap): a band bucket holding more than that
+    fraction of rows carries little selectivity but quadratic join
+    cost, so its rows are dropped FROM THAT BAND ONLY — pairs also
+    sharing a rare band survive. The corpus size joins in as a
+    broadcast 1-row aggregate (plan construction launches no job).
     """
     sign_bits = F.transform(
         F.col(vec_col), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -311,6 +319,17 @@ def signband_neardup_pairs(
         F.col(vec_col).alias("vec"),
         F.explode(entries).alias("e"),
     ).select("id", "vec", "e.band", "e.key")
+
+    if max_bucket_ratio is not None:
+        n_rows = df.agg(F.count("*").cast("double").alias("_n"))
+        cool = (
+            keyed.groupBy("band", "key")
+            .agg(F.count("*").alias("_sz"))
+            .crossJoin(F.broadcast(n_rows))
+            .where(F.col("_sz") <= F.lit(max_bucket_ratio) * F.col("_n"))
+            .select("band", "key")
+        )
+        keyed = keyed.join(F.broadcast(cool), on=["band", "key"])
 
     a, b_ = keyed.alias("a"), keyed.alias("b")
     cand = (

@@ -195,16 +195,24 @@ def _duped_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(extra)
 
 
+NEARDUP_BUCKET_CAP = 0.09
+
+
 def q85_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-bit band LSH
-    candidates, exact-cosine verify at 0.95. The planted perturbed
-    copies are the expected survivors; the oracle replicates the band
-    keys, so banding recall is part of the contract."""
+    candidates with the hot-bucket skew cap wired in (a band bucket
+    holding >9% of rows is dropped from that band — the fixture's
+    hottest bucket sits at 9.45%, so the cap is EXERCISED, not
+    dead-until-opted-in), exact-cosine
+    verify at 0.95. The planted perturbed copies are the expected
+    survivors; the oracle replicates band keys AND the cap, so both
+    banding recall and the skew guard are part of the contract."""
     return S.signband_neardup_pairs(
         _duped_embeddings(spark, sf_dir),
         threshold=NEARDUP_THRESHOLD,
         bands=NEARDUP_BANDS,
         bits_per_band=NEARDUP_BITS,
+        max_bucket_ratio=NEARDUP_BUCKET_CAP,
     )
 
 
@@ -226,9 +234,15 @@ def _emb_bands_sql() -> str:
 
 ORACLE_Q85 = f"""
 WITH duped AS ({DUPED_EMB_SQL}),
-keyed AS (
+keyed_all AS (
   SELECT vec_id, v, unnest({_emb_bands_sql()}, recursive := true)
   FROM duped),
+cool AS (
+  SELECT band, key FROM keyed_all GROUP BY band, key
+  HAVING COUNT(*) <= {NEARDUP_BUCKET_CAP}
+         * (SELECT CAST(COUNT(*) AS DOUBLE) FROM duped)),
+keyed AS (
+  SELECT keyed_all.* FROM keyed_all JOIN cool USING (band, key)),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          a.v AS va, b.v AS vb

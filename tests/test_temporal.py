@@ -285,3 +285,30 @@ def test_kmeans_requires_k_rows(spark):
     df = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         kmeans_lloyd(df, k=5, iters=1)
+
+
+def test_signband_hot_bucket_cap(spark):
+    """With a cap, rows in a hot band bucket are dropped from that band
+    only: a pair relying solely on the hot band is lost, a pair that
+    also shares rare bands survives."""
+    # 16-dim vectors: band 0 = dims 0-3, band 1 = dims 4-7, ...
+    hot = [1.0] * 4  # every row shares band 0 key '1111' (the hot bucket)
+    a = hot + [1.0] * 12     # bands 1-3: '1111'
+    b = hot + [1.0] * 12     # identical to a
+    c = hot + [-1.0] * 12    # bands 1-3: '0000' -> shares ONLY band 0 with a/b
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["vec_id", "embedding"]
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in S.signband_neardup_pairs(df, threshold=-2.0).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in S.signband_neardup_pairs(
+            df, threshold=-2.0, max_bucket_ratio=0.9
+        ).collect()
+    }
+    assert uncapped == {(1, 2), (1, 3), (2, 3)}
+    # band 0 holds 3/3 rows (> 0.9) -> dropped; (1,3)/(2,3) relied on it
+    assert capped == {(1, 2)}
