@@ -143,9 +143,88 @@ def mixture_upsample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style contiguous sequence packing: within each shard,
+    documents concatenate in ``order_col`` order into one token stream
+    cut into ``budget_tokens``-sized sequences; each document's
+    ``seq_idx`` is the sequence where its first token lands (documents
+    may straddle sequence boundaries, as in standard LM pretraining
+    packing).
+
+    Scale: one window per shard (cumulative sum — no global sort). The
+    shard column is the parallelism unit; hash-assign shards upstream
+    so each holds a bounded token count. Deterministic: ordering is
+    (order_col) within shard, no RNG anywhere.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", n_tokens).withColumn(
+        "_cum", F.sum("n_tokens").over(w)
+    )
+    return out.select(
+        F.col(order_col),
+        F.col(shard_col),
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / budget_tokens)
+        .cast("long")
+        .alias("seq_idx"),
+        ((F.col("_cum") - F.col("n_tokens")) % budget_tokens)
+        .cast("long")
+        .alias("seq_offset"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 40,
+    stride: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking (RAG/embedding prep): overlapping
+    ``chunk_tokens``-token windows every ``stride`` tokens. Pure
+    per-row array math + explode — no shuffle; chunk text is rebuilt
+    with single-space joins (whitespace-normalized, matching the
+    tokenizer)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("_start") + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
 __all__ = [
     "raw_ngrams",
     "ngram_contamination",
     "repetition_ratio",
     "mixture_upsample",
+    "pack_sequences",
+    "chunk_documents",
 ]

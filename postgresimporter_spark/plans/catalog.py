@@ -758,7 +758,10 @@ def registry() -> dict[str, QueryDef]:
     for q in batch7_registry():
         out[q.name] = q
     from .catalog_batch8 import batch8_registry
+    from .catalog_batch9 import batch9_registry
 
     for q in batch8_registry():
+        out[q.name] = q
+    for q in batch9_registry():
         out[q.name] = q
     return out

@@ -65,3 +65,37 @@ def test_mixture_upsample_epochs_and_determinism(spark):
 def test_mixture_upsample_zero_weight_drops(spark):
     df = spark.createDataFrame([(1, "s0", "t")], ["doc_id", "source", "text"])
     assert C.mixture_upsample(df, {"s0": 0}).count() == 0
+
+
+def test_pack_sequences_straddle_semantics(spark):
+    # budget 10; docs of 4,4,4 tokens: cum starts 0,4,8 -> seqs 0,0,0? no:
+    # starts are 0,4,8 -> floor(0/10)=0, floor(4/10)=0, floor(8/10)=0;
+    # fourth doc starts at 12 -> seq 1
+    rows = [(i, "s", " ".join(["w"] * 4)) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r.doc_id: (r.seq_idx, r.seq_offset) for r in
+           C.pack_sequences(df, budget_tokens=10).collect()}
+    assert got == {0: (0, 0), 1: (0, 4), 2: (0, 8), 3: (1, 2)}
+
+
+def test_pack_sequences_shards_independent(spark):
+    rows = [(1, "a", "w w w"), (2, "b", "w w w")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r.doc_id: r.seq_idx for r in
+           C.pack_sequences(df, budget_tokens=2).collect()}
+    assert got == {1: 0, 2: 0}  # each shard starts its own stream
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(5)))], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+        for r in C.chunk_documents(df, chunk_tokens=3, stride=2).collect()
+    )
+    assert got == [
+        (0, "t0 t1 t2", 3),
+        (1, "t2 t3 t4", 3),
+        (2, "t4", 1),  # tail chunk truncates, never pads
+    ]
