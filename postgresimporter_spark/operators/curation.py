@@ -220,6 +220,125 @@ def chunk_documents(
     )
 
 
+# PII redaction patterns, applied in order (emails before bare number
+# runs so the address is masked whole, not digit-by-digit). Patterns are
+# deliberately restricted to syntax shared by Java regex and RE2 so the
+# DuckDB oracle replays them verbatim.
+DEFAULT_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+\b", "<IP>"),
+    ("number", r"[0-9]+", "<NUM>"),
+)
+
+
+def redact_text(
+    df: DataFrame,
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...] = DEFAULT_PII_PATTERNS,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII scrubbing: sequentially mask each pattern and count the spans
+    it removed. Pure ``regexp_replace``/``regexp_extract_all`` — stays in
+    whole-stage codegen, no shuffle, trivially 100 TB-safe (scan-shaped).
+
+    Counts are measured on the text as seen by THAT pattern (after the
+    earlier replacements), matching the sequential-replace semantics: an
+    email's digits are already masked when the number pattern runs.
+    """
+    cur = F.col(text_col)
+    counts: list[Column] = []
+    for name, rx, repl in patterns:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(rx), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, rx, repl)
+    return df.select(*df.columns, *counts, cur.alias(out_col))
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-document boilerplate detection: per document, the fraction
+    of its DISTINCT word n-grams that occur in at least ``min_df``
+    documents corpus-wide (RefinedWeb-style "duplicated n-gram
+    fraction"; the intra-document variant is ``repetition_ratio``).
+
+    Scale shape: explode distinct shingles (one pass), aggregate
+    document frequency on the shingle key (map-side partial), hash-join
+    the per-doc shingles back to their frequency, re-aggregate per doc.
+    Two bounded shuffles, never a cross join. A stop-phrase shingle with
+    huge document frequency skews the join-back; AQE skew-join splits it
+    (each shingle row matches exactly one frequency row, so fan-out is
+    1:1 and the skew is carry-over from the explode, not amplification).
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
+    )
+    # (id, shingle) is unique post-array_distinct, so count(*) == doc freq
+    dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
+    hit = F.when(F.col("_df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+    return (
+        ex.join(dfreq, on="_s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(hit).cast("long").alias("n_dup_shingles"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(
+                F.col("n_dup_shingles").cast("double")
+                / F.col("n_shingles").cast("double"),
+                round_digits,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# Gopher-style gate thresholds (Rae et al. 2021 table A1 shape, values
+# tuned to the synthetic fixture's ranges so both branches are exercised)
+QUALITY_GATES: dict[str, tuple[float, float]] = {
+    "n_tokens": (5, 100_000),
+    "avg_token_len": (2.0, 12.0),
+    "punct_ratio": (0.0, 0.2),
+    "stopword_ratio": (0.005, 1.0),
+}
+
+
+def quality_gates(
+    features: DataFrame,
+    gates: dict[str, tuple[float, float]] = QUALITY_GATES,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rule-based pre-training quality filter: closed-interval gate per
+    feature column plus the conjunction. Operates on the OUTPUT of
+    ``textstats.quality_features`` — gating on the already-rounded
+    feature values keeps the boolean identical across engines (a raw
+    double could straddle a threshold differently after rounding).
+    Scan-shaped; no shuffle.
+    """
+    flag_cols: list[Column] = []
+    pass_all: Column | None = None
+    for feat in sorted(gates):
+        lo, hi = gates[feat]
+        flag = F.col(feat).isNotNull() & F.col(feat).between(lo, hi)
+        flag_cols.append(flag.alias(f"gate_{feat}"))
+        pass_all = flag if pass_all is None else (pass_all & flag)
+    assert pass_all is not None
+    return features.select(
+        F.col(id_col), *flag_cols, pass_all.alias("passes")
+    )
+
+
 __all__ = [
     "raw_ngrams",
     "ngram_contamination",
@@ -227,4 +346,9 @@ __all__ = [
     "mixture_upsample",
     "pack_sequences",
     "chunk_documents",
+    "redact_text",
+    "dup_ngram_fraction",
+    "quality_gates",
+    "DEFAULT_PII_PATTERNS",
+    "QUALITY_GATES",
 ]

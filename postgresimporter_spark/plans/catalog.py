@@ -764,4 +764,8 @@ def registry() -> dict[str, QueryDef]:
         out[q.name] = q
     for q in batch9_registry():
         out[q.name] = q
+    from .catalog_batch10 import batch10_registry
+
+    for q in batch10_registry():
+        out[q.name] = q
     return out

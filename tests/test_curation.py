@@ -99,3 +99,68 @@ def test_chunk_documents_windows_and_tail(spark):
         (1, "t2 t3 t4", 3),
         (2, "t4", 1),  # tail chunk truncates, never pads
     ]
+
+
+def test_redact_text_sequential_masking(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.com from 10.1.2.3 code 42"), (2, "clean text")],
+        ["id", "note"],
+    )
+    rows = {r.id: r for r in C.redact_text(df, "note").collect()}
+    assert rows[1].redacted == "mail <EMAIL> from <IP> code <NUM>"
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_number) == (1, 1, 1)
+    assert rows[2].redacted == "clean text"
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_number) == (0, 0, 0)
+
+
+def test_redact_counts_after_earlier_passes(spark):
+    # the email's digits are masked before the number pass runs, so
+    # n_number counts only the standalone run
+    df = spark.createDataFrame([(1, "a1@b.co 7")], ["id", "note"])
+    r = C.redact_text(df, "note").collect()[0]
+    assert r.n_email == 1 and r.n_number == 1
+    assert r.redacted == "<EMAIL> <NUM>"
+
+
+def test_dup_ngram_fraction_cross_document(spark):
+    shared = "p q r s t"          # one shared 5-gram between docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, shared + " u v"),  # 3 shingles, 1 duplicated
+            (2, shared),           # 1 shingle, duplicated
+            (3, "a b c d e f"),    # 2 shingles, unique
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_dup_shingles, r.dup_frac)
+        for r in C.dup_ngram_fraction(df, n=5).collect()
+    }
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (1, 1, 1.0)
+    assert got[3] == (2, 0, 0.0)
+
+
+def test_quality_gates_flags_and_conjunction(spark):
+    from postgresimporter_spark.operators.textstats import quality_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on to the mat"),  # passes all
+            (2, "x y"),                                    # too few tokens
+            (3, ""),                                       # degenerate
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in C.quality_gates(quality_features(df)).collect()}
+    assert got[1].passes
+    assert not got[2].gate_n_tokens and not got[2].passes
+    assert not got[3].passes
+
+
+def test_redact_text_stays_in_codegen(spark):
+    # scan-shaped: no shuffle exchange, no Python eval in the plan
+    df = spark.createDataFrame([(1, "a 1")], ["id", "note"])
+    plan = C.redact_text(df, "note")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
