@@ -765,7 +765,10 @@ def registry() -> dict[str, QueryDef]:
     for q in batch9_registry():
         out[q.name] = q
     from .catalog_batch10 import batch10_registry
+    from .catalog_batch11 import batch11_registry
 
     for q in batch10_registry():
+        out[q.name] = q
+    for q in batch11_registry():
         out[q.name] = q
     return out

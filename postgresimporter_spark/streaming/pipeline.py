@@ -173,6 +173,42 @@ def stream_dedup(
     return hashed.dropDuplicates(["content_hash"])
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming
+    counterpart of ``operators/temporal.interval_join``: match each
+    left event with right events of the same key whose timestamp falls
+    in ``[left.ts, left.ts + upper]``.
+
+    Both sides carry a watermark and the join condition bounds the
+    right timestamp relative to the left, so Spark can compute how long
+    each side's state must be retained and evict it — the only
+    stream-stream join posture whose state is bounded on an unbounded
+    stream. Output columns are prefixed ``l_``/``r_`` (a stream-stream
+    join otherwise collides on shared column names).
+    """
+    lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
+    rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.{ts_col}")
+            <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l.join(r, cond, how).select(*lcols, *rcols)
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

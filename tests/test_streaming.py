@@ -290,3 +290,46 @@ def test_stream_dedup_within_watermark_drops_replay(spark, tmp_path):
     run_to_memory(out, "dedup_wm_stream", output_mode="append")
     got = {r.doc_id for r in spark.table("dedup_wm_stream").collect()}
     assert 3 in got and len(got) == 2 and (1 in got or 2 in got)
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join == the same join run in batch: click
+    events paired with purchases of the same user within 1 hour."""
+    from postgresimporter_spark.streaming.pipeline import stream_interval_join
+
+    events = load_tables(spark, SF, ["events"])["events"]
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    batch = {
+        (r.l_event_id, r.r_event_id)
+        for r in clicks.alias("l")
+        .join(
+            buys.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("l.event_id").alias("l_event_id"),
+            F.col("r.event_id").alias("r_event_id"),
+        )
+        .collect()
+    }
+    assert batch  # fixture must actually exercise the join
+
+    base = "/tmp/stream_ij_parquet"
+    clicks.write.mode("overwrite").parquet(base + "/l")
+    buys.write.mode("overwrite").parquet(base + "/r")
+    ls = spark.readStream.schema(clicks.schema).parquet(base + "/l")
+    rs = spark.readStream.schema(buys.schema).parquet(base + "/r")
+    out = stream_interval_join(ls, rs, upper="1 hour")
+    run_to_memory(out, "ij_stream", output_mode="append")
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.table("ij_stream").collect()
+    }
+    assert got == batch
