@@ -33,7 +33,9 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     for j, c in enumerate(cols):
         masked = c.cast("long") % (1 << bits)
         for i in range(bits):
-            bit = (masked / (1 << i)).cast("long") % 2
+            # JVM-side shift/mask (cheapest per row); the SQL oracle
+            # uses the arithmetically-identical div/mod form
+            bit = F.shiftright(masked, i).bitwiseAND(F.lit(1))
             total = total + bit * F.lit(1 << (i * n + j)).cast("long")
     return total
 

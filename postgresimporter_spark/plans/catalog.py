@@ -771,4 +771,8 @@ def registry() -> dict[str, QueryDef]:
         out[q.name] = q
     for q in batch11_registry():
         out[q.name] = q
+    from .catalog_batch12 import batch12_registry
+
+    for q in batch12_registry():
+        out[q.name] = q
     return out

@@ -158,3 +158,39 @@ def test_q87_decontaminate_broadcasts_eval_side(spark, reg):
     plan = plan_of(spark, reg, "q87_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q94_redaction_is_scan_shaped(spark, reg):
+    df = reg["q94_pii_redact"].fn(spark, SF)
+    assert count_exchanges(df) == 0
+    assert "BatchEvalPython" not in physical_plan(df)
+
+
+def test_q98_zorder_key_is_scan_shaped(spark, reg):
+    df = reg["q98_zorder_key"].fn(spark, SF)
+    assert count_exchanges(df) == 0
+    plan = physical_plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen stages in the plan string
+    assert "*(1)" in plan
+
+
+def test_q95_joins_on_shingle_key_only(spark, reg):
+    # doc-frequency join-back must be an equi-join, never a cross join
+    plan = plan_of(spark, reg, "q95_dup_ngram_fraction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q100_median_tables_broadcast(spark, reg):
+    # both stat tables (median, MAD) join back via broadcast — the
+    # events scan is never shuffled for the join
+    plan = plan_of(spark, reg, "q100_robust_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q102_subqueries_decorrelate(spark, reg):
+    # Catalyst rewrites the correlated scalar subqueries + EXISTS into
+    # joins; no per-row subquery execution survives in the plan
+    plan = plan_of(spark, reg, "q102_sql_subqueries")
+    assert "Subquery" not in plan
+    assert "Join" in plan
