@@ -775,4 +775,8 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch12_registry():
         out[q.name] = q
+    from .catalog_batch13 import batch13_registry
+
+    for q in batch13_registry():
+        out[q.name] = q
     return out

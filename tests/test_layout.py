@@ -79,3 +79,26 @@ def test_zorder_layout_clusters_files(spark, tmp_path):
     # leading interleaved column (random layout would put ~1.0 in every
     # file); z-curves overlap, so assert the average tightens
     assert sum(spans) / len(spans) < 0.75
+
+
+def test_zorder_key_property_matches_model(spark):
+    """Hypothesis-style sweep: random coordinates agree with the Python
+    reference interleave (one Spark job over the whole batch)."""
+    import random
+
+    rnd = random.Random(20260813)
+    rows = [
+        (rnd.randrange(0, 1 << 20), rnd.randrange(0, 1 << 20))
+        for _ in range(300)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_key([F.col("x"), F.col("y")])
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _ref_z(x, y)
