@@ -209,6 +209,53 @@ def stream_interval_join(
     return l.join(r, cond, how).select(*lcols, *rcols)
 
 
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins
+    against the (re-evaluated) static side. Broadcast the dim — at
+    scale the static side is a dimension table that must not force a
+    per-batch shuffle of the stream."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_to_postgres(
+    stream: DataFrame,
+    db,
+    table: str,
+    checkpoint_dir: str,
+    schema: str = "import",
+    available_now: bool = True,
+):
+    """Continuous COPY-protocol ingest: each micro-batch appends into
+    ``<schema>.<table>`` through ``sources/copy_sink.copy_write`` (the
+    pgfutter-class fast path), with exactly-once SOURCE tracking from
+    the checkpoint. First batch creates the table (overwrite), later
+    batches append. Sink-side delivery is at-least-once: a batch
+    retried after a mid-COPY failure appends again — dedupe downstream
+    on a key, or point ``table`` at a staging table, for exact counts.
+    Returns the started StreamingQuery.
+    """
+    from ..sources.copy_sink import copy_write
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        mode = "overwrite" if epoch_id == 0 else "append"
+        copy_write(batch_df, db, table, mode=mode, schema=schema)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

@@ -215,3 +215,46 @@ def test_pipeline_live_roundtrip(spark, pg, tmp_path):
         assert types == [("text",)]
         assert c.scalar("SELECT n FROM import.hook_proof") == "3"
         assert c.scalar("SELECT one FROM import.hook_proof2") == "1"
+
+
+def test_stream_to_postgres_roundtrip(spark, pg, tmp_path):
+    """Streaming COPY ingest: micro-batches land in Postgres via the
+    COPY sink, and a restart from the checkpoint ingests only files
+    that arrived after the first run (exactly-once source tracking)."""
+    from postgresimporter_spark.streaming.pipeline import stream_to_postgres
+
+    src = tmp_path / "stream_src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    schema = "id long, s string"
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = stream_to_postgres(stream, pg, "streamed", ckpt)
+    q.awaitTermination()
+
+    with PgConnection(
+        host=pg.host, port=pg.port, database=pg.database, user=pg.user
+    ) as c:
+        assert c.scalar('SELECT count(*) FROM import."streamed"') == "2"
+
+    # new file arrives; restart from the same checkpoint -> appends
+    # ONLY the new rows (old file already committed in the source log)
+    spark.createDataFrame(
+        [(3, "c")], "id long, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    stream2 = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q2 = stream_to_postgres(stream2, pg, "streamed", ckpt)
+    q2.awaitTermination()
+
+    with PgConnection(
+        host=pg.host, port=pg.port, database=pg.database, user=pg.user
+    ) as c:
+        rows = c.query('SELECT id FROM import."streamed" ORDER BY id')
+    assert [r[0] for r in rows] == ["1", "2", "3"]

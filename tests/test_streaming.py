@@ -333,3 +333,32 @@ def test_stream_interval_join_matches_batch(spark):
         for r in spark.table("ij_stream").collect()
     }
     assert got == batch
+
+
+def test_stream_enrich_matches_batch(spark):
+    """Stream-static broadcast enrichment == the same join in batch:
+    events enriched with their user's nation via a dim lookup."""
+    from postgresimporter_spark.streaming.pipeline import stream_enrich
+
+    events = load_tables(spark, SF, ["events"])["events"].select(
+        "event_id", "user_id"
+    )
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("segment", F.col("user_id") % 5)
+    )
+    batch = {
+        (r.event_id, r.segment)
+        for r in events.join(dim, "user_id").collect()
+    }
+
+    path = "/tmp/stream_enrich_parquet"
+    events.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    out = stream_enrich(stream, dim, on=["user_id"])
+    run_to_memory(out, "enrich_stream", output_mode="append")
+    got = {
+        (r.event_id, r.segment)
+        for r in spark.table("enrich_stream").collect()
+    }
+    assert got == batch
