@@ -1,0 +1,162 @@
+"""Inverted index + BM25 retrieval over the documents corpus.
+
+The shape a 100 TB keyword-search pipeline needs:
+
+- **Index build** is two bounded shuffles: (doc, token) term-frequency
+  aggregation, then a token-keyed aggregation for document frequency /
+  collection frequency.  Postings samples are capped BEFORE collection
+  (row_number <= k inside the token partition), so a stop-word token
+  with 10^9 postings still collects at most k doc ids per token —
+  never an unbounded ``collect_list``.
+- **Scoring** never scans non-matching docs into the shuffle: the
+  token stream is filtered to the query vocabulary first (predicate on
+  the exploded token, pushable right after the scan), so the candidate
+  set is only docs containing >= 1 query term.  Document length and
+  the corpus-average length join in as a broadcast 1-row aggregate.
+- **Determinism**: per-term BM25 partial scores are converted to
+  integer micro-units before summation (sum of bigints is
+  order-independent; sum of doubles is not), keeping the result
+  hash-identical across engines and partitionings.
+
+Reference scope note: the reference (romnn/postgresimporter) has no
+search surface; this extends the engine for LLM-corpus curation where
+keyword retrieval backs decontamination and inspection tooling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _token_stream(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_sample: int = 5,
+) -> DataFrame:
+    """Token-keyed index: document frequency ``df``, collection
+    frequency ``cf``, and the first ``postings_sample`` doc ids
+    (ascending) as a comma-joined string.
+
+    Two shuffles: (doc_id, token) tf agg, then token agg.  The postings
+    sample is capped by a row_number inside the token partition before
+    any list is collected — bounded memory per token regardless of how
+    hot the token is.
+    """
+    tf = (
+        _token_stream(docs, id_col, text_col)
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    capped = tf.withColumn("rn", F.row_number().over(w))
+    return (
+        capped.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= postings_sample, F.col("doc_id")
+                        )
+                    )
+                ),
+            ).alias("postings_sample"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-candidate BM25 score for a bag-of-words query.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)   (Lucene's non-negative
+    variant), tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    Each term's partial score is rounded into integer micro-units
+    (``round(x * 1e6)`` as bigint) before the per-doc sum, so the
+    total is exact and summation-order-independent.
+
+    Returns (doc_id, n_terms, score_micro): candidates only — docs with
+    zero query-term hits never enter the shuffle.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tok = _token_stream(docs, id_col, text_col)
+    # document length over ALL tokens (needed for normalization)...
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # ...but tf only over the query vocabulary: the selective filter
+    # runs before the (doc, token) shuffle.
+    hits = tok.where(F.col("token").isin(list(query_terms)))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = hits.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("_n_docs")
+    )
+    avgdl = dl.agg(
+        (F.sum("dl") / F.count("*")).alias("_avgdl")
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = (
+        F.col("tf") * (k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    term_micro = F.round(idf * tf_norm * 1e6).cast("long")
+    return (
+        tf.join(F.broadcast(df_), on="token")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("term_micro", term_micro)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 candidates with a total-order tiebreak
+    (score desc, doc_id asc) so the cut is deterministic."""
+    scored = bm25_scores(docs, query_terms, **kwargs)
+    return (
+        scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )

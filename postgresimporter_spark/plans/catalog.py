@@ -779,4 +779,8 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch13_registry():
         out[q.name] = q
+    from .catalog_batch14 import batch14_registry
+
+    for q in batch14_registry():
+        out[q.name] = q
     return out

@@ -418,3 +418,49 @@ def test_tfidf_join_paths_agree(spark):
     # the forced-shuffle path really does avoid a broadcast of df_
     shuffle_plan = physical_plan(tfidf_scores(docs, df_join="shuffle"))
     assert "SortMergeJoin" in shuffle_plan
+
+
+def test_inverted_index_postings_cap_and_counts(spark):
+    from postgresimporter_spark.operators.textindex import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a c"),
+            (3, "a b"),
+            (4, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {
+        r.token: (r.df, r.cf, r.postings_sample)
+        for r in inverted_index(docs, postings_sample=2).collect()
+    }
+    # 'a' appears in all 4 docs, 5 times total; sample capped at 2
+    assert idx["a"] == (4, 5, "1,2")
+    assert idx["b"] == (2, 2, "1,3")
+    assert idx["c"] == (1, 1, "2")
+
+
+def test_bm25_candidates_only_and_ordering(spark):
+    from postgresimporter_spark.operators.textindex import (
+        bm25_scores,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = bm25_scores(docs, ["spark"]).collect()
+    # doc 3 has zero query-term hits -> never a candidate
+    assert {r.doc_id for r in scored} == {1, 2}
+    top = bm25_topk(docs, ["spark"], k=1).collect()
+    # higher tf at equal length -> higher score
+    assert top[0].doc_id == 1
+    by_id = {r.doc_id: r.score_micro for r in scored}
+    assert by_id[1] > by_id[2] > 0
