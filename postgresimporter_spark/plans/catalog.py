@@ -783,4 +783,8 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch14_registry():
         out[q.name] = q
+    from .catalog_batch15 import batch15_registry
+
+    for q in batch15_registry():
+        out[q.name] = q
     return out

@@ -464,3 +464,52 @@ def test_bm25_candidates_only_and_ordering(spark):
     assert top[0].doc_id == 1
     by_id = {r.doc_id: r.score_micro for r in scored}
     assert by_id[1] > by_id[2] > 0
+
+
+def test_frequent_items_exact_vs_naive_on_skewed_data(spark):
+    """Two-phase frequent items == naive groupBy+filter on data with a
+    heavy head and a long singleton tail, across partitionings."""
+    from postgresimporter_spark.operators.frequent import (
+        frequent_items,
+        local_candidates,
+    )
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 80
+        + [(f"tail_{i}",) for i in range(520)]
+    )
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "v string").repartition(parts)
+        got = {
+            (r.value, r.cnt)
+            for r in frequent_items(df, "v", k=20).collect()
+        }
+        naive = {
+            (r.v, r.cnt)
+            for r in df.groupBy("v")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .where(F.col("cnt") * 20 >= 1000)
+            .collect()
+        }
+        assert got == naive == {("hot", 400), ("warm", 80)}
+        # the local phase must prune the tail before any shuffle
+        n_cand = local_candidates(df, "v", 20).distinct().count()
+        assert n_cand < 30  # 522 distinct values, tail never emitted
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    from postgresimporter_spark.operators.bloom import (
+        bloom_might_contain,
+        bloom_semi_join,
+        build_bloom,
+    )
+
+    fact = spark.range(0, 5000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 5000, 100).select(F.col("id").alias("k"))  # 50 keys
+    got = {r.k for r in bloom_semi_join(fact, dim, "k").collect()}
+    assert got == set(range(0, 5000, 100))
+    # the prune alone: zero false negatives, and actually selective
+    words = build_bloom(dim, "k")
+    pruned = fact.where(bloom_might_contain(F.col("k"), words)).count()
+    assert 50 <= pruned < 500  # all 50 members + <10% false positives
