@@ -787,4 +787,8 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch15_registry():
         out[q.name] = q
+    from .catalog_batch16 import batch16_registry
+
+    for q in batch16_registry():
+        out[q.name] = q
     return out

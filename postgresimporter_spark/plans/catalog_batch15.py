@@ -72,7 +72,9 @@ def q109_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.groupBy("o_orderpriority")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.sum("o_totalprice").alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
@@ -80,7 +82,8 @@ def q109_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q109 = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       SUM(o_totalprice) AS total_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
 FROM orders
 WHERE o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
