@@ -791,4 +791,8 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch16_registry():
         out[q.name] = q
+    from .catalog_batch17 import batch17_registry
+
+    for q in batch17_registry():
+        out[q.name] = q
     return out
