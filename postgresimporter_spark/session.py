@@ -57,6 +57,11 @@ def get_spark(
         # (sources/parquet.py restores TimestampType at microsecond
         # precision from the footer's logical type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet timestamps (timestamp[us], no tz — DuckDB's
+        # writer) should read as session-zone TIMESTAMP, not NTZ: the
+        # session is pinned UTC so values match the oracle either way,
+        # but NTZ event-time columns are rejected by withWatermark.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

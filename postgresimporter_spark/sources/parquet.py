@@ -44,13 +44,19 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     - ``nanosAsLong``: without it, reading TIMESTAMP(NANOS) parquet
       (events) throws PARQUET_TYPE_ILLEGAL;
     - UTC session zone: timestamp results are hash-compared against a
-      UTC oracle — a local-zone session would shift every value.
+      UTC oracle — a local-zone session would shift every value;
+    - ``inferTimestampNTZ=false``: naive parquet timestamps (DuckDB
+      writes timestamp[us] with no tz) read as session-zone TIMESTAMP
+      instead of TIMESTAMP_NTZ. With the session pinned to UTC the
+      values are identical, but NTZ breaks streaming watermarks
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and window frames.
 
-    Both are runtime-settable SQL confs; set before any read happens.
+    All are runtime-settable SQL confs; set before any read happens.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:  # noqa: BLE001 - conf locked: proceed, reads may work
         pass
 
