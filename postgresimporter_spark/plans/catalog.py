@@ -795,4 +795,8 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch17_registry():
         out[q.name] = q
+    from .catalog_batch18 import batch18_registry
+
+    for q in batch18_registry():
+        out[q.name] = q
     return out

@@ -1,0 +1,81 @@
+"""Graph operators: known-answer micro-fixtures (degrees, triangles,
+PageRank conservation) independent of the DuckDB differential gate."""
+
+from __future__ import annotations
+
+from postgresimporter_spark.operators.graph import (
+    RANK_SCALE,
+    cooccurrence_edges,
+    degrees,
+    pagerank,
+    triangles_per_node,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_cooccurrence_edges_canonical(spark):
+    items = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 20), (1, 30), (2, 20), (2, 10)],
+        ["container", "item"],
+    )
+    got = {
+        (r.src, r.dst)
+        for r in cooccurrence_edges(items, "container", "item").collect()
+    }
+    # duplicates collapse; all edges canonical src < dst
+    assert got == {(10, 20), (10, 30), (20, 30)}
+
+
+def test_triangles_known_graph(spark):
+    # K4 on {1,2,3,4} plus a pendant 5--1: C(4,3)=4 triangles, each K4
+    # vertex in 3 of them, pendant in none.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tri = {
+        r.node: r.n_triangles
+        for r in triangles_per_node(_edges(spark, k4 + [(1, 5)])).collect()
+    }
+    assert tri == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_free_graph(spark):
+    # 4-cycle: no triangles at all
+    c4 = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    assert triangles_per_node(_edges(spark, c4)).count() == 0
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # On a regular graph (triangle), PageRank is exactly uniform at
+    # every iteration: rank stays 1/3 (up to fixed-point floor).
+    tri = [(1, 2), (2, 3), (1, 3)]
+    rows = pagerank(_edges(spark, tri), iterations=4).collect()
+    assert len(rows) == 3
+    expected = RANK_SCALE // 3
+    for r in rows:
+        # base + damped contribution reconstructs ~1/3 exactly in
+        # integer arithmetic: (0.15/3 + 0.85*(1/3)) * S, floored
+        assert abs(r.rank_scaled - expected) <= 2
+        assert abs(r.rank - 1 / 3) < 1e-9
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    # star graph 1--{2,3,4}: total mass stays ~1 (floor drift < 1e-9
+    # per node per iteration at scale 10^12)
+    star = [(1, 2), (1, 3), (1, 4)]
+    rows = pagerank(_edges(spark, star), iterations=3).collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    ranks = {r.node: r.rank for r in rows}
+    # hub strictly outranks leaves; leaves identical by symmetry
+    assert ranks[1] > ranks[2]
+    assert ranks[2] == ranks[3] == ranks[4]
+
+
+def test_degrees(spark):
+    deg = {
+        r.node: r.degree
+        for r in degrees(_edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])).collect()
+    }
+    assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
