@@ -12,10 +12,11 @@ Design rules carried from the rest of the engine:
   (canonical undirected form). Building them from a co-occurrence
   source (items sharing an order/document) is a self-equi-join on the
   container key — the per-container pair blowup is quadratic in
-  container size, so callers cap container cardinality upstream
-  (baskets are small; a pathological mega-container would be dropped
-  by a ``max_container_size`` filter the same way dedup caps hot
-  shingles).
+  container size, so ``cooccurrence_edges`` takes a
+  ``max_container_size`` cap that drops pathological mega-containers
+  before the self-join, the same way dedup caps hot shingles
+  (``max_doc_ratio``) and embedding LSH caps hot buckets
+  (``max_bucket_ratio``).
 - **Triangle counting orients edges by degree** (compact-forward):
   each edge points from the lower-(degree, id) endpoint to the
   higher. Every wedge is then enumerated at its lowest-degree vertex,
@@ -32,22 +33,40 @@ Design rules carried from the rest of the engine:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RANK_SCALE = 10**12  # fixed-point scale for PageRank ranks
 
 
 def cooccurrence_edges(
-    items: DataFrame, container_col: str, item_col: str
+    items: DataFrame,
+    container_col: str,
+    item_col: str,
+    max_container_size: int | None = None,
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges ``(src < dst)`` from a
     (container, item) relation: one bucketed self-equi-join on the
     container key — never a global cross join.
+
+    ``max_container_size`` is the skew cap: containers with more than
+    this many distinct items are dropped *before* the self-join.
+    Without it, one pathological mega-container (a 10k-item basket, a
+    boilerplate mega-document) lands ~50M pairs in a single task. The
+    count rides a window over the container partitioning, which the
+    self-join then reuses — the cap costs no extra shuffle. Counting
+    itself is O(container size) per container, never quadratic.
     """
     a = items.select(
         F.col(container_col).alias("_c"), F.col(item_col).alias("src")
     ).distinct()
+    if max_container_size is not None:
+        w = Window.partitionBy("_c")
+        a = (
+            a.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= max_container_size)
+            .drop("_n")
+        )
     b = a.select("_c", F.col("src").alias("dst"))
     return (
         a.join(b, on="_c")
@@ -69,17 +88,20 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 def oriented_edges(edges: DataFrame) -> DataFrame:
     """Orient canonical edges from the lower-(degree, id) endpoint to
-    the higher (compact-forward orientation). Degree table is tiny
-    relative to edges (O(V) vs O(E)) — broadcast both lookups.
+    the higher (compact-forward orientation). The degree table is O(V)
+    — smaller than edges but NOT guaranteed broadcast-safe at corpus
+    scale (a web graph's V exceeds the executor broadcast limit), so
+    no broadcast hint: AQE picks broadcast at runtime when the degree
+    table fits, shuffle-hash otherwise.
     """
     deg = degrees(edges)
     e = (
         edges.join(
-            F.broadcast(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "dsrc")),
+            deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "dsrc"),
             on="src",
         )
         .join(
-            F.broadcast(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "ddst")),
+            deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "ddst"),
             on="dst",
         )
     )
@@ -130,27 +152,35 @@ def pagerank(
     exact and engine-portable), one shuffle to sum contributions per
     destination, then ``rank' = (1-d)·S div N + d·Σcontrib div 100``.
     Dangling nodes cannot occur on an undirected graph (degree ≥ 1).
-    The degree table is O(V) and broadcast; the per-iteration shuffle
-    is O(E). ``localCheckpoint`` caps lineage (invariant 6); at 1000
-    executors this is the standard Pregel-as-joins layout.
+    The degree table is O(V) — joined without a broadcast hint so AQE
+    broadcasts it only when it actually fits (a web-scale V can exceed
+    the broadcast cap); the per-iteration shuffle is O(E).
+    ``localCheckpoint`` caps lineage (invariant 6); at 1000 executors
+    this is the standard Pregel-as-joins layout.
 
-    Returns (node, rank_scaled BIGINT, rank DOUBLE).
+    Returns (node, rank_scaled BIGINT, rank DOUBLE); empty edges give
+    an empty result rather than a division-by-zero.
     """
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = degrees(edges)
     n_nodes = deg.count()  # driver scalar: O(V) metadata-scale, like reconcile counts
+    if n_nodes == 0:
+        return deg.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("rank"),
+        )
     base = ((100 - damping_pct) * RANK_SCALE) // (100 * n_nodes)
     init = RANK_SCALE // n_nodes
     ranks = deg.select(
         "node", F.lit(init).cast("long").alias("rank_scaled")
     )
     sym = sym.localCheckpoint(eager=False)
-    deg_b = F.broadcast(deg)
     for _ in range(iterations):
         contrib = (
-            sym.join(deg_b.withColumnRenamed("node", "src"), on="src")
+            sym.join(deg.withColumnRenamed("node", "src"), on="src")
             .join(
                 ranks.withColumnRenamed("node", "src"),
                 on="src",

@@ -9,7 +9,11 @@ link/co-occurrence graphs are core corpus-curation machinery
 bucketed equi-joins at 100 TB.
 
 The shared fixture graph: parts co-purchased within an order
-(self-equi-join of lineitem on l_orderkey, canonical src < dst).
+(self-equi-join of lineitem on l_orderkey, canonical src < dst),
+built with the ``max_container_size`` skew cap engaged (cap 6, which
+genuinely fires on TPC-H data — orders hold up to 7 distinct parts —
+so the oracle proves the cap's exact drop semantics, not just its
+plumbing).
 """
 
 from __future__ import annotations
@@ -26,19 +30,33 @@ from ..operators.graph import (
 from ..sources.parquet import load_tables
 from .catalog import QueryDef
 
-_EDGES_SQL = """
+# Skew cap: drop containers (orders) holding more than this many distinct
+# items before the pair self-join. 6 < the TPC-H max of 7 parts/order, so
+# the cap demonstrably fires on the driver's data and the oracle checks
+# its exact drop semantics.
+MAX_CONTAINER = 6
+
+_EDGES_SQL = f"""
+  citems AS (
+    SELECT DISTINCT l_orderkey AS c, l_partkey AS item FROM lineitem
+  ),
+  cok AS (
+    SELECT c FROM citems GROUP BY c HAVING COUNT(*) <= {MAX_CONTAINER}
+  ),
   edges AS (
-    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-    FROM lineitem a
-    JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    SELECT DISTINCT a.item AS src, b.item AS dst
+    FROM citems a
+    JOIN citems b ON a.c = b.c AND a.item < b.item
+    JOIN cok ON a.c = cok.c
   )
 """
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    return cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", max_container_size=MAX_CONTAINER
+    )
 
 
 # q117: degree distribution ---------------------------------------------------

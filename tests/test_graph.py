@@ -29,6 +29,28 @@ def test_cooccurrence_edges_canonical(spark):
     assert got == {(10, 20), (10, 30), (20, 30)}
 
 
+def test_cooccurrence_max_container_size(spark):
+    # one normal basket (2 items -> 1 pair) + one mega-basket (20 items
+    # -> 190 pairs). cap=10 must drop the mega-basket entirely: the
+    # candidate count stays sub-quadratic under skew.
+    rows = [(1, 10), (1, 20)] + [(2, i) for i in range(100, 120)]
+    items = spark.createDataFrame(rows, ["container", "item"])
+    capped = cooccurrence_edges(
+        items, "container", "item", max_container_size=10
+    )
+    assert {(r.src, r.dst) for r in capped.collect()} == {(10, 20)}
+    # uncapped sanity: the mega-basket would have contributed C(20,2)
+    uncapped = cooccurrence_edges(items, "container", "item")
+    assert uncapped.count() == 1 + 190
+
+
+def test_pagerank_empty_edges(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, iterations=3)
+    assert out.columns == ["node", "rank_scaled", "rank"]
+    assert out.count() == 0
+
+
 def test_triangles_known_graph(spark):
     # K4 on {1,2,3,4} plus a pendant 5--1: C(4,3)=4 triangles, each K4
     # vertex in 3 of them, pendant in none.
