@@ -25,13 +25,19 @@ def _spread(df: DataFrame) -> DataFrame:
 
     A small parquet file arrives as 1-2 input splits (row-group bound),
     serializing the shingle/hash computation on one core. If the input
-    has far fewer partitions than the session's parallelism, repartition
-    up; with realistically-partitioned input (100 TB = ~800k splits)
-    this is a no-op — no shuffle is added at scale.
+    reads far fewer files than the session's parallelism, repartition
+    up; with realistically-partitioned input (100 TB = ~800k files)
+    this is a no-op — no shuffle is added at scale. Gated on
+    ``inputFiles()`` (scan metadata) rather than ``df.rdd`` — touching
+    ``.rdd`` forces analysis AND builds a Python RDD wrapper per call.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. createDataFrame)
+        n_inputs = 0
+    if n_inputs < max(2, target // 2):
         return df.repartition(target)
     return df
 

@@ -91,6 +91,67 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    idx_col: str = "row_idx",
+    rsum_col: str = "running_sum",
+    total_col: str = "v_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based global row number AND the running sum of
+    ``value_col`` over a TOTAL order (tie-broken by the caller), plus the
+    grand total — with no unpartitioned window anywhere in the plan.
+
+    Same layout as ``global_row_number``: range-partition on the order
+    columns, rank + prefix-sum *locally* per partition, then add the
+    (count, value-sum) of all earlier partitions from a tiny
+    |partitions|-row offset table joined back via broadcast. This is the
+    distributed form of ``SUM(x) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` — the cumulative-coverage / CDF primitive.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_part = _num_partitions(df, num_partitions)
+
+    ranged = (
+        df.repartitionByRange(n_part, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = ranged.withColumn(
+        "_local_rn", F.row_number().over(w)
+    ).withColumn(
+        "_local_sum",
+        F.sum(value_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    counts = ranged.groupBy("_pid").agg(
+        F.count("*").alias("_cnt"), F.sum(value_col).alias("_vsum")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"),
+            F.coalesce(F.sum("b._vsum"), F.lit(0)).alias("_voff"),
+        )
+    )
+    total = counts.agg(F.sum("_vsum").alias(total_col))
+    keyed = offsets.crossJoin(F.broadcast(total))
+
+    return (
+        local.join(F.broadcast(keyed), "_pid")
+        .withColumn(idx_col, (F.col("_off") + F.col("_local_rn")).cast("long"))
+        .withColumn(rsum_col, F.col("_voff") + F.col("_local_sum"))
+        .drop("_pid", "_local_rn", "_local_sum", "_off", "_voff")
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -8,10 +8,11 @@ training and corpus triage start from.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.layout import zorder_key, zorder_key_sql
+from ..operators.ranking import global_running_sum
 from ..operators.textstats import tokens
 from ..sources.parquet import load_tables
 from .catalog import QueryDef
@@ -54,11 +55,11 @@ def q99_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curve tokenizer vocab-size decisions read off).
 
     Scale shape: one explode + one two-metric aggregation on the token
-    key (map-side partial). The rank/coverage window is global BUT runs
-    over the *vocabulary* (bounded: ~1e5-1e6 rows regardless of corpus
-    size), not the corpus — unlike q41's per-row global window, this
-    single-reducer stage is metadata-scale by construction. The total
-    is attached via broadcast cross-join, not a driver collect.
+    key (map-side partial). Rank + running coverage use the distributed
+    ``global_running_sum`` machinery (range-partition on the frequency
+    order, local prefix sums, broadcast offset table) — NO unpartitioned
+    window anywhere, so a web-scale shingle vocabulary (1e8+ terms)
+    ranks in parallel instead of through one reducer.
     """
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     tok = docs.select(
@@ -68,22 +69,22 @@ def q99_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("term_freq"),
         F.countDistinct("doc_id").cast("long").alias("doc_freq"),
     )
-    total = vocab.agg(F.sum("term_freq").alias("_total"))
-    w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
-    return (
-        vocab.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "coverage",
-            F.round(
-                F.sum("term_freq").over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ).cast("double")
-                / F.col("_total").cast("double"),
-                6,
-            ),
-        )
-        .select("token", "term_freq", "doc_freq", "rank", "coverage")
+    ranked = global_running_sum(
+        vocab,
+        [F.desc("term_freq"), F.asc("token")],
+        "term_freq",
+        idx_col="rank",
+        rsum_col="_cum",
+        total_col="_total",
+    )
+    return ranked.select(
+        "token",
+        "term_freq",
+        "doc_freq",
+        "rank",
+        F.round(
+            F.col("_cum").cast("double") / F.col("_total").cast("double"), 6
+        ).alias("coverage"),
     )
 
 

@@ -33,10 +33,15 @@ def detect_encoding(
     deterministic stdlib equivalent):
 
     1. BOM → the BOM's encoding (UTF-8/16/32, either endianness).
-    2. sample strict-decodes as UTF-8 → ``UTF-8`` (ASCII is a subset;
+    2. NUL-byte periodicity → BOM-less UTF-16: mostly-Latin text in
+       UTF-16 has ~every other byte 0x00, concentrated at odd offsets
+       for LE and even offsets for BE. This must run BEFORE the UTF-8
+       probe — UTF-16LE ASCII (``61 00 62 00``) strict-decodes as
+       valid UTF-8 with embedded NULs, so the probe alone misses it.
+    3. sample strict-decodes as UTF-8 → ``UTF-8`` (ASCII is a subset;
        a random byte sequence passes this probe with vanishing
        probability, which is the same bet chardet makes).
-    3. otherwise → ``ISO-8859-1`` (decodes any byte sequence; the
+    4. otherwise → ``ISO-8859-1`` (decodes any byte sequence; the
        standard fallback for legacy single-byte dumps).
 
     Driver-side, reads at most ``sample_size`` bytes.
@@ -46,6 +51,14 @@ def detect_encoding(
     for bom, enc in _BOMS:
         if head.startswith(bom):
             return enc
+    if b"\x00" in head:
+        even, odd = head[0::2], head[1::2]
+        even_z = even.count(0) / max(len(even), 1)
+        odd_z = odd.count(0) / max(len(odd), 1)
+        if odd_z > 0.3 and even_z < 0.05:
+            return "UTF-16LE"
+        if even_z > 0.3 and odd_z < 0.05:
+            return "UTF-16BE"
     try:
         head.decode("utf-8")
         return "UTF-8"

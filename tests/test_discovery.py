@@ -94,6 +94,13 @@ def test_detect_encoding(tmp_path):
             b"\xfe\xff" + "a,b\n1,2\n".encode("utf-16-be"), "UTF-16BE",
         ),
         "utf32le.csv": ("a\n1\n".encode("utf-32"), "UTF-32LE"),
+        # BOM-less UTF-16 (VERDICT r02 #8): NUL-periodicity heuristic
+        "utf16le_nobom.csv": (
+            "name,origin\nGrizzly,USA\n".encode("utf-16-le"), "UTF-16LE",
+        ),
+        "utf16be_nobom.csv": (
+            "name,origin\nGrizzly,USA\n".encode("utf-16-be"), "UTF-16BE",
+        ),
     }
     for fname, (data, want) in cases.items():
         f = tmp_path / fname

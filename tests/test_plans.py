@@ -116,6 +116,14 @@ def test_q41_has_no_unpartitioned_window(spark, reg):
     assert unpartitioned_windows(plan) == []
 
 
+def test_q99_has_no_unpartitioned_window(spark, reg):
+    """VERDICT r02: q99's vocabulary rank/coverage rode a global window.
+    The global_running_sum rewrite must leave zero unpartitioned windows
+    in the physical plan (rank + prefix sum are range-partitioned)."""
+    plan = plan_of(spark, reg, "q99_vocabulary")
+    assert unpartitioned_windows(plan) == []
+
+
 def test_q55_is_single_lazy_plan(spark, reg):
     """Building q55 must not trigger an eager aggregation job (the old
     .collect() scalar did): beyond the parquet schema-read jobs that any

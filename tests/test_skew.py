@@ -1,0 +1,79 @@
+"""Skew-injection tests (VERDICT r02 #7): synthetic hot-key fixtures
+prove the banded joins' caps bound candidate-pair counts sub-quadratic
+under pathological skew — a hot shingle shared by every document, a hot
+LSH band bucket holding the whole corpus, a mega-container basket
+(the container case lives in test_graph.py::test_cooccurrence_max_container_size).
+
+Each test measures the *candidate* set (threshold=0 so verification
+passes everything): uncapped the fixture degenerates to all-pairs
+C(n,2); capped it collapses to only the pairs a discriminating key
+still links.
+"""
+
+from __future__ import annotations
+
+from postgresimporter_spark.operators.dedup import ngram_jaccard_pairs
+from postgresimporter_spark.operators.similarity import signband_neardup_pairs
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    # 40 docs, each = one shared stop-phrase + a unique 5-word tail.
+    # The phrase's 3-gram shingles appear in ALL docs (df ratio 1.0);
+    # the tails share nothing. Uncapped: every pair meets -> C(40,2).
+    # Capped at 50%: hot shingles dropped before the join -> 0 pairs.
+    n = 40
+    rows = [
+        (i, f"the quick brown fox u{i}a u{i}b u{i}c u{i}d u{i}e")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0, n=3)
+    assert uncapped.count() == n * (n - 1) // 2
+    capped = ngram_jaccard_pairs(df, threshold=0.0, n=3, max_doc_ratio=0.5)
+    assert capped.count() == 0
+
+
+def test_hot_shingle_cap_keeps_rare_links(spark):
+    # Two docs also share a RARE phrase: the cap must keep their pair
+    # while dropping the all-pairs degenerate mass.
+    n = 30
+    rows = []
+    for i in range(n):
+        tail = f"u{i}a u{i}b u{i}c u{i}d u{i}e"
+        if i in (3, 7):  # rare shared 3-grams between docs 3 and 7
+            tail = "rare shared marker phrase " + tail
+        rows.append((i, f"the quick brown fox {tail}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(df, threshold=0.0, n=3, max_doc_ratio=0.5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(3, 7)}
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    # 30 all-positive vectors: every sign bit is 1, so every band
+    # bucket holds the whole corpus. Uncapped: all pairs meet ->
+    # C(30,2). Capped at 10%: every bucket is hot -> 0 candidates.
+    n = 30
+    rows = [(i, [float(1 + (i + d) % 7) for d in range(16)]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    uncapped = signband_neardup_pairs(df, threshold=0.0)
+    assert uncapped.count() == n * (n - 1) // 2
+    capped = signband_neardup_pairs(df, threshold=0.0, max_bucket_ratio=0.1)
+    assert capped.count() == 0
+
+
+def test_hot_bucket_cap_keeps_rare_band_pairs(spark):
+    # Mostly-positive corpus, but two vectors share a distinctive
+    # negative-sign pattern in band 0 (a rare bucket): their pair must
+    # survive the hot-bucket cap via that band alone.
+    n = 20
+    rows = []
+    for i in range(n):
+        vec = [float(1 + (i + d) % 5) for d in range(16)]
+        if i in (2, 9):
+            vec[0], vec[2] = -1.0, -2.0  # rare band-0 key for this pair
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = signband_neardup_pairs(df, threshold=0.0, max_bucket_ratio=0.2)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(2, 9)}
