@@ -3,7 +3,7 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "sf": <sf>, "sf1": {...}}
 
 Timing is end-to-end per query: plan + execute + count (count forces full
 execution without driver-side result transfer costs dominating).
@@ -13,10 +13,19 @@ MINIMUM is reported: this sandbox shows ~60% run-to-run variance
 (VERDICT r01), and min-of-N is the standard way to separate the query's
 actual cost from scheduler/GC noise so round-over-round regressions are
 real signal.
+
+The ``sf1`` section (VERDICT r02 #5) times the five most expensive
+queries at 10x the default scale, where data cost dominates JVM fixed
+costs and the 2x-of-baseline criterion is meaningful. The sf1 tables are
+generated once (cached in /tmp) from sf0.1: fact tables are unioned 10x
+with shifted keys, documents get a per-copy marker token (near-dup, not
+exact-dup, copies — the realistic dedup workload), dimensions copy
+as-is. Disable with SPARK_GRAFT_SF1=0.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -39,7 +48,93 @@ HEADLINE = [
     "q46_similarity_ivf",
     "q48_salted_agg",
     "q49_pandas_tokenize",
+    # round-2 tiers (VERDICT r02 #3): temporal joins, Hamming dedup,
+    # curation, retrieval, graph — regression visibility for the new surface
+    "q82_asof_join",
+    "q83_interval_join",
+    "q86_simhash_hamming",
+    "q95_dup_ngram_fraction",
+    "q107_bm25_topk",
+    "q119_pagerank",
 ]
+
+# sf1 section: the five most expensive queries, at 10x scale.
+SF1_HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q26_minhash_lsh",
+    "q46_similarity_ivf",
+]
+SF1_COPIES = 10
+
+
+def _ensure_sf1(spark, base_dir: str) -> str | None:
+    """Generate (once, cached) a 10x-scaled copy of the sf0.1 tables the
+    SF1_HEADLINE queries read. Returns the directory, or None on failure."""
+    out = Path(os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"))
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    try:
+        from pyspark.sql import DataFrame
+        from pyspark.sql import functions as F
+
+        out.mkdir(parents=True, exist_ok=True)
+
+        def read(t):
+            return spark.read.parquet(f"{base_dir}/{t}.parquet")
+
+        def write(df, t):
+            df.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+
+        for t in ["region", "nation", "customer", "supplier"]:
+            write(read(t), t)
+
+        def scaled(df, key: str, shift: int, mark=None) -> DataFrame:
+            parts = []
+            for i in range(SF1_COPIES):
+                d = df.withColumn(key, F.col(key) + F.lit(i * shift))
+                if mark is not None:
+                    d = mark(d, i)
+                parts.append(d)
+            return functools.reduce(DataFrame.unionAll, parts)
+
+        write(scaled(read("orders"), "o_orderkey", 10_000_000), "orders")
+        write(scaled(read("lineitem"), "l_orderkey", 10_000_000), "lineitem")
+        # copy i>0 gets a marker token: copies are near-dups (one-shingle
+        # delta), not exact dups — the honest dedup workload at scale
+        write(
+            scaled(
+                read("documents"),
+                "doc_id",
+                1_000_000,
+                mark=lambda d, i: d.withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(f" c{i}" if i else "")),
+                ),
+            ),
+            "documents",
+        )
+        write(scaled(read("embeddings"), "vec_id", 1_000_000), "embeddings")
+        done.touch()
+        return str(out)
+    except Exception as e:  # bench must still emit its JSON line
+        print(f"sf1 generation failed: {e}", file=sys.stderr)
+        return None
+
+
+def _time_queries(spark, reg, names, sf_dir: str, n_runs: int) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        q = reg[name]
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    return timings
 
 
 def main() -> None:
@@ -56,15 +151,7 @@ def main() -> None:
     spark.range(1).count()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = reg[name]
-        best = float("inf")
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    timings = _time_queries(spark, reg, HEADLINE, sf_dir, n_runs)
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -73,6 +160,21 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # sf1 section: only from the default sf0.1 run (the driver's round
+    # bench), min-of-2 — data cost dominates there, noise matters less.
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        sf1_dir = _ensure_sf1(spark, sf_dir)
+        if sf1_dir:
+            sf1 = _time_queries(
+                spark, reg, SF1_HEADLINE, sf1_dir, min(2, n_runs)
+            )
+            out["sf1"] = {
+                "queries": sf1,
+                "total_sec": round(sum(sf1.values()), 3),
+                "scale_copies": SF1_COPIES,
+            }
+
     print(json.dumps(out))
 
 

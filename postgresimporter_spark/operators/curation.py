@@ -280,7 +280,8 @@ def dup_ngram_fraction(
     """
     ex = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
-    )
+    ).localCheckpoint(eager=False)  # feeds BOTH the df-count and the join
+    # back — materialize so the shingle explode runs once, not twice
     # (id, shingle) is unique post-array_distinct, so count(*) == doc freq
     dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
     hit = F.when(F.col("_df") >= min_df, F.lit(1)).otherwise(F.lit(0))

@@ -386,11 +386,18 @@ def simhash_hamming_pairs(
             for i in range(chunks)
         ]
     )
-    keyed = fingerprints.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("fp"),
-        F.explode(entries).alias("e"),
-    ).select("id", "fp", "e.chunk", "e.val")
+    keyed = (
+        fingerprints.select(
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("fp"),
+            F.explode(entries).alias("e"),
+        )
+        .select("id", "fp", "e.chunk", "e.val")
+        # both sides of the self-join read this: materialize so the
+        # upstream fingerprint computation (token explode + 32-bit vote
+        # aggregation) runs once, not twice
+        .localCheckpoint(eager=False)
+    )
 
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (

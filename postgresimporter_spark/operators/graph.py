@@ -92,9 +92,11 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     — smaller than edges but NOT guaranteed broadcast-safe at corpus
     scale (a web graph's V exceeds the executor broadcast limit), so
     no broadcast hint: AQE picks broadcast at runtime when the degree
-    table fits, shuffle-hash otherwise.
+    table fits, shuffle-hash otherwise. The degree table feeds both
+    endpoint joins — checkpoint it once so the second join doesn't
+    re-run the upstream edge build.
     """
-    deg = degrees(edges)
+    deg = degrees(edges).localCheckpoint(eager=False)
     e = (
         edges.join(
             deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "dsrc"),
@@ -164,7 +166,11 @@ def pagerank(
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = degrees(edges)
+    # materialize the degree table once: every iteration joins it, and
+    # without a checkpoint each join would re-run the full upstream edge
+    # build (co-occurrence self-join) — O(V) storage buys O(iterations)
+    # fewer edge scans
+    deg = degrees(edges).localCheckpoint(eager=False)
     n_nodes = deg.count()  # driver scalar: O(V) metadata-scale, like reconcile counts
     if n_nodes == 0:
         return deg.select(
