@@ -1,0 +1,290 @@
+"""Corpus mining operators: containment dedup, LM quality scoring,
+PMI phrase mining, hard-negative mining, content-defined chunking.
+
+Net-new engine surface beyond the reference
+(``/root/reference/postgresimporter/main.py`` ships none of this) —
+the second-order curation toolkit a 100 TB training-data pipeline runs
+after the first dedup/quality pass:
+
+- **Containment pairs**: asymmetric near-dup detection. Jaccard misses
+  the "document A is a quote-wrapped subset of document B" case (small
+  |A| inflates the union); containment ``|A∩B| / min(|A|,|B|)`` flags
+  exactly that. Same shingle equi-join scale shape as Jaccard — never
+  a cross join, same hot-shingle cap.
+- **Unigram log-prob scoring** (CCNet-style): score each document by
+  the average log-probability of its tokens under the corpus's own
+  unigram distribution. Junk (mojibake, base64 blobs, exotic boiler-
+  plate) scores low; the score drives percentile-based triage. Token
+  probabilities come from one aggregation; the per-doc score is one
+  join + one aggregation, all on the token key.
+- **PMI bigram mining**: pointwise mutual information ranks token
+  pairs that co-occur far above chance — the classic phrase/collocation
+  detector (word2vec-era phrase joining). Exact integer counts; one
+  ``ln`` per surviving bigram keeps floats deterministic per-row.
+- **Hard negatives**: for each probe embedding, the top-k most-similar
+  corpus vectors with a DIFFERENT label — the contrastive-training
+  fuel. Probes broadcast; the corpus never shuffles (same posture as
+  ``brute_force_topk``).
+- **CDC chunks**: content-defined chunking — chunk boundaries fall
+  where a rolling token hash hits a mask, so an insertion early in a
+  document shifts chunk *contents* only locally (fixed-size chunking
+  would shift every downstream chunk). Chunk hashes enable sub-document
+  dedup across the corpus. Per-document windows only — bounded by doc
+  length, embarrassingly parallel across docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _drop_hot_shingles, _md5_long, _spread, shingles
+from .similarity import cosine
+from .textstats import tokens
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_ratio: float | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle containment
+    ``|A∩B| / min(|A|,|B|)`` — catches subset-duplicates that Jaccard's
+    union denominator dilutes (a tweet quoted inside an article).
+
+    Scale shape identical to ``ngram_jaccard_pairs``: explode distinct
+    shingles, optional hot-shingle cap, equi-join on the shingle key,
+    per-pair shared-count aggregation. Returns (id_a, id_b, containment)
+    with id_a < id_b.
+    """
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    exploded_raw = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_doc_ratio is not None:
+        exploded_raw = _drop_hot_shingles(exploded_raw, df, max_doc_ratio)
+
+    sizes = exploded_raw.groupBy("id").agg(F.count("*").alias("n_sh"))
+    exploded = exploded_raw.join(sizes, on="id")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(b, on="shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    containment = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        pairs.withColumn("containment", F.round(containment, round_digits))
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """CCNet-style LM quality score: per document, the mean natural-log
+    probability of its tokens under the corpus unigram distribution.
+
+    One explode + one token-count aggregation builds the "model"; the
+    score is a token-key join back plus a per-doc aggregation — the
+    exact shape of dup_ngram_fraction, so the same skew notes apply.
+    The per-token log is rounded before summing so the float total is
+    engine-portable at the reported precision.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).localCheckpoint(eager=False)  # feeds the count AND the join back
+    counts = ex.groupBy("_t").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    logp = F.round(
+        F.log(F.col("_c").cast("double") / F.col("_n").cast("double")), 9
+    )
+    return (
+        ex.join(counts, on="_t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(logp).alias("_sum_logp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("_sum_logp") / F.col("n_tokens").cast("double"),
+                round_digits,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs:
+    ``pmi(a,b) = ln( (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)) )``.
+
+    Counts are exact integers (two aggregations: unigrams, bigrams);
+    the single ``ln`` per surviving bigram is computed from one ratio of
+    exact counts, so the float is deterministic per-row. Totals join in
+    as broadcast 1-row aggregates. ``min_count`` prunes the noise tail
+    BEFORE the unigram joins — at web scale the surviving bigram
+    vocabulary is orders of magnitude smaller than the raw one.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "_t")
+    ).localCheckpoint(eager=False)  # unigram AND bigram counts read this
+    uni = tok.groupBy("_t").agg(F.count("*").alias("c_tok"))
+    n_uni = uni.agg(F.sum("c_tok").cast("double").alias("_n_uni"))
+
+    nxt = tok.select(
+        F.col(id_col), (F.col("pos") + 1).alias("pos"), F.col("_t").alias("_t2")
+    )
+    bi = (
+        tok.join(nxt, on=[id_col, "pos"])
+        .groupBy(F.col("_t").alias("tok_b"), F.col("_t2").alias("tok_a"))
+        .agg(F.count("*").alias("c_bi"))
+    )
+    # NOTE join orientation: tok at pos p+1 meets nxt carrying the token
+    # from pos p — so _t is the SECOND word, _t2 the first.
+    bi = bi.select(
+        F.col("tok_a").alias("w1"), F.col("tok_b").alias("w2"), "c_bi"
+    ).where(F.col("c_bi") >= min_count)
+    n_bi = bi.agg(F.coalesce(F.sum("c_bi"), F.lit(0)).cast("double").alias("_n_bi"))
+
+    u1 = uni.select(F.col("_t").alias("w1"), F.col("c_tok").alias("c1"))
+    u2 = uni.select(F.col("_t").alias("w2"), F.col("c_tok").alias("c2"))
+    pmi = F.log(
+        (F.col("c_bi") / F.col("_n_bi"))
+        / ((F.col("c1") / F.col("_n_uni")) * (F.col("c2") / F.col("_n_uni")))
+    )
+    return (
+        bi.join(u1, on="w1")
+        .join(u2, on="w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_bi").cast("long").alias("pair_count"),
+            F.round(pmi, round_digits).alias("pmi"),
+        )
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    probe_id: str = "probe_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per probe, the top-k most-cosine-similar corpus vectors whose
+    label DIFFERS from the probe's — contrastive hard negatives.
+
+    ``broadcast(probes)`` keeps the corpus partitioned (map-side nested
+    loop, no corpus shuffle); the label inequality prunes before the
+    window. Top-k per probe via row_number with a total-order tiebreak.
+    """
+    p = F.broadcast(
+        probes.select(
+            F.col(probe_id),
+            F.col(vec_col).alias("_pvec"),
+            F.col(label_col).alias("_plabel"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(corpus_id),
+            F.col(vec_col).alias("_cvec"),
+            F.col(label_col).alias("_clabel"),
+        )
+        .crossJoin(p)
+        .where(F.col("_clabel") != F.col("_plabel"))
+        .withColumn(
+            "score", F.round(cosine(F.col("_cvec"), F.col("_pvec")), round_digits)
+        )
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(probe_id, corpus_id, "score", "rank")
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    mask_bits: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER token i
+    when ``md5_long(token_i) mod 2^mask_bits == 0`` (expected chunk
+    length 2^mask_bits tokens). Returns one row per (doc, chunk) with
+    the chunk's token count and md5 hash over its space-joined tokens —
+    the unit of sub-document dedup.
+
+    Unlike fixed-size chunking, an edit shifts only the chunk it lands
+    in: boundaries are content-anchored, so identical passages chunk
+    identically in every document that contains them. All windows are
+    per-document (bounded by doc length); cross-corpus work is the
+    chunk-hash aggregation the caller runs downstream.
+    """
+    mask = (1 << mask_bits) - 1
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "_t")
+    )
+    # boundary AFTER token i -> token i+1 starts a new chunk; chunk id =
+    # running count of boundaries strictly before this token
+    bnd = tok.withColumn(
+        "_b", (_md5_long(F.col("_t"), 7).bitwiseAND(F.lit(mask)) == 0).cast("int")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = bnd.withColumn(
+        "chunk_id", F.coalesce(F.sum("_b").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.array_sort(
+                F.collect_list(F.struct("pos", "_t"))
+            ).getField("_t"))).alias("chunk_hash"),
+        )
+        .select(id_col, "chunk_id", "n_tokens", "chunk_hash")
+    )
+
+
+__all__ = [
+    "containment_pairs",
+    "unigram_logprob",
+    "pmi_bigrams",
+    "hard_negatives",
+    "cdc_chunks",
+]

@@ -799,6 +799,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch18_registry():
         out[q.name] = q
+    from .catalog_batch19 import batch19_registry
+
+    for q in batch19_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
