@@ -190,6 +190,66 @@ def pmi_bigrams(
     )
 
 
+def bigram_perplexity(
+    df: DataFrame,
+    k: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM trained
+    on the corpus itself — the CCNet perplexity-filter shape, with the
+    KenLM black box replaced by an exactly-reproducible count model:
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)``.
+
+    Three aggregations on token keys (unigram, bigram, vocab size) plus
+    one join of each doc's bigram stream back to the model — the same
+    scale shape as ``unigram_logprob``. Per-bigram logs round at 9
+    digits before the sum; docs with fewer than 2 tokens drop out (no
+    bigram evidence). Returns (doc_id, n_bigrams, avg_nll, ppl).
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "_t")
+    ).localCheckpoint(eager=False)
+    uni = tok.groupBy("_t").agg(F.count("*").alias("c_uni"))
+    vocab = uni.agg(F.count("*").cast("double").alias("_v"))
+
+    nxt = tok.select(
+        F.col(id_col), (F.col("pos") + 1).alias("pos"), F.col("_t").alias("_w1")
+    )
+    inst = tok.join(nxt, on=[id_col, "pos"]).select(
+        F.col(id_col), F.col("_w1"), F.col("_t").alias("_w2")
+    )
+    bi = inst.groupBy("_w1", "_w2").agg(F.count("*").alias("c_bi"))
+
+    nll = -F.round(
+        F.log(
+            (F.col("c_bi") + F.lit(k))
+            / (F.col("c_uni") + F.lit(k) * F.col("_v"))
+        ),
+        9,
+    )
+    return (
+        inst.join(bi, on=["_w1", "_w2"])
+        .join(uni.withColumnRenamed("_t", "_w1"), on="_w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(nll).alias("_sum_nll"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.col("_sum_nll") / F.col("n_bigrams").cast("double"),
+                round_digits,
+            ).alias("avg_nll"),
+        )
+        .withColumn("ppl", F.round(F.exp(F.col("avg_nll")), 4))
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     probes: DataFrame,
@@ -284,6 +344,7 @@ def cdc_chunks(
 __all__ = [
     "containment_pairs",
     "unigram_logprob",
+    "bigram_perplexity",
     "pmi_bigrams",
     "hard_negatives",
     "cdc_chunks",

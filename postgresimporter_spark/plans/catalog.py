@@ -803,6 +803,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch19_registry():
         out[q.name] = q
+    from .catalog_batch20 import batch20_registry
+
+    for q in batch20_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 from postgresimporter_spark.operators.mining import (
+    bigram_perplexity,
     cdc_chunks,
     containment_pairs,
     hard_negatives,
@@ -38,6 +39,19 @@ def test_unigram_logprob_known_values(spark):
     lp_a, lp_b = math.log(3 / 4), math.log(1 / 4)
     assert got[1][0] == 2 and abs(got[1][1] - lp_a) < 1e-6
     assert got[2][0] == 2 and abs(got[2][1] - (lp_a + lp_b) / 2) < 1e-6
+
+
+def test_bigram_perplexity_known_values(spark):
+    # corpus "a b a b" + "a b": V=2, c(a)=3, c(b)=3, c(a,b)=3, c(b,a)=1
+    # doc 2's only bigram: P(b|a) = (3+1)/(3+1*2) = 4/5
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_perplexity(df, k=1).collect()}
+    assert got[2].n_bigrams == 1
+    assert abs(got[2].avg_nll - (-math.log(4 / 5))) < 1e-6
+    assert abs(got[2].ppl - 5 / 4) < 1e-3
+    # doc with a single token has no bigram evidence -> excluded
+    df1 = spark.createDataFrame([(1, "a b"), (2, "x")], ["doc_id", "text"])
+    assert {r.doc_id for r in bigram_perplexity(df1).collect()} == {1}
 
 
 def test_pmi_prefers_exclusive_pair(spark):
