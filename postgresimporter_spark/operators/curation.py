@@ -340,6 +340,103 @@ def quality_gates(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    span: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cross-document span removal: every token position
+    covered by ANY word ``span``-gram occurring in >= ``min_docs``
+    distinct documents is deleted; the document is rebuilt from the
+    surviving tokens in original order. This is the "remove repeated
+    three-sentence spans" step of C4 (Raffel et al. 2020 §2.2),
+    re-expressed at token-window granularity.
+
+    Returns (id, n_tokens, n_removed, clean_text); documents whose
+    every token is boilerplate survive with clean_text = ''.
+
+    Scale shape: tokens and grams are exploded once (gram explode is
+    localCheckpointed — it feeds both the frequency count and the
+    join-back, and projection collapse would re-run it twice);
+    duplicate-gram detection is a groupBy on the gram key with map-side
+    partials; covered positions come from an equi-join on the gram and
+    a bounded explode (span rows per hit). Reassembly is one groupBy on
+    the doc id with an in-order fold — never a window, never a sort of
+    the corpus. A stop-phrase gram with huge document frequency fans
+    out 1:1 (each gram occurrence matches exactly one frequency row),
+    so skew is carry-over, not amplification; AQE splits it.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)  # feeds grams, words, and final join
+    # full-length grams only: empty start-index array for short docs
+    # (F.sequence(0, -1) is DESCENDING [0,-1], not empty — guard it)
+    starts = F.when(
+        F.col("n_tokens") >= span,
+        F.sequence(F.lit(0), (F.col("n_tokens") - span).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id",
+        F.explode(starts).alias("start"),
+        F.col("_toks").alias("_toks"),
+    ).select(
+        "id",
+        "start",
+        F.array_join(
+            F.slice("_toks", F.col("start") + F.lit(1), span), " "
+        ).alias("gram"),
+    ).localCheckpoint(eager=False)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, on="gram")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (span - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = base.select(
+        "id", F.posexplode("_toks").alias("pos", "w")
+    )
+    kept = words.join(covered, on=["id", "pos"], how="left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.count("*").cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(reassembled, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 __all__ = [
     "raw_ngrams",
     "ngram_contamination",
@@ -349,6 +446,7 @@ __all__ = [
     "chunk_documents",
     "redact_text",
     "dup_ngram_fraction",
+    "remove_duplicate_spans",
     "quality_gates",
     "DEFAULT_PII_PATTERNS",
     "QUALITY_GATES",

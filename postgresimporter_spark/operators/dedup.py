@@ -233,6 +233,51 @@ def minhash_signatures(
     )
 
 
+def _band_entries(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, signature) -> one row per (id, signature, band, bucket).
+
+    The bucket is md5 over the band's comma-joined sub-signature —
+    engine-independent (the oracle rebuilds the identical hex string),
+    and a single string key keeps the LSH join a plain hash equi-join.
+    """
+    return sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+
+
+def _sig_agreement(num_hashes: int) -> Column:
+    """Estimated Jaccard: fraction of agreeing signature positions."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 16,
@@ -262,29 +307,7 @@ def minhash_lsh_pairs(
         df, num_hashes, n, text_col, id_col, max_doc_ratio=max_doc_ratio
     ).localCheckpoint(eager=False)
 
-    band_entries = sigs.select(
-        "id",
-        "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("signature")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "signature", "bb.band", "bb.bucket")
+    band_entries = _band_entries(sigs, bands, rows_per_band)
 
     a, b = band_entries.alias("a"), band_entries.alias("b")
     cand = (
@@ -298,19 +321,137 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / F.lit(num_hashes)
-    )
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        cand.withColumn("est_jaccard", F.round(_sig_agreement(num_hashes), 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_ratio: float | None = None,
+) -> DataFrame:
+    """Persistable banded MinHash index over a (history) corpus: one row
+    per (id, signature, band, bucket).
+
+    This is the artifact an incremental dedup pipeline stores (e.g. as a
+    parquet table partitioned/bucketed by ``bucket``) and appends each
+    accepted batch to; ``minhash_match_index`` probes it with new
+    documents WITHOUT recomputing history signatures. At 100 TB the
+    index is O(corpus x bands) small rows and the probe touches only the
+    new batch's buckets — corpus history is never re-shingled.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, num_hashes, n, text_col, id_col, max_doc_ratio=max_doc_ratio
+    ).localCheckpoint(eager=False)
+    return _band_entries(sigs, bands, rows_per_band)
+
+
+def minhash_match_index(
+    index: DataFrame,
+    new_df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch of documents
+    against an existing ``minhash_band_index`` (corpus history) without
+    touching history text. Returns (new_id, hist_id, est_jaccard) for
+    every history doc whose estimated Jaccard with a new doc clears
+    ``threshold``.
+
+    Scale shape: signatures are computed for the new batch only; the
+    (band, bucket) equi-join probes the stored index. A typical
+    ingest batch is tiny next to corpus history, so the batch side
+    broadcasts (``broadcast_batch``) and the index — the 100 TB side —
+    never shuffles. Hash params MUST match the ones the index was built
+    with (same num_hashes/bands/n); mismatched params silently produce
+    disjoint buckets.
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(
+        new_df, num_hashes, n, text_col, id_col
+    ).localCheckpoint(eager=False)
+    new_entries = _band_entries(new_sigs, bands, rows_per_band)
+    if broadcast_batch:
+        new_entries = F.broadcast(new_entries)
+    cand = (
+        index.alias("h")
+        .join(new_entries.alias("b"), on=["band", "bucket"])
+        .select(
+            F.col("b.id").alias("new_id"),
+            F.col("h.id").alias("hist_id"),
+            F.col("b.signature").alias("sig_a"),
+            F.col("h.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(_sig_agreement(num_hashes), 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "hist_id", "est_jaccard")
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination matrix between corpus subsets: for every pair of
+    ``group_col`` values, the number of DISTINCT contents (sha256 of
+    text) present in both. The standard pre-training audit for
+    train/eval or crawl/crawl leakage.
+
+    Scale shape: distinct (group, hash) -> groupBy hash collecting the
+    (bounded: #groups) sorted source set -> explode the per-hash pair
+    combinations -> count per pair. Two shuffles, the second on a
+    pair-key domain of at most #groups^2 rows; no self-join of the
+    corpus against itself.
+    """
+    gh = df.select(
+        F.col(group_col).alias("_g"),
+        F.sha2(F.col(text_col), 256).alias("_h"),
+    ).distinct()
+    sets = (
+        gh.groupBy("_h")
+        .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
+        .where(F.size("_gs") >= 2)
+    )
+    # ordered pair expansion (a < b) from the sorted per-hash group set;
+    # 2-param transform lambda receives (element, index)
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_gs",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "_gs", i + F.lit(2), F.size("_gs")
+                        ),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.source_a", "_p.source_b")
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
     )
 
 
@@ -427,6 +568,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_band_index",
+    "minhash_match_index",
+    "cross_source_overlap",
     "simhash",
     "simhash_hamming_pairs",
 ]

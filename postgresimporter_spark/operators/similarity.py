@@ -351,6 +351,86 @@ def signband_neardup_pairs(
     )
 
 
+def dcg_gain_table(k: int) -> list[float]:
+    """Literal DCG gain per rank 1..k (1/log2(rank+1)), computed ONCE in
+    Python and inlined into both the Spark plan and the SQL oracle —
+    engine log() ULP differences can never surface."""
+    import math
+
+    return [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Ranking-quality evaluation of an approximate retrieval against
+    exact top-k: per query, hit count, MRR (reciprocal rank of the
+    exact nearest neighbor in the approximate list, 0 if absent) and
+    binary-gain NDCG@k (gain 1 for every approximate result inside the
+    exact top-k).
+
+    Both inputs are (query_id, corpus_id, score, rank) as produced by
+    ``brute_force_topk`` / ``ivf_topk`` / ``lsh_topk``. Joins are on
+    (query, id) — per-query metadata scale. The DCG fold runs over the
+    SORTED rank list (ascending) with a literal gain table, so double
+    accumulation order is fixed and engine-identical.
+    """
+    gains = dcg_gain_table(k)
+    idcg = 0.0
+    for g in gains:  # sequential fold, same order as the engines'
+        idcg += g
+    gains_arr = F.array(*[F.lit(g) for g in gains])
+
+    e = exact.select(
+        F.col(query_id).alias("_q"),
+        F.col(corpus_id).alias("_i"),
+        F.col("rank").alias("_erank"),
+    )
+    a = approx.select(
+        F.col(query_id).alias("_q"),
+        F.col(corpus_id).alias("_i"),
+        F.col("rank").alias("_arank"),
+    )
+    hits = a.join(e, on=["_q", "_i"])
+    per_q = hits.groupBy("_q").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.col("_arank").cast("int"))),
+                lambda r: F.element_at(gains_arr, r),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_dcg"),
+    )
+    first = (
+        e.where(F.col("_erank") == 1)
+        .join(a, on=["_q", "_i"])
+        .select("_q", F.col("_arank").alias("_frank"))
+    )
+    queries = e.select("_q").distinct()
+    return (
+        queries.join(per_q, on="_q", how="left")
+        .join(first, on="_q", how="left")
+        .select(
+            F.col("_q").alias(query_id),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_frank"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.lit(idcg), 6
+            ).alias("ndcg"),
+        )
+    )
+
+
 __all__ = [
     "cosine",
     "brute_force_topk",
@@ -359,4 +439,6 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "signband_neardup_pairs",
+    "retrieval_metrics",
+    "dcg_gain_table",
 ]

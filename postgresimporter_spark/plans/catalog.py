@@ -807,6 +807,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch20_registry():
         out[q.name] = q
+    from .catalog_batch21 import batch21_registry
+
+    for q in batch21_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -1,0 +1,306 @@
+"""Twenty-first catalog batch: corpus-lifecycle tier — incremental
+MinHash dedup against stored history, C4-style duplicated-span removal,
+ranking-quality retrieval metrics (MRR/NDCG), and a cross-source
+contamination matrix.
+
+These model the *ongoing* life of a 100 TB training corpus: new crawl
+batches are deduped against an immutable signature index (history text
+is never re-read), boilerplate spans are cut at token granularity, the
+ANN serving path is scored with ranking metrics (not just recall), and
+subset leakage (train/eval, crawl/crawl) is audited pairwise. Each
+query pairs the Spark plan with a full-semantics DuckDB oracle.
+
+No counterpart in the reference (its scope ends at CSV→Postgres
+loading, `/root/reference/postgresimporter/main.py`): this tier is the
+beyond-reference LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as C
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..sources.parquet import load_tables
+from .catalog import QueryDef
+from .catalog_batch10 import RECALL_K
+from .catalog_northstar import (
+    BANDS,
+    NUM_HASHES,
+    ORACLE_Q28,
+    _SHINGLES,
+    _bands_sql,
+    _minhash_sig_sql,
+)
+from .catalog_pandas import CENTROIDS, ORACLE_Q46
+
+# q129: incremental MinHash dedup against corpus history ---------------------
+
+# New-batch fixture: 25 near-dups of history docs (one appended token)
+# plus 25 token-reversed docs (shingle-disjoint from their originals) —
+# the matcher must flag the first group and pass the second.
+_BATCH_SQL = """
+SELECT doc_id + 20000 AS doc_id, text || ' ingestmarker' AS text
+FROM documents WHERE doc_id < 25
+UNION ALL
+SELECT doc_id + 20000 AS doc_id,
+       array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' ') AS text
+FROM documents WHERE doc_id >= 25 AND doc_id < 50
+"""
+
+
+def _new_batch(docs: DataFrame) -> DataFrame:
+    near = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ingestmarker")).alias("text"),
+    )
+    rev = docs.where(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") < 50)
+    ).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.array_join(
+            F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " "
+        ).alias("text"),
+    )
+    return near.unionByName(rev)
+
+
+def q129_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new ingest batch against corpus history via a stored
+    banded MinHash index (operators/dedup.py:minhash_band_index /
+    minhash_match_index): history text is never re-shingled, the batch
+    side broadcasts, and the probe is a (band, bucket) equi-join into
+    the index — the standard shape for continuous corpus ingestion."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    hist = docs.select("doc_id", "text")
+    index = D.minhash_band_index(
+        hist, num_hashes=NUM_HASHES, bands=BANDS
+    )
+    return D.minhash_match_index(
+        index,
+        _new_batch(docs),
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=0.5,
+    )
+
+
+def _sig_band_cte(src: str, prefix: str) -> str:
+    """Shared CTE chain: (doc_id, text) relation name -> banded rows."""
+    return f"""
+{prefix}sh AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM {src}),
+{prefix}based AS (SELECT id, list_transform(sh,
+    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {D.MINHASH_P}) AS bases
+  FROM {prefix}sh),
+{prefix}sigs AS (SELECT id, {_minhash_sig_sql()} AS signature
+  FROM {prefix}based),
+{prefix}band AS (
+  SELECT id, signature, unnest({_bands_sql()}, recursive := true)
+  FROM {prefix}sigs)"""
+
+
+ORACLE_Q129 = f"""
+WITH hist AS (SELECT doc_id, text FROM documents),
+batch AS ({_BATCH_SQL}),
+{_sig_band_cte('hist', 'h')},
+{_sig_band_cte('batch', 'b')},
+cand AS (
+  SELECT DISTINCT b.id AS new_id, h.id AS hist_id,
+         b.signature AS sig_a, h.signature AS sig_b
+  FROM hband h
+  JOIN bband b ON h.band = b.band AND h.bucket = b.bucket)
+SELECT new_id, hist_id,
+  round(len(list_filter(generate_series(1, {NUM_HASHES}),
+                        i -> sig_a[i] = sig_b[i])) / {NUM_HASHES}.0, 6)
+    AS est_jaccard
+FROM cand
+WHERE round(len(list_filter(generate_series(1, {NUM_HASHES}),
+                            i -> sig_a[i] = sig_b[i])) / {NUM_HASHES}.0, 6)
+      >= 0.5
+"""
+
+
+# q130: C4-style duplicated-span removal -------------------------------------
+
+SPAN = 5
+SPAN_MIN_DOCS = 10
+# 8-token boilerplate prepended to every third document: its interior
+# full-length 5-grams recur in ~1/3 of the corpus and must be cut.
+_SPAN_BOILER = "subscribe to our newsletter for daily updates now "
+
+
+def q130_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span removal (C4 §2.2 re-expressed at token-window
+    granularity): token positions covered by any 5-gram occurring in
+    >= 10 documents are deleted and the text is rebuilt in order
+    (operators/curation.py:remove_duplicate_spans)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    marked = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_SPAN_BOILER), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return C.remove_duplicate_spans(
+        marked, span=SPAN, min_docs=SPAN_MIN_DOCS
+    )
+
+
+ORACLE_Q130 = f"""
+WITH marked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_BOILER}' || text
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+         FROM marked),
+words AS (
+  SELECT doc_id, unnest(arr) AS w,
+         unnest(generate_series(0, len(arr) - 1)) AS pos
+  FROM toks),
+starts AS (
+  SELECT doc_id, arr,
+         unnest(generate_series(0, len(arr) - {SPAN})) AS start
+  FROM toks),
+grams AS (
+  SELECT doc_id, start,
+         array_to_string(list_slice(arr, start + 1, start + {SPAN}), ' ')
+           AS gram
+  FROM starts),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT g.doc_id,
+           unnest(generate_series(g.start, g.start + {SPAN - 1})) AS pos
+    FROM grams g JOIN dup USING (gram))),
+kept AS (
+  SELECT w.doc_id, w.pos, w.w
+  FROM words w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.pos = c.pos
+  WHERE c.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id),
+base AS (SELECT doc_id, len(arr) AS n_tokens FROM toks)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# q131: retrieval ranking metrics (MRR / NDCG@10) ----------------------------
+
+_GAINS = S.dcg_gain_table(RECALL_K)
+_IDCG = 0.0
+for _g in _GAINS:
+    _IDCG += _g
+
+
+def q131_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the IVF ANN (q46 configuration)
+    against brute-force exact top-10: per query MRR and binary-gain
+    NDCG@10 (operators/similarity.py:retrieval_metrics). The DCG fold
+    uses a Python-literal gain table over the sorted rank list, so
+    double accumulation is order-fixed and engine-identical."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=RECALL_K)
+    approx = S.ivf_topk(emb, queries, CENTROIDS, k=RECALL_K, nprobe=2)
+    return S.retrieval_metrics(exact, approx, k=RECALL_K)
+
+
+_GAINS_SQL = "[" + ", ".join(repr(g) for g in _GAINS) + "]"
+
+ORACLE_Q131 = f"""
+WITH exact AS ({ORACLE_Q28}),
+approx AS ({ORACLE_Q46}),
+hits AS (
+  SELECT a.query_id, a.rank
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id),
+perq AS (
+  SELECT query_id, COUNT(*) AS n_hits,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list_sort(list(rank)),
+                            r -> ({_GAINS_SQL})[r])),
+           (acc, v) -> acc + v) AS dcg
+  FROM hits GROUP BY query_id),
+rel AS (SELECT query_id, vec_id FROM exact WHERE rank = 1),
+firsts AS (
+  SELECT r.query_id, a.rank
+  FROM rel r JOIN approx a
+    ON a.query_id = r.query_id AND a.vec_id = r.vec_id),
+qs AS (SELECT DISTINCT query_id FROM exact)
+SELECT q.query_id,
+       CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(1.0 / f.rank, 0.0), 6) AS mrr,
+       round(COALESCE(p.dcg, 0.0) / {_IDCG!r}, 6) AS ndcg
+FROM qs q
+LEFT JOIN perq p USING (query_id)
+LEFT JOIN firsts f USING (query_id)
+"""
+
+
+# q132: cross-source contamination matrix ------------------------------------
+
+_AUG_SQL = """
+SELECT doc_id, text, source FROM documents
+UNION ALL
+SELECT doc_id, text, 'dup-crawl' AS source FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, text, 'eval-set' AS source FROM documents WHERE doc_id % 14 = 0
+"""
+
+
+def q132_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise subset-leakage audit: distinct shared contents per
+    source pair (operators/dedup.py:cross_source_overlap). The fixture
+    injects a mirrored crawl and an eval subset so overlap rows exist
+    both mirror-vs-origin and mirror-vs-mirror."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    aug = (
+        docs.select("doc_id", "text", "source")
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                "doc_id", "text", F.lit("dup-crawl").alias("source")
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 14 == 0).select(
+                "doc_id", "text", F.lit("eval-set").alias("source")
+            )
+        )
+    )
+    return D.cross_source_overlap(aug)
+
+
+ORACLE_Q132 = f"""
+WITH aug AS ({_AUG_SQL}),
+gh AS (SELECT DISTINCT source AS g, sha256(text) AS h FROM aug),
+p AS (
+  SELECT a.g AS source_a, b.g AS source_b
+  FROM gh a JOIN gh b ON a.h = b.h AND a.g < b.g)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p GROUP BY 1, 2
+"""
+
+
+def batch21_registry() -> list[QueryDef]:
+    return [
+        QueryDef("q129_incremental_minhash", q129_incremental_minhash, ORACLE_Q129, "new-batch MinHash dedup against stored history index"),
+        QueryDef("q130_span_dedup", q130_span_dedup, ORACLE_Q130, "C4-style duplicated-span removal with text rebuild"),
+        QueryDef("q131_retrieval_metrics", q131_retrieval_metrics, ORACLE_Q131, "MRR + NDCG@10 of IVF ANN vs exact"),
+        QueryDef("q132_source_overlap", q132_source_overlap, ORACLE_Q132, "cross-source contamination matrix"),
+    ]

@@ -1,0 +1,158 @@
+"""Micro-fixture tests for the corpus-lifecycle operators (q129-q132):
+incremental MinHash matching, duplicated-span removal, retrieval
+ranking metrics, and cross-source overlap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresimporter_spark.operators import curation as C
+from postgresimporter_spark.operators import dedup as D
+from postgresimporter_spark.operators import similarity as S
+from postgresimporter_spark.operators.bucketing import physical_plan
+
+
+def test_minhash_match_index_flags_history_dups(spark):
+    hist = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated tokens about spark shuffles and plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of doc 0 (one appended token)
+            (100, "the quick brown fox jumps over the lazy dog today extra"),
+            # novel content: must not match
+            (101, "entirely fresh material sharing no trigrams with history"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = D.minhash_band_index(hist, num_hashes=16, bands=4)
+    out = D.minhash_match_index(index, batch, num_hashes=16, bands=4)
+    rows = {(r.new_id, r.hist_id): r.est_jaccard for r in out.collect()}
+    assert (100, 0) in rows and rows[(100, 0)] >= 0.5
+    assert all(new_id != 101 for new_id, _ in rows)
+
+
+def test_minhash_match_index_broadcasts_batch(spark):
+    hist = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    batch = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    index = D.minhash_band_index(hist)
+    out = D.minhash_match_index(index, batch)
+    # the new-batch side must broadcast: history (the 100 TB side)
+    # never shuffles for the probe join
+    assert "BroadcastHashJoin" in physical_plan(out)
+
+
+def test_minhash_index_matches_selfjoin_pairs(spark):
+    """index+match against itself finds the same near-dup pair set as
+    the one-shot self-join operator (same hash family, same banding)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "nothing in common with anything else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    index = D.minhash_band_index(docs)
+    matched = {
+        (min(r.new_id, r.hist_id), max(r.new_id, r.hist_id))
+        for r in D.minhash_match_index(index, docs, threshold=0.5)
+        .where(F.col("new_id") != F.col("hist_id"))
+        .collect()
+    }
+    assert pairs == matched
+
+
+def test_remove_duplicate_spans(spark):
+    boiler = "one two three four five"  # exactly one 5-gram
+    df = spark.createDataFrame(
+        [
+            (0, boiler + " unique tail zero"),
+            (1, boiler + " other ending here"),
+            (2, "fully original content with no shared spans anywhere"),
+            (3, boiler),  # nothing survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in C.remove_duplicate_spans(df, span=5, min_docs=2).collect()
+    }
+    assert out[0].clean_text == "unique tail zero"
+    assert out[0].n_removed == 5 and out[0].n_tokens == 8
+    assert out[1].clean_text == "other ending here"
+    assert out[2].clean_text.startswith("fully original")
+    assert out[2].n_removed == 0
+    assert out[3].clean_text == "" and out[3].n_removed == 5
+
+
+def test_remove_duplicate_spans_short_docs_untouched(spark):
+    df = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny doc")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in C.remove_duplicate_spans(df).collect()}
+    # shorter than the span: no full-length gram, nothing removed even
+    # though the full text is duplicated
+    assert out[0].clean_text == "tiny doc" and out[0].n_removed == 0
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    # exact top-3 for one query: ids 10, 11, 12 (ranks 1..3)
+    exact = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (1, 11, 0.9, 2), (1, 12, 0.8, 3)],
+        ["query_id", "vec_id", "score", "rank"],
+    )
+    # approx returns 11 (rank 1), 10 (rank 2), 99 (rank 3, miss)
+    approx = spark.createDataFrame(
+        [(1, 11, 0.9, 1), (1, 10, 1.0, 2), (1, 99, 0.1, 3)],
+        ["query_id", "vec_id", "score", "rank"],
+    )
+    row = S.retrieval_metrics(exact, approx, k=3).collect()[0]
+    g = S.dcg_gain_table(3)
+    idcg = g[0] + g[1] + g[2]
+    assert row.n_hits == 2
+    assert abs(row.mrr - 0.5) < 1e-9  # exact-NN found at rank 2
+    assert abs(row.ndcg - round((g[0] + g[1]) / idcg, 6)) < 1e-9
+
+
+def test_retrieval_metrics_zero_hit_query(spark):
+    exact = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (2, 20, 1.0, 1)],
+        ["query_id", "vec_id", "score", "rank"],
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (2, 99, 0.5, 1)],
+        ["query_id", "vec_id", "score", "rank"],
+    )
+    rows = {r.query_id: r for r in S.retrieval_metrics(exact, approx, k=1).collect()}
+    assert rows[1].mrr == 1.0 and rows[1].ndcg == 1.0
+    assert rows[2].mrr == 0.0 and rows[2].ndcg == 0.0 and rows[2].n_hits == 0
+
+
+def test_cross_source_overlap_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "shared one", "a"),
+            (1, "shared one", "b"),
+            (2, "shared one", "c"),
+            (3, "pairwise", "a"),
+            (4, "pairwise", "b"),
+            (5, "lonely", "a"),
+            (6, "shared one", "a"),  # same (source, content) twice: distinct
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in D.cross_source_overlap(df).collect()
+    }
+    # 'shared one' links all three pairs; 'pairwise' adds to (a, b)
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
