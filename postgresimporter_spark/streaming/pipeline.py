@@ -256,6 +256,51 @@ def stream_to_postgres(
     return writer.start()
 
 
+def stream_match_history(
+    stream: DataFrame,
+    index: DataFrame,
+    checkpoint_dir: str,
+    sink,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Continuous-ingest near-dup detection: each micro-batch of new
+    documents is matched against a stored banded MinHash index
+    (``operators/dedup.py:minhash_band_index``) via ``foreachBatch``;
+    ``sink(matches_df, epoch_id)`` receives the (new_id, hist_id,
+    est_jaccard) matches per batch.
+
+    The LSH match needs a groupBy (shingle -> signature aggregation)
+    over the batch, which streaming's incremental planner can't express
+    against a static join — foreachBatch is the supported escape hatch
+    and keeps exactly-once SOURCE tracking from the checkpoint. At
+    scale the index is an ordinary parquet/Delta table: history is
+    never re-shingled, the batch side broadcasts into the probe join,
+    and an accept/append step downstream of ``sink`` grows the index
+    with the batch's own band entries. Returns the StreamingQuery.
+    """
+    from ..operators.dedup import minhash_match_index
+
+    def _match(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            minhash_match_index(
+                index, batch_df, num_hashes, bands, n, threshold
+            ),
+            epoch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_match)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

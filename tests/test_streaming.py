@@ -362,3 +362,67 @@ def test_stream_enrich_matches_batch(spark):
         for r in spark.table("enrich_stream").collect()
     }
     assert got == batch
+
+
+def test_stream_match_history_matches_batch(spark, tmp_path):
+    """stream_match_history over two micro-batches finds exactly the
+    pairs the batch-mode minhash_match_index finds on the full batch —
+    the index is static, so per-batch matching is embarrassingly
+    incremental and stream==batch holds exactly."""
+    from postgresimporter_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_match_index,
+    )
+    from postgresimporter_spark.streaming.pipeline import (
+        stream_match_history,
+    )
+
+    docs = load_tables(spark, SF, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+    hist = docs.where(F.col("doc_id") < 400)
+    index = minhash_band_index(hist).localCheckpoint()
+    # new arrivals: near-dups of history (one appended token) + novel
+    new = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" streamed")).alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id").between(400, 430)).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    path = str(tmp_path / "arrivals")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    new.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        path + "/f0"
+    )
+    new.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        path + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/*")
+    )
+
+    got: list[tuple] = []
+    epochs: list[int] = []
+
+    def sink(matches, epoch_id):
+        epochs.append(epoch_id)
+        got.extend(
+            (r.new_id, r.hist_id, r.est_jaccard) for r in matches.collect()
+        )
+
+    q = stream_match_history(
+        stream, index, str(tmp_path / "ckpt"), sink
+    )
+    q.awaitTermination()
+
+    expected = {
+        (r.new_id, r.hist_id, r.est_jaccard)
+        for r in minhash_match_index(index, new).collect()
+    }
+    assert len(epochs) >= 2  # actually incremental
+    assert set(got) == expected
+    assert len(got) == len(set(got))  # no pair reported twice
