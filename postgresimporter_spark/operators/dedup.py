@@ -464,27 +464,45 @@ def simhash(
     """SimHash fingerprint: bit i of the fingerprint = sign of the sum of
     (+1/-1) votes from each token's hash bit i.
 
-    md5-derived bits keep it engine-independent. Computed by explode +
-    groupBy(id) — one shuffle on doc id; at scale prefer the array-fold
-    variant (transform + aggregate) which needs no shuffle.
+    md5-derived bits keep it engine-independent. Computed as a pure
+    per-row array fold (token array -> ONE md5 per token -> per-bit
+    vote vector via ``zip_with`` accumulation -> fingerprint from a
+    literal power table): NO explode, NO shuffle, fully scan-local.
+    Same wall-clock as the explode + 32-column groupBy layout at sf0.1
+    (~1.1s, measured with forced evaluation — ``count()`` prunes the
+    projection and lies) and bit-identical (integer votes are
+    order-independent); the win is the removed corpus-wide token
+    shuffle, which is what matters at 100 TB. The md5 MUST be hashed
+    in the outer fold lambda, once per token — hashing inside the
+    per-bit lambda re-evaluates it ``bits`` times (measured 8x
+    slower).
     """
-    toks = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    votes = F.aggregate(
+        F.transform(toks, lambda t: _md5_long(t, 0)),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
     )
-    h = _md5_long(F.col("tok"), 0)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy("id").agg(*votes)
-    fingerprint = sum(
-        F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        for i in range(bits)
+    powers = F.array(*[F.lit(2**i).cast("long") for i in range(bits)])
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
     )
-    return agg.select("id", fingerprint.cast("long").alias("simhash"))
+    return df.select(
+        F.col(id_col).alias("id"), fingerprint.alias("simhash")
+    )
 
 
 def simhash_hamming_pairs(
@@ -494,6 +512,7 @@ def simhash_hamming_pairs(
     max_hamming: int = 3,
     id_col: str = "id",
     hash_col: str = "simhash",
+    combo_size: int | None = None,
 ) -> DataFrame:
     """All pairs of fingerprints within ``max_hamming`` bit flips,
     found WITHOUT an all-pairs comparison.
@@ -507,38 +526,57 @@ def simhash_hamming_pairs(
     instead of an O(n²) scan. Verification = ``bit_count(a XOR b)``,
     pure JVM bit math.
 
+    Sharper keys, same guarantee: with ``h = max_hamming`` flips, at
+    most h chunks change, so at least ``chunks - h`` survive — hence
+    every qualifying pair agrees on some SUBSET of ``chunks - h``
+    chunks, and the join key can be the concatenation of a whole
+    chunk-combination instead of a single chunk. C(chunks, chunks-h)
+    combination keys of ``width x (chunks-h)`` bits are dramatically
+    more selective than single ``width``-bit chunks (measured at sf0.1:
+    6.75M -> 1.2M candidate rows for the q86 configuration) at the cost
+    of a slightly wider explode. ``combo_size`` overrides the default
+    ``max(1, chunks - max_hamming)`` (1 reproduces plain banding).
+
     Input: a DataFrame of (id, simhash) — compose with ``simhash()``.
-    At 100 TB the only shuffle is the chunk-key join; hot chunk values
-    (e.g. all-zero chunks from short docs) behave like hot shingles —
-    cap them with a frequency filter if skew shows up.
+    At 100 TB the only shuffle is the combo-key join; hot key values
+    (correlated fingerprints from near-identical docs) behave like hot
+    shingles — cap them with a frequency filter if skew shows up.
     """
     if bits % chunks:
         raise ValueError("bits must divide evenly into chunks")
     width = bits // chunks
     mask = (1 << width) - 1
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("chunk"),
-                F.shiftright(F.col(hash_col), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-            for i in range(chunks)
-        ]
-    )
-    keyed = (
-        fingerprints.select(
-            F.col(id_col).alias("id"),
-            F.col(hash_col).alias("fp"),
-            F.explode(entries).alias("e"),
+    m = combo_size if combo_size is not None else max(1, chunks - max_hamming)
+    if width * m > 62:
+        m = max(1, 62 // width)  # keep the packed key inside signed-64
+    import itertools
+
+    chunk_val = [
+        F.shiftright(F.col("fp"), i * width).bitwiseAND(F.lit(mask))
+        for i in range(chunks)
+    ]
+    packed = []
+    for ci, combo in enumerate(itertools.combinations(range(chunks), m)):
+        key = F.lit(0).cast("long")
+        for j, c in enumerate(combo):
+            key = key + F.shiftleft(chunk_val[c].cast("long"), j * width)
+        packed.append(
+            F.struct(F.lit(ci).alias("chunk"), key.alias("val"))
         )
-        .select("id", "fp", "e.chunk", "e.val")
-        # both sides of the self-join read this: materialize so the
-        # upstream fingerprint computation (token explode + 32-bit vote
-        # aggregation) runs once, not twice
-        .localCheckpoint(eager=False)
-    )
+    entries = F.array(*packed)
+    # materialize at the FINGERPRINT level, before the combo expansion:
+    # projection collapse would otherwise inline the fingerprint-defining
+    # expression (the simhash() per-row fold — large) into every combo
+    # key column AND both sides of the self-join, recomputing it ~2x(1 +
+    # n_combos) times (measured: q86 3.4s -> 10s when the checkpoint sat
+    # after the expansion). The combo bit-math recomputed per join side
+    # is a handful of shifts — negligible.
+    fps = fingerprints.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+    ).localCheckpoint(eager=False)
+    keyed = fps.select(
+        "id", "fp", F.explode(entries).alias("e")
+    ).select("id", "fp", "e.chunk", "e.val")
 
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
