@@ -56,6 +56,10 @@ HEADLINE = [
     "q95_dup_ngram_fraction",
     "q107_bm25_topk",
     "q119_pagerank",
+    # round-3 lifecycle tier: incremental dedup against history and
+    # cross-document span removal
+    "q129_incremental_minhash",
+    "q130_span_dedup",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.

@@ -451,3 +451,40 @@ __all__ = [
     "DEFAULT_PII_PATTERNS",
     "QUALITY_GATES",
 ]
+
+
+def source_quota(
+    df: DataFrame,
+    max_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "quota",
+) -> DataFrame:
+    """Per-group quota cap (domain balancing): keep at most
+    ``max_per_group`` rows per ``group_col`` value, chosen by a
+    deterministic md5 order (seeded, engine-independent) so the kept
+    subset is stable across runs, partitionings, and engines — the
+    standard guard against one domain dominating a crawl mix.
+
+    Scale shape: one window over the GROUP partitioning (bounded
+    per-group state, never a global window); a pathologically hot
+    group costs a single partition's sort of its own rows — cap it
+    upstream with a coarse filter if a group exceeds executor memory.
+    """
+    from pyspark.sql import Window
+
+    order_key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key, F.col(id_col))
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_per_group)
+        .select(*df.columns, F.col("_rk").cast("long").alias("quota_rank"))
+    )
+
+
+__all__.append("source_quota")

@@ -185,3 +185,57 @@ def tfidf_scores(
         )
         .drop("_n_docs")
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Out-of-vocabulary scoring: per document, the fraction of token
+    occurrences outside the corpus's top-``vocab_size`` vocabulary
+    (frequency desc, token asc — a total order, so the cut is
+    deterministic under ties). The standard "will my tokenizer cover
+    this" signal for mixing a new source into a training corpus.
+
+    Scale shape: one token explode feeding both the vocabulary count
+    and the membership probe (localCheckpointed — invariant 7); the
+    vocabulary is a global top-N computed via TakeOrdered (no full
+    sort) and broadcast into a left join, so the corpus-side probe is
+    map-side only. Two bounded shuffles total.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),
+    ).localCheckpoint(eager=False)
+    vocab = (
+        ex.groupBy("_t")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("_t"))
+        .limit(vocab_size)
+        .select("_t", F.lit(1).alias("_inv"))
+    )
+    joined = ex.join(F.broadcast(vocab), on="_t", how="left")
+    oov = F.when(F.col("_inv").isNull(), 1).otherwise(0)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+                round_digits,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+__all__.append("oov_rate")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators import curation as C
 from ..operators import dedup as D
 from ..operators import similarity as S
+from ..operators import textstats as T
 from ..sources.parquet import load_tables
 from .catalog import QueryDef
 from .catalog_batch10 import RECALL_K
@@ -297,10 +298,72 @@ FROM p GROUP BY 1, 2
 """
 
 
+# q133: per-source quota cap -------------------------------------------------
+
+QUOTA = 10
+
+
+def q133_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most 10 documents per source, chosen
+    by seeded-md5 order (operators/curation.py:source_quota) — a
+    partitioned window, deterministic across engines and runs."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return C.source_quota(
+        docs.select("doc_id", "source"), max_per_group=QUOTA
+    )
+
+
+ORACLE_Q133 = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS quota_rank
+  FROM documents)
+SELECT doc_id, source, CAST(quota_rank AS BIGINT) AS quota_rank
+FROM ranked WHERE quota_rank <= {QUOTA}
+"""
+
+
+# q134: out-of-vocabulary rate ------------------------------------------------
+
+VOCAB_N = 25
+
+
+def q134_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-document fraction of token
+    occurrences outside the corpus top-25 vocabulary
+    (operators/textstats.py:oov_rate); the vocabulary cut is a total
+    order (count desc, token asc) so ties never flap."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.oov_rate(docs, vocab_size=VOCAB_N)
+
+
+ORACLE_Q134 = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents),
+vc AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+vocab AS (SELECT t FROM vc ORDER BY n DESC, t LIMIT {VOCAB_N}),
+j AS (
+  SELECT tok.doc_id,
+         CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS o
+  FROM tok LEFT JOIN vocab v USING (t))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(o) AS BIGINT) AS n_oov,
+       round(CAST(SUM(o) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM j GROUP BY doc_id
+"""
+
+
 def batch21_registry() -> list[QueryDef]:
     return [
         QueryDef("q129_incremental_minhash", q129_incremental_minhash, ORACLE_Q129, "new-batch MinHash dedup against stored history index"),
         QueryDef("q130_span_dedup", q130_span_dedup, ORACLE_Q130, "C4-style duplicated-span removal with text rebuild"),
         QueryDef("q131_retrieval_metrics", q131_retrieval_metrics, ORACLE_Q131, "MRR + NDCG@10 of IVF ANN vs exact"),
         QueryDef("q132_source_overlap", q132_source_overlap, ORACLE_Q132, "cross-source contamination matrix"),
+        QueryDef("q133_source_quota", q133_source_quota, ORACLE_Q133, "per-source quota cap (domain balancing)"),
+        QueryDef("q134_oov_rate", q134_oov_rate, ORACLE_Q134, "out-of-vocabulary rate vs top-N corpus vocabulary"),
     ]

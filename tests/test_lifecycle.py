@@ -156,3 +156,33 @@ def test_cross_source_overlap_counts(spark):
     }
     # 'shared one' links all three pairs; 'pairwise' adds to (a, b)
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_source_quota_caps_and_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(20)] + [(100, "small")],
+        ["doc_id", "source"],
+    )
+    out = C.source_quota(df, max_per_group=5)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert len(per["big"]) == 5 and per["small"] == [100]
+    assert all(r.quota_rank <= 5 for r in rows)
+    again = {tuple(sorted(r.doc_id for r in C.source_quota(df, 5).collect()))}
+    assert again == {tuple(sorted(r.doc_id for r in rows))}
+
+
+def test_oov_rate_with_tiny_vocab(spark):
+    from postgresimporter_spark.operators import textstats as T
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a z z z")], ["doc_id", "text"]
+    )
+    # vocab_size=1 -> top token is 'a' (freq 3 vs b:1, z:3 -> tie a/z
+    # broken lexicographically: 'a' wins)
+    out = {r.doc_id: r for r in T.oov_rate(df, vocab_size=1).collect()}
+    assert out[0].n_tokens == 3 and out[0].n_oov == 1
+    assert out[1].n_tokens == 4 and out[1].n_oov == 3
+    assert abs(out[1].oov_rate - 0.75) < 1e-9
