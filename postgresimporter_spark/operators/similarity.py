@@ -351,6 +351,71 @@ def signband_neardup_pairs(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    tau: float = 0.95,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: assign each
+    vector to its nearest centroid, then WITHIN each cell drop any
+    vector that has a >= ``tau``-cosine cellmate sitting closer to the
+    centroid (ties on centroid similarity: the lower id survives).
+    Returns the survivors as (id, cell, centroid_sim).
+
+    One-shot rule, no iteration — exactly the paper's formulation, and
+    every comparison happens on ROUNDED cosines so the keep/drop
+    decision is engine- and partitioning-independent.
+
+    Scale shape: the pairwise work is within-cell only, so the number
+    of centroids K is the quadratic bound's knob (pick K ~ N / target
+    cell size; SemDeDup runs ~1e5 clusters at LAION scale). The cell
+    join is a hash equi-join; assignments are a pure projection
+    (localCheckpointed — they feed both join sides and the final
+    anti-join, and the K cosine evaluations must not be inlined into
+    each consumer).
+    """
+    entries = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in vec]),
+                ).alias("score"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_max(entries)
+    assigned = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(vec_col).alias("_v"),
+        (-best["negcid"]).cast("int").alias("cell"),
+        F.round(best["score"], round_digits).alias("centroid_sim"),
+    ).localCheckpoint(eager=False)
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(
+        cosine(F.col("a._v"), F.col("b._v")), round_digits
+    )
+    closer = (F.col("b.centroid_sim") > F.col("a.centroid_sim")) | (
+        (F.col("b.centroid_sim") == F.col("a.centroid_sim"))
+        & (F.col("b.id") < F.col("a.id"))
+    )
+    dropped = (
+        a.join(b, on="cell")
+        .where((F.col("a.id") != F.col("b.id")) & closer & (sim >= tau))
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped, on="id", how="left_anti").select(
+        F.col("id").alias(corpus_id), "cell", "centroid_sim"
+    )
+
+
 def dcg_gain_table(k: int) -> list[float]:
     """Literal DCG gain per rank 1..k (1/log2(rank+1)), computed ONCE in
     Python and inlined into both the Spark plan and the SQL oracle —
@@ -439,6 +504,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "signband_neardup_pairs",
+    "semdedup",
     "retrieval_metrics",
     "dcg_gain_table",
 ]

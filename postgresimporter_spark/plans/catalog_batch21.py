@@ -358,6 +358,88 @@ FROM j GROUP BY doc_id
 """
 
 
+# q135: SemDeDup (semantic dedup within k-means cells) -----------------------
+
+SEM_TAU = 0.95
+
+_AUG_EMB_SQL = """
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 60
+"""
+
+
+def q135_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup of an embedding
+    corpus — nearest-centroid cells, then within-cell drop of any
+    vector with a tau-similar cellmate closer to the centroid
+    (operators/similarity.py:semdedup). The fixture unions exact
+    duplicate vectors (cosine 1.0) so drops are guaranteed; the
+    identical-vector ties resolve to the lower id surviving."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    aug = emb.select("vec_id", "embedding").unionByName(
+        emb.where(F.col("vec_id") < 60).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    return S.semdedup(aug, CENTROIDS, tau=SEM_TAU)
+
+
+def _semdedup_oracle() -> str:
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}::DOUBLE[], {b}) / "
+            f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+            f"sqrt(list_dot_product({b}, {b})))"
+        )
+
+    score_cols = ", ".join(
+        f"{cos('embedding', lit(vec))} AS s{cid}" for cid, vec in CENTROIDS
+    )
+    n = len(CENTROIDS)
+    best = "greatest(" + ", ".join(f"s{c}" for c in range(n)) + ")"
+    cell_case = (
+        "CASE "
+        + " ".join(f"WHEN s{c} = {best} THEN {c}" for c in range(n))
+        + " END"
+    )
+    csim_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN s{c} = {best} THEN round(s{c}, 6)" for c in range(n)
+        )
+        + " END"
+    )
+    pair_cos = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    return f"""
+WITH aug AS ({_AUG_EMB_SQL}),
+scored AS (SELECT vec_id, embedding, {score_cols} FROM aug),
+assigned AS (
+  SELECT vec_id, embedding, {cell_case} AS cell, {csim_case} AS centroid_sim
+  FROM scored),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+  WHERE {pair_cos} >= {SEM_TAU}
+    AND (b.centroid_sim > a.centroid_sim
+         OR (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id)))
+SELECT s.vec_id, CAST(s.cell AS INTEGER) AS cell, s.centroid_sim
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
+ORACLE_Q135 = _semdedup_oracle()
+
+
 def batch21_registry() -> list[QueryDef]:
     return [
         QueryDef("q129_incremental_minhash", q129_incremental_minhash, ORACLE_Q129, "new-batch MinHash dedup against stored history index"),
@@ -366,4 +448,5 @@ def batch21_registry() -> list[QueryDef]:
         QueryDef("q132_source_overlap", q132_source_overlap, ORACLE_Q132, "cross-source contamination matrix"),
         QueryDef("q133_source_quota", q133_source_quota, ORACLE_Q133, "per-source quota cap (domain balancing)"),
         QueryDef("q134_oov_rate", q134_oov_rate, ORACLE_Q134, "out-of-vocabulary rate vs top-N corpus vocabulary"),
+        QueryDef("q135_semdedup", q135_semdedup, ORACLE_Q135, "SemDeDup: within-cell semantic dedup"),
     ]

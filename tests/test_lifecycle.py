@@ -186,3 +186,30 @@ def test_oov_rate_with_tiny_vocab(spark):
     assert out[0].n_tokens == 3 and out[0].n_oov == 1
     assert out[1].n_tokens == 4 and out[1].n_oov == 3
     assert abs(out[1].oov_rate - 0.75) < 1e-9
+
+
+def test_semdedup_drops_farther_duplicate(spark):
+    # cell geometry: centroid c0 = +x; v10 exactly on axis, v11 a
+    # tau-similar copy slightly off-axis (farther from centroid), v12
+    # orthogonal (kept)
+    centroids = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])]
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [1.0, 0.05, 0.0]),   # cos(v10,v11) ~ 0.99875 >= tau
+        (12, [0.2, 1.0, 0.0]),    # same cell, dissimilar
+        (20, [0.0, 0.0, 1.0]),    # other cell
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in S.semdedup(df, centroids, tau=0.95).collect()}
+    assert set(out) == {10, 12, 20}  # 11 dropped: closer twin exists
+    assert out[10].cell == 0 and out[20].cell == 1
+
+
+def test_semdedup_identical_vectors_keep_lowest_id(spark):
+    centroids = [(0, [1.0, 0.0])]
+    df = spark.createDataFrame(
+        [(5, [1.0, 0.2]), (3, [1.0, 0.2]), (9, [1.0, 0.2])],
+        ["vec_id", "embedding"],
+    )
+    kept = sorted(r.vec_id for r in S.semdedup(df, centroids).collect())
+    assert kept == [3]
