@@ -69,6 +69,13 @@ SF1_HEADLINE = [
     "q05_local_supplier_volume",
     "q26_minhash_lsh",
     "q46_similarity_ivf",
+    # r3: the two heaviest non-output-bound new-tier queries — both
+    # scale ~linearly sf0.1 -> sf1 (3.4s -> 14.9s, 3.7s -> 19.5s).
+    # q86 is excluded: the 31-token synthetic vocabulary makes its TRUE
+    # pair count quadratic at sf1 (14.5M result rows) — output-bound,
+    # not operator-bound.
+    "q95_dup_ngram_fraction",
+    "q119_pagerank",
 ]
 SF1_COPIES = 10
 

@@ -202,3 +202,28 @@ def test_q102_subqueries_decorrelate(spark, reg):
     plan = plan_of(spark, reg, "q102_sql_subqueries")
     assert "Subquery" not in plan
     assert "Join" in plan
+
+
+def test_q129_probe_broadcasts_batch_never_cartesian(spark, reg):
+    """Incremental MinHash: the (band, bucket) probe join must broadcast
+    the new-batch side (history — the 100 TB side — never shuffles for
+    the probe) and nothing in the plan may be a cartesian product."""
+    plan = plan_of(spark, reg, "q129_incremental_minhash")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q130_span_dedup_no_unpartitioned_window(spark, reg):
+    """Span removal reassembles text with a groupBy fold, never a
+    window; a global window here would serialize the corpus."""
+    plan = plan_of(spark, reg, "q130_span_dedup")
+    assert unpartitioned_windows(plan) == []
+    assert "CartesianProduct" not in plan
+
+
+def test_q135_semdedup_joins_on_cell_key(spark, reg):
+    """SemDeDup's pairwise stage must be a hash equi-join on the cell
+    key — never a cartesian/broadcast nested loop over the corpus."""
+    plan = plan_of(spark, reg, "q135_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -223,3 +223,78 @@ def test_interval_join_matches_python_model(spark, points, intervals, gran):
         if s <= ts < e
     )
     assert got == want
+
+
+# --- corpus-lifecycle operator properties (r3) ------------------------------
+
+word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+doc_text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(doc_text, min_size=1, max_size=10), st.integers(2, 4))
+def test_remove_duplicate_spans_invariants(spark, texts, span):
+    """Model-free invariants: kept text is a subsequence of the
+    original tokens, counts reconcile, and raising min_docs above the
+    corpus size removes nothing."""
+    from postgresimporter_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, span=span, min_docs=2).collect()
+    }
+    for i, t in enumerate(texts):
+        r = out[i]
+        if not t.strip():
+            # tokenization of blank text is [''], which rejoins to '' —
+            # nothing removable, nothing removed
+            assert r.n_removed == 0
+            continue
+        assert r.n_tokens == len(t.split(" "))
+        kept = r.clean_text.split(" ") if r.clean_text else []
+        # kept tokens are a subsequence of the originals
+        it = iter(t.split(" "))
+        assert all(any(k == x for x in it) for k in kept)
+        assert r.n_removed == r.n_tokens - len(kept)
+        assert 0 <= r.n_removed <= r.n_tokens
+    # min_docs beyond corpus size: identity transform
+    untouched = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            df, span=span, min_docs=len(texts) + 1
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert untouched[i].n_removed == 0
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 99), st.sampled_from(["s0", "s1", "s2"])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 5),
+)
+def test_source_quota_properties(spark, rows, k):
+    from postgresimporter_spark.operators.curation import source_quota
+
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = source_quota(df, max_per_group=k)
+    got = out.collect()
+    per: dict[str, int] = {}
+    for r in got:
+        per[r.source] = per.get(r.source, 0) + 1
+    counts = {s: sum(1 for d, src in rows if src == s) for s in per}
+    for s, n in per.items():
+        assert n == min(k, counts[s])
+    # deterministic: identical kept set on re-run
+    again = sorted(r.doc_id for r in source_quota(df, k).collect())
+    assert again == sorted(r.doc_id for r in got)
