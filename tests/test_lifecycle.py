@@ -213,3 +213,47 @@ def test_semdedup_identical_vectors_keep_lowest_id(spark):
     )
     kept = sorted(r.vec_id for r in S.semdedup(df, centroids).collect())
     assert kept == [3]
+
+
+def test_lifecycle_operators_handle_empty_inputs(spark):
+    """Empty corpora must yield empty results, not errors (the
+    pagerank ZeroDivision class of bug — ADVICE r02)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    empty_docs = spark.createDataFrame([], docs_schema)
+    emb_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    empty_emb = spark.createDataFrame([], emb_schema)
+    some_docs = spark.createDataFrame(
+        [(1, "a b c d e f")], docs_schema
+    )
+
+    index = D.minhash_band_index(empty_docs)
+    assert D.minhash_match_index(index, some_docs).count() == 0
+    full_index = D.minhash_band_index(some_docs)
+    assert D.minhash_match_index(full_index, empty_docs).count() == 0
+    assert C.remove_duplicate_spans(empty_docs).count() == 0
+    assert C.source_quota(
+        empty_docs.withColumn("source", F.lit("s")), 5
+    ).count() == 0
+    assert S.semdedup(empty_emb, [(0, [1.0, 0.0])]).count() == 0
+    from postgresimporter_spark.operators.textstats import oov_rate
+
+    assert oov_rate(empty_docs).count() == 0
