@@ -351,6 +351,54 @@ def signband_neardup_pairs(
     )
 
 
+def merge_topk(
+    prev_topk: DataFrame,
+    batch: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Incremental top-k maintenance: merge a NEW corpus batch into an
+    existing per-query top-k WITHOUT re-scanning history, via the
+    monotone identity ``topk(A ∪ B) = topk(topk(A) ∪ topk(B))``.
+
+    ``prev_topk`` is a stored (query_id, corpus_id, score, rank) result
+    (e.g. yesterday's ``brute_force_topk`` output); only the new batch
+    is scored. At 100 TB this turns daily index refresh from a full
+    corpus scan into a batch-sized scan plus a 2k-row-per-query merge —
+    the incremental-view-maintenance shape for similarity serving.
+    Correct as long as history rows never change (append-only corpus);
+    deletions require a rebuild or a tombstone pass.
+
+    Ties across the merge resolve by (score desc, id asc) — the same
+    total order as ``brute_force_topk``, so the merged result is
+    bit-identical to a from-scratch recompute over A ∪ B.
+    """
+    new_scored = brute_force_topk(
+        batch,
+        queries,
+        k=k,
+        corpus_id=corpus_id,
+        query_id=query_id,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    merged = prev_topk.select(
+        query_id, corpus_id, "score"
+    ).unionByName(new_scored.select(query_id, corpus_id, "score"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc(corpus_id)
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -505,6 +553,7 @@ __all__ = [
     "ivf_topk",
     "signband_neardup_pairs",
     "semdedup",
+    "merge_topk",
     "retrieval_metrics",
     "dcg_gain_table",
 ]

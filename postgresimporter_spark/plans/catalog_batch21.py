@@ -440,6 +440,59 @@ WHERE d.vec_id IS NULL
 ORACLE_Q135 = _semdedup_oracle()
 
 
+# q136: incremental top-k maintenance ----------------------------------------
+
+TOPK_K = 10
+
+_TOPK_BATCH_SQL = """
+SELECT vec_id + 10000 AS vec_id, embedding
+FROM embeddings WHERE vec_id < 40
+"""
+
+
+def q136_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for similarity serving: yesterday's
+    stored top-10 (over history) merges with a scored new batch via
+    topk(A∪B) = topk(topk(A)∪topk(B)) — history is never re-scanned
+    (operators/similarity.py:merge_topk). The oracle recomputes top-10
+    over the FULL union corpus, so the merge identity itself is what
+    the differential check proves. The batch duplicates 40 history
+    vectors under higher ids: score ties crossing the merge boundary
+    must resolve identically to the from-scratch ranking."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    prev = S.brute_force_topk(emb, queries, k=TOPK_K)
+    batch = emb.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return S.merge_topk(prev, batch, queries, k=TOPK_K)
+
+
+ORACLE_Q136 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+full_corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  {_TOPK_BATCH_SQL}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS score
+  FROM full_corpus e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 def batch21_registry() -> list[QueryDef]:
     return [
         QueryDef("q129_incremental_minhash", q129_incremental_minhash, ORACLE_Q129, "new-batch MinHash dedup against stored history index"),
@@ -449,4 +502,5 @@ def batch21_registry() -> list[QueryDef]:
         QueryDef("q133_source_quota", q133_source_quota, ORACLE_Q133, "per-source quota cap (domain balancing)"),
         QueryDef("q134_oov_rate", q134_oov_rate, ORACLE_Q134, "out-of-vocabulary rate vs top-N corpus vocabulary"),
         QueryDef("q135_semdedup", q135_semdedup, ORACLE_Q135, "SemDeDup: within-cell semantic dedup"),
+        QueryDef("q136_incremental_topk", q136_incremental_topk, ORACLE_Q136, "incremental top-k merge vs full recompute"),
     ]

@@ -257,3 +257,29 @@ def test_lifecycle_operators_handle_empty_inputs(spark):
     from postgresimporter_spark.operators.textstats import oov_rate
 
     assert oov_rate(empty_docs).count() == 0
+
+
+def test_merge_topk_equals_full_recompute_with_ties(spark):
+    """topk(A∪B) == topk(topk(A) ∪ topk(B)) — including score ties
+    across the merge boundary (duplicate vector, higher id in B)."""
+    hist = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    # batch: exact duplicate of vec 5 (ties its score) + one new best
+    batch = spark.createDataFrame(
+        [(105, [6.0, 1.0]), (106, [100.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], ["query_id", "embedding"]
+    )
+    k = 4
+    prev = S.brute_force_topk(hist, queries, k=k)
+    merged = S.merge_topk(prev, batch, queries, k=k)
+    full = S.brute_force_topk(
+        hist.unionByName(batch), queries, k=k
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
