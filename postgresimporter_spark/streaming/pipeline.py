@@ -301,6 +301,51 @@ def stream_match_history(
     return writer.start()
 
 
+def stream_merge_topk(
+    stream: DataFrame,
+    queries: DataFrame,
+    initial_topk: DataFrame,
+    checkpoint_dir: str,
+    sink,
+    k: int = 10,
+    available_now: bool = True,
+):
+    """Continuously-maintained similarity top-k: each micro-batch of
+    new corpus vectors is scored against the (static, broadcast) query
+    set and merged into the running per-query top-k via
+    ``operators/similarity.py:merge_topk`` — history is never
+    re-scanned (the ``topk(A∪B) = topk(topk(A)∪topk(B))`` identity).
+    ``sink(topk_df, epoch_id)`` receives the updated standings after
+    every batch; the running state is localCheckpointed per epoch
+    (k×|queries| rows — metadata scale), the classic
+    incremental-view-maintenance loop made streaming.
+
+    foreachBatch is required: the per-batch score+merge needs a window
+    re-rank the incremental planner can't express over a closure-held
+    state table. Exactly-once SOURCE tracking comes from the
+    checkpoint; sink delivery is at-least-once (idempotent by
+    construction — the standings are a deterministic function of the
+    vectors seen so far). Returns the StreamingQuery.
+    """
+    from ..operators.similarity import merge_topk
+
+    state = {"topk": initial_topk.localCheckpoint()}
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        state["topk"] = merge_topk(
+            state["topk"], batch_df, queries, k=k
+        ).localCheckpoint()
+        sink(state["topk"], epoch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

@@ -426,3 +426,65 @@ def test_stream_match_history_matches_batch(spark, tmp_path):
     assert len(epochs) >= 2  # actually incremental
     assert set(got) == expected
     assert len(got) == len(set(got))  # no pair reported twice
+
+
+def test_stream_merge_topk_matches_batch(spark, tmp_path):
+    """After draining all micro-batches, the streamed running top-k
+    equals a from-scratch brute-force top-k over history + all
+    arrivals — the merge identity, maintained incrementally."""
+    from postgresimporter_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from postgresimporter_spark.streaming.pipeline import (
+        stream_merge_topk,
+    )
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    hist = emb.where(F.col("vec_id") >= 100)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    arrivals = emb.where(F.col("vec_id") < 80).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "vec_arrivals")
+    arrivals.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        path + "/f0"
+    )
+    arrivals.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        path + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/*")
+    )
+
+    k = 10
+    seen = {}
+
+    def sink(topk, epoch_id):
+        seen["final"] = topk
+
+    q = stream_merge_topk(
+        stream,
+        queries,
+        brute_force_topk(hist, queries, k=k),
+        str(tmp_path / "ckpt_topk"),
+        sink,
+        k=k,
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, seen["final"].collect()))
+    want = sorted(
+        map(
+            tuple,
+            brute_force_topk(
+                hist.unionByName(arrivals), queries, k=k
+            ).collect(),
+        )
+    )
+    assert got == want
