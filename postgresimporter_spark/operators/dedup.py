@@ -364,6 +364,7 @@ def minhash_match_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_batch: bool = True,
+    max_doc_ratio: float | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: match a NEW batch of documents
     against an existing ``minhash_band_index`` (corpus history) without
@@ -377,11 +378,18 @@ def minhash_match_index(
     broadcasts (``broadcast_batch``) and the index — the 100 TB side —
     never shuffles. Hash params MUST match the ones the index was built
     with (same num_hashes/bands/n); mismatched params silently produce
-    disjoint buckets.
+    disjoint buckets. ``max_doc_ratio`` likewise: an index built with
+    hot-shingle dropping must be probed with it too, else batch
+    signatures include the boilerplate shingles the index excluded and
+    buckets disagree. Note the drop set is estimated from the BATCH's
+    own document frequencies — for small batches with atypical
+    boilerplate density, persist the index build's dropped-shingle list
+    alongside the index and anti-join it here instead.
     """
     rows_per_band = num_hashes // bands
     new_sigs = minhash_signatures(
-        new_df, num_hashes, n, text_col, id_col
+        new_df, num_hashes, n, text_col, id_col,
+        max_doc_ratio=max_doc_ratio,
     ).localCheckpoint(eager=False)
     new_entries = _band_entries(new_sigs, bands, rows_per_band)
     if broadcast_batch:
@@ -401,6 +409,27 @@ def minhash_match_index(
         cand.withColumn("est_jaccard", F.round(_sig_agreement(num_hashes), 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("new_id", "hist_id", "est_jaccard")
+    )
+
+
+def ordered_pair_structs(
+    arr: Column, a_name: str = "a", b_name: str = "b"
+) -> Column:
+    """All ordered pairs (a < b by array position) from a SORTED array,
+    as an array of structs — the executor-side pair expansion shared by
+    ``cross_source_overlap`` and ``graph.cooccurrence_edges``. The
+    2-param transform lambda receives (element, index); the expansion
+    is O(len²) IN A SINGLE ROW VALUE, so callers must bound the array
+    size first (a skew cap) — arrays are not spillable mid-row.
+    """
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
     )
 
 
@@ -430,23 +459,11 @@ def cross_source_overlap(
         .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
         .where(F.size("_gs") >= 2)
     )
-    # ordered pair expansion (a < b) from the sorted per-hash group set;
-    # 2-param transform lambda receives (element, index)
+    # per-hash group set is bounded by #groups, so the in-row pair
+    # expansion is safe without a cap
     pairs = sets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    "_gs",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            "_gs", i + F.lit(2), F.size("_gs")
-                        ),
-                        lambda y: F.struct(
-                            x.alias("source_a"), y.alias("source_b")
-                        ),
-                    ),
-                )
-            )
+            ordered_pair_structs(F.col("_gs"), "source_a", "source_b")
         ).alias("_p")
     ).select("_p.source_a", "_p.source_b")
     return (
@@ -546,9 +563,18 @@ def simhash_hamming_pairs(
         raise ValueError("bits must divide evenly into chunks")
     width = bits // chunks
     mask = (1 << width) - 1
+    if combo_size is not None and combo_size > max(1, chunks - max_hamming):
+        # a pair with max_hamming flips can leave only chunks-max_hamming
+        # chunks unchanged; a larger combo has no agreement guarantee
+        raise ValueError(
+            "combo_size > chunks - max_hamming breaks the exact-recall "
+            "pigeonhole guarantee"
+        )
     m = combo_size if combo_size is not None else max(1, chunks - max_hamming)
     if width * m > 62:
-        m = max(1, 62 // width)  # keep the packed key inside signed-64
+        # clamping DOWN is always recall-safe (smaller combos are
+        # strictly more permissive); keeps the packed key inside signed-64
+        m = max(1, 62 // width)
     import itertools
 
     chunk_val = [

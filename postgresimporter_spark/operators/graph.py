@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import ordered_pair_structs
+
 RANK_SCALE = 10**12  # fixed-point scale for PageRank ranks
 
 
@@ -46,50 +48,45 @@ def cooccurrence_edges(
     max_container_size: int | None = None,
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges ``(src < dst)`` from a
-    (container, item) relation: ONE shuffle (groupBy container,
-    collecting the distinct item set with map-side partials) plus the
-    final edge-distinct — the pairwise expansion happens executor-side
-    over the per-container sorted array, so no self-join and no second
-    pass over the input. Measured at sf0.1 this beats the
-    distinct→self-join→distinct layout 1.8s vs 2.8s with identical
-    output.
+    (container, item) relation.
 
-    ``max_container_size`` is the skew cap: containers with more than
-    this many distinct items are dropped *before* the expansion.
-    Without it, one pathological mega-container (a 10k-item basket, a
-    boilerplate mega-document) builds ~50M pairs in a single task —
-    that quadratic-per-container blowup is inherent to co-occurrence
-    (the join layout has it too, as join fan-out); the cap is the
-    guard, and it costs only a ``size()`` test on the already-grouped
-    array.
+    With ``max_container_size`` set (the recommended mode): ONE shuffle
+    (groupBy container, collecting the distinct item set with map-side
+    partials) plus the final edge-distinct — the pairwise expansion
+    happens executor-side over the per-container sorted array, no
+    self-join, no second pass over the input. Measured at sf0.1 this
+    beats the distinct→self-join→distinct layout 1.8s vs 2.8s with
+    identical output. The cap is applied BEFORE the expansion and is
+    mandatory for this path: the expansion builds each container's
+    O(n²) pair set as a single in-row array value, which is NOT
+    spillable — the cap bounds it (cap 1000 → ≤ ~500k structs/row).
+
+    Without a cap, the operator falls back to the container-key
+    self-equi-join: the same pairs emerge as ordinary join-output ROWS
+    that spill through the shuffle, so an unknown-skew input degrades
+    to slow instead of OOM/array-limit (a ~70k-item container would
+    exceed the 2^31 array-element ceiling in the array path).
     """
-    sets = (
-        items.select(
-            F.col(container_col).alias("_c"), F.col(item_col).alias("i")
+    a = items.select(
+        F.col(container_col).alias("_c"), F.col(item_col).alias("src")
+    ).distinct()
+    if max_container_size is None:
+        b = a.select("_c", F.col("src").alias("dst"))
+        return (
+            a.join(b, on="_c")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
         )
-        .groupBy("_c")
-        .agg(F.sort_array(F.collect_set("i")).alias("_items"))
+    sets = (
+        a.groupBy("_c")
+        .agg(F.sort_array(F.collect_set("src")).alias("_items"))
+        .where(F.size("_items") <= max_container_size)
     )
-    if max_container_size is not None:
-        sets = sets.where(F.size("_items") <= max_container_size)
-    # ordered pair expansion (src < dst follows from the sorted array);
-    # 2-param transform lambda receives (element, index)
     return (
         sets.select(
             F.explode(
-                F.flatten(
-                    F.transform(
-                        "_items",
-                        lambda x, i: F.transform(
-                            F.slice(
-                                "_items", i + F.lit(2), F.size("_items")
-                            ),
-                            lambda y: F.struct(
-                                x.alias("src"), y.alias("dst")
-                            ),
-                        ),
-                    )
-                )
+                ordered_pair_structs(F.col("_items"), "src", "dst")
             ).alias("_p")
         )
         .select("_p.src", "_p.dst")

@@ -375,7 +375,13 @@ def merge_topk(
 
     Ties across the merge resolve by (score desc, id asc) — the same
     total order as ``brute_force_topk``, so the merged result is
-    bit-identical to a from-scratch recompute over A ∪ B.
+    bit-identical to a from-scratch recompute over A ∪ B. A corpus id
+    present on BOTH sides (a replayed/duplicated batch row) is deduped
+    before ranking — scoring is deterministic, so the duplicate rows
+    are identical and dropping one is exact. That makes the merge
+    idempotent: re-merging an already-merged batch is a no-op, which
+    is what lets an at-least-once delivery upstream compose into an
+    exactly-once standings table.
     """
     new_scored = brute_force_topk(
         batch,
@@ -386,9 +392,11 @@ def merge_topk(
         vec_col=vec_col,
         round_digits=round_digits,
     )
-    merged = prev_topk.select(
-        query_id, corpus_id, "score"
-    ).unionByName(new_scored.select(query_id, corpus_id, "score"))
+    merged = (
+        prev_topk.select(query_id, corpus_id, "score")
+        .unionByName(new_scored.select(query_id, corpus_id, "score"))
+        .dropDuplicates([query_id, corpus_id])
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("score"), F.asc(corpus_id)
     )

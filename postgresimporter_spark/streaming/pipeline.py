@@ -316,26 +316,41 @@ def stream_merge_topk(
     ``operators/similarity.py:merge_topk`` — history is never
     re-scanned (the ``topk(A∪B) = topk(topk(A)∪topk(B))`` identity).
     ``sink(topk_df, epoch_id)`` receives the updated standings after
-    every batch; the running state is localCheckpointed per epoch
-    (k×|queries| rows — metadata scale), the classic
-    incremental-view-maintenance loop made streaming.
+    every batch.
 
-    foreachBatch is required: the per-batch score+merge needs a window
-    re-rank the incremental planner can't express over a closure-held
-    state table. Exactly-once SOURCE tracking comes from the
-    checkpoint; sink delivery is at-least-once (idempotent by
-    construction — the standings are a deterministic function of the
-    vectors seen so far). Returns the StreamingQuery.
+    The running state is k×|queries| rows — metadata scale BY
+    CONSTRUCTION — so it is collected to the driver each epoch and
+    re-created as a local DataFrame for the next merge: deterministic
+    memory (no checkpoint-block accumulation over a long-running
+    stream), and the O(k·|Q|) driver transfer is the same class as the
+    reconcile/centroid collects audited in VERDICT r02.
+
+    Restart contract: the source checkpoint durably skips already-
+    consumed batches, so on restart the caller MUST pass the standings
+    its ``sink`` last persisted as ``initial_topk`` — starting from an
+    older standings table silently loses the batches between. A batch
+    replayed after a crash-between-sink-and-commit re-merges as a
+    no-op (``merge_topk`` dedupes (query, id) and scoring is
+    deterministic), so sink-persisted standings + source checkpoint
+    compose to exactly-once. Returns the StreamingQuery.
     """
     from ..operators.similarity import merge_topk
 
-    state = {"topk": initial_topk.localCheckpoint()}
+    spark = queries.sparkSession
+    state = {
+        "rows": initial_topk.select(
+            "query_id", "vec_id", "score", "rank"
+        ).collect()
+    }
+    schema = initial_topk.select(
+        "query_id", "vec_id", "score", "rank"
+    ).schema
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        state["topk"] = merge_topk(
-            state["topk"], batch_df, queries, k=k
-        ).localCheckpoint()
-        sink(state["topk"], epoch_id)
+        prev = spark.createDataFrame(state["rows"], schema)
+        topk = merge_topk(prev, batch_df, queries, k=k)
+        state["rows"] = topk.collect()
+        sink(spark.createDataFrame(state["rows"], schema), epoch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_merge)

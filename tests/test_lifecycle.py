@@ -283,3 +283,78 @@ def test_merge_topk_equals_full_recompute_with_ties(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_merge_topk_is_idempotent_on_replay(spark):
+    """Re-merging an already-merged batch must be a no-op (at-least-
+    once delivery upstream composes to exactly-once standings)."""
+    hist = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(5)],
+        ["vec_id", "embedding"],
+    )
+    batch = spark.createDataFrame(
+        [(100, [50.0, 1.0])], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], ["query_id", "embedding"]
+    )
+    prev = S.brute_force_topk(hist, queries, k=3)
+    once = S.merge_topk(prev, batch, queries, k=3)
+    twice = S.merge_topk(once, batch, queries, k=3)
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_simhash_combo_size_validation(spark):
+    import pytest as _pytest
+
+    fps = spark.createDataFrame([(1, 7)], ["id", "simhash"])
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_hamming_pairs(
+            fps, bits=32, chunks=4, max_hamming=2, combo_size=3
+        )
+
+
+def test_cooccurrence_uncapped_fallback_matches_capped(spark):
+    from postgresimporter_spark.operators.graph import cooccurrence_edges
+
+    items = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c"), (2, "b")],
+        ["basket", "item"],
+    )
+    capped = sorted(
+        map(tuple, cooccurrence_edges(items, "basket", "item", 10).collect())
+    )
+    uncapped = sorted(
+        map(tuple, cooccurrence_edges(items, "basket", "item").collect())
+    )
+    assert capped == uncapped == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_minhash_match_index_with_hot_shingle_cap(spark):
+    boiler = "terms of service apply here now "
+    hist = spark.createDataFrame(
+        [
+            (0, boiler + "alpha beta gamma delta epsilon zeta"),
+            (1, boiler + "completely different content with other words"),
+        ],
+        ["doc_id", "text"],
+    )
+    # batch must be large enough that its OWN document frequencies
+    # separate boilerplate (in all docs) from content (in one doc) —
+    # the docstring's small-batch caveat is real: a 1-doc batch at
+    # ratio 0.9 drops every shingle it has
+    batch = spark.createDataFrame(
+        [
+            (100, boiler + "alpha beta gamma delta epsilon zeta extra"),
+            (101, boiler + "unrelated fresh words nothing shared one"),
+            (102, boiler + "more novel material nothing common two"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = D.minhash_band_index(hist, max_doc_ratio=0.9)
+    out = D.minhash_match_index(
+        index, batch, threshold=0.5, max_doc_ratio=0.9
+    )
+    assert {(r.new_id, r.hist_id) for r in out.collect()} == {(100, 0)}
