@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 
 from postgresimporter_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     deterministic_fake_decode,
     extract_features,
     read_media_dir,
@@ -89,3 +90,78 @@ def test_resize_media_unsupported_modality_raises(spark, tmp_path):
     media = read_media_dir(spark, str(tmp_path / "*.bin"), "video")
     with pytest.raises(PySparkException, match="no resizer"):
         resize_media(media, 64, 48).collect()
+
+
+def _tiny_png(w, h):
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def _tiny_jpeg(w, h):
+    sof0_payload = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+    sof0 = b"\xff\xc0" + (len(sof0_payload) + 2).to_bytes(2, "big") + sof0_payload
+    app0 = b"\xff\xe0\x00\x04\x4a\x46"  # minimal APP0 to exercise the scan
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _tiny_wav(rate, channels, bits, n_samples):
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = (
+        b"\x01\x00"
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_parse_media_header_real_formats():
+    from postgresimporter_spark.operators.multimodal import parse_media_header
+
+    assert parse_media_header(_tiny_png(640, 480)) == {
+        "codec": "png", "width": 640, "height": 480,
+    }
+    assert parse_media_header(_tiny_jpeg(320, 200)) == {
+        "codec": "jpeg", "width": 320, "height": 200,
+    }
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little")
+    assert parse_media_header(gif) == {
+        "codec": "gif", "width": 12, "height": 34,
+    }
+    wav = parse_media_header(_tiny_wav(8000, 1, 16, 4000))  # 0.5s
+    assert wav["codec"] == "wav" and wav["sample_rate"] == 8000
+    assert wav["channels"] == 1 and wav["duration_ms"] == 500
+    assert parse_media_header(b"not a media file") is None
+    assert parse_media_header(b"") is None
+
+
+def test_extract_media_metadata_distributed(spark):
+    from postgresimporter_spark.operators.multimodal import (
+        extract_media_metadata,
+    )
+
+    rows = [
+        ("a.png", "image", _tiny_png(100, 50), None),
+        ("b.jpg", "image", _tiny_jpeg(64, 64), None),
+        ("c.wav", "audio", _tiny_wav(16000, 2, 16, 16000), None),
+        ("d.bin", "image", b"garbage", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.path: r for r in extract_media_metadata(media).collect()}
+    assert got["a.png"].codec == "png" and got["a.png"].width == 100
+    assert got["b.jpg"].height == 64
+    assert got["c.wav"].duration_ms == 1000 and got["c.wav"].channels == 2
+    assert got["d.bin"].codec is None and got["d.bin"].n_bytes == 7
