@@ -160,3 +160,41 @@ def bm25_topk(
         scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval via positional postings: every
+    (doc, start_pos) where the token sequence ``phrase`` occurs
+    contiguously. The positional-index counterpart to
+    ``inverted_index`` — this is how a search engine answers quoted
+    queries.
+
+    Shape: one positional posting stream per phrase token, each a
+    SELECTIVE token filter (pushes to the scan; on a stored postings
+    table partitioned by token it reads only the phrase's partitions),
+    re-keyed to the would-be phrase anchor (pos - i) and m-way
+    equi-joined on (doc, anchor). Intermediates are posting-list sized,
+    never corpus sized; no windows, no cross joins.
+    """
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    out = None
+    for i, tok in enumerate(phrase):
+        p = words.where(F.col("w") == tok).select(
+            "doc_id", (F.col("pos") - i).alias("anchor")
+        )
+        out = p if out is None else out.join(p, on=["doc_id", "anchor"])
+    return out.where(F.col("anchor") >= 0).select(
+        "doc_id", F.col("anchor").cast("long").alias("start_pos")
+    )

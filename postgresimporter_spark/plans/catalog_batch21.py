@@ -493,6 +493,65 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+# q137: positional phrase search ---------------------------------------------
+
+_PHRASE = ["data", "pipeline", "quality"]
+_PHRASE_PREFIX = " ".join(_PHRASE) + " "
+
+
+def q137_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-query retrieval: exact contiguous phrase occurrences via
+    positional postings re-keyed to the phrase anchor and m-way
+    equi-joined (operators/textindex.py:phrase_search). The fixture
+    prepends the phrase to every fifth document, so hits exist at
+    position 0 there plus any natural occurrences elsewhere."""
+    from ..operators.textindex import phrase_search
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    marked = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_PHRASE_PREFIX), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return phrase_search(marked, _PHRASE)
+
+
+def _phrase_oracle() -> str:
+    streams = []
+    for i, tok in enumerate(_PHRASE):
+        streams.append(
+            f"p{i} AS (SELECT doc_id, pos - {i} AS anchor "
+            f"FROM words WHERE w = '{tok}')"
+        )
+    joins = " ".join(
+        f"JOIN p{i} USING (doc_id, anchor)" for i in range(1, len(_PHRASE))
+    )
+    return f"""
+WITH marked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{_PHRASE_PREFIX}' || text
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+         FROM marked),
+words AS (
+  SELECT doc_id, unnest(arr) AS w,
+         unnest(generate_series(0, len(arr) - 1)) AS pos
+  FROM toks),
+{', '.join(streams)}
+SELECT p0.doc_id, CAST(p0.anchor AS BIGINT) AS start_pos
+FROM p0 {joins}
+WHERE p0.anchor >= 0
+"""
+
+
+ORACLE_Q137 = _phrase_oracle()
+
+
 def batch21_registry() -> list[QueryDef]:
     return [
         QueryDef("q129_incremental_minhash", q129_incremental_minhash, ORACLE_Q129, "new-batch MinHash dedup against stored history index"),
@@ -503,4 +562,5 @@ def batch21_registry() -> list[QueryDef]:
         QueryDef("q134_oov_rate", q134_oov_rate, ORACLE_Q134, "out-of-vocabulary rate vs top-N corpus vocabulary"),
         QueryDef("q135_semdedup", q135_semdedup, ORACLE_Q135, "SemDeDup: within-cell semantic dedup"),
         QueryDef("q136_incremental_topk", q136_incremental_topk, ORACLE_Q136, "incremental top-k merge vs full recompute"),
+        QueryDef("q137_phrase_search", q137_phrase_search, ORACLE_Q137, "positional-postings exact phrase search"),
     ]

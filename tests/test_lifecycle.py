@@ -358,3 +358,28 @@ def test_minhash_match_index_with_hot_shingle_cap(spark):
         index, batch, threshold=0.5, max_doc_ratio=0.9
     )
     assert {(r.new_id, r.hist_id) for r in out.collect()} == {(100, 0)}
+
+
+def test_phrase_search_overlapping_and_boundaries(spark):
+    from postgresimporter_spark.operators.textindex import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a b"),       # "a a" at 0 and 1 (overlapping)
+            (1, "b a a"),         # at 1
+            (2, "a b a"),         # no contiguous "a a"
+            (3, "x y z"),         # no tokens from phrase at all
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, r.start_pos)
+        for r in phrase_search(df, ["a", "a"]).collect()
+    )
+    assert got == [(0, 0), (0, 1), (1, 1)]
+
+    single = sorted(
+        (r.doc_id, r.start_pos)
+        for r in phrase_search(df, ["b"]).collect()
+    )
+    assert single == [(0, 3), (1, 0), (2, 1)]
