@@ -552,6 +552,101 @@ WHERE p0.anchor >= 0
 ORACLE_Q137 = _phrase_oracle()
 
 
+# q138: end-to-end corpus build (dedup -> gates -> quota -> mixture) ---------
+
+BUILD_QUOTA = 15
+BUILD_WEIGHTS = {
+    "src0": 200,
+    "src1": 150,
+    "src2": 50,
+    "src3": 100,
+    "src4": 25,
+}
+
+
+def q138_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus construction pipeline as ONE
+    differentially-tested query: exact dedup (min-id survivor) ->
+    Gopher-style quality gates -> per-source quota cap -> epoch-weight
+    mixture. Every stage is an existing oracle-checked operator; this
+    composes them end-to-end, which is how the engine is actually used
+    — and the composed DuckDB oracle replays all four stages in one
+    CTE chain. Injected duplicates (ids+10000) prove the dedup stage
+    does real work; unlisted sources are dropped by the explicit mix.
+    """
+    from ..operators import textstats as TS
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    aug = docs.select("doc_id", "text", "source").unionByName(
+        docs.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text", "source"
+        )
+    )
+    surv = D.exact_dedup(aug).select("doc_id")
+    kept = aug.join(surv, on="doc_id")
+    gated = (
+        C.quality_gates(TS.quality_features(kept))
+        .where(F.col("passes"))
+        .select("doc_id")
+    )
+    kept2 = kept.join(gated, on="doc_id").select("doc_id", "source")
+    capped = C.source_quota(kept2, max_per_group=BUILD_QUOTA).select(
+        "doc_id", "source"
+    )
+    return C.mixture_upsample(capped, BUILD_WEIGHTS).select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
+def _corpus_build_oracle() -> str:
+    from ..operators.curation import QUALITY_GATES
+    from .catalog_northstar import _text_stats_oracle
+
+    feats_sql = _text_stats_oracle().replace("FROM documents", "FROM kept")
+    gate_where = " AND ".join(
+        f"({feat} IS NOT NULL AND {feat} BETWEEN {lo} AND {hi})"
+        for feat, (lo, hi) in sorted(QUALITY_GATES.items())
+    )
+    weights = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(BUILD_WEIGHTS.items())
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, source
+  FROM documents WHERE doc_id < 50),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY sha256(text)),
+kept AS (SELECT a.doc_id, a.text, a.source
+         FROM aug a JOIN surv USING (doc_id)),
+feats AS ({feats_sql}),
+gated AS (SELECT doc_id FROM feats WHERE {gate_where}),
+kept2 AS (SELECT k.doc_id, k.source FROM kept k JOIN gated USING (doc_id)),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM kept2),
+capped AS (SELECT doc_id, source FROM ranked WHERE rk <= {BUILD_QUOTA}),
+w(source, w_pct) AS (VALUES {weights}),
+d AS (
+  SELECT doc_id, c.source,
+         w_pct // 100
+         + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 < w_pct % 100
+                THEN 1 ELSE 0 END AS n_epochs
+  FROM capped c JOIN w USING (source))
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch
+FROM d
+"""
+
+
+ORACLE_Q138 = _corpus_build_oracle()
+
+
 def batch21_registry() -> list[QueryDef]:
     return [
         QueryDef("q129_incremental_minhash", q129_incremental_minhash, ORACLE_Q129, "new-batch MinHash dedup against stored history index"),
@@ -563,4 +658,5 @@ def batch21_registry() -> list[QueryDef]:
         QueryDef("q135_semdedup", q135_semdedup, ORACLE_Q135, "SemDeDup: within-cell semantic dedup"),
         QueryDef("q136_incremental_topk", q136_incremental_topk, ORACLE_Q136, "incremental top-k merge vs full recompute"),
         QueryDef("q137_phrase_search", q137_phrase_search, ORACLE_Q137, "positional-postings exact phrase search"),
+        QueryDef("q138_corpus_build", q138_corpus_build, ORACLE_Q138, "end-to-end corpus build: dedup->gates->quota->mixture"),
     ]
