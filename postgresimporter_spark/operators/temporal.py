@@ -238,4 +238,54 @@ def time_bucket_gapfill(
     return out.withColumnRenamed("_bucket_ts", "bucket_ts")
 
 
-__all__ = ["asof_join", "interval_join", "time_bucket_gapfill"]
+__all__ = ["asof_join", "interval_join", "time_bucket_gapfill", "ewma"]
+
+
+def ewma(
+    df: DataFrame,
+    alpha_pct: int = 25,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average — the recursive
+    smoother ``s_i = α·x_i + (1-α)·s_{i-1}`` (s_0 = first value),
+    folded over the key's events in (ts, order_col) order. Returns one
+    row per key: (key, n_events, ewma).
+
+    Recursion can't ride a Spark window, so the fold runs over a
+    per-key SORTED array: one groupBy shuffle, then pure array math.
+    Engine-portable determinism: α is passed in integer percent and
+    becomes an exact binary-fraction literal pair (25% → 0.25/0.75),
+    the sort key (ts, order_col) is a total order, and both engines
+    fold left-to-right over the identical sequence — bit-identical
+    before the final round. Per-key state is the key's own event
+    array; a pathologically hot key should be capped upstream (same
+    caveat as ``curation.pack_sequences`` shards).
+    """
+    a = alpha_pct / 100.0
+    ev = df.select(
+        F.col(key_col),
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(order_col).alias("o"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("_e"),
+    )
+    per = ev.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_sort(F.collect_list("_e")).alias("_arr"),
+    )
+    vals = F.transform(F.col("_arr"), lambda x: x["v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.size(vals)),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return per.select(
+        key_col,
+        "n_events",
+        F.round(folded, round_digits).alias("ewma"),
+    )

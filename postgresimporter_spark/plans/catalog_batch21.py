@@ -647,6 +647,43 @@ FROM d
 ORACLE_Q138 = _corpus_build_oracle()
 
 
+# q139: per-user EWMA smoothing ----------------------------------------------
+
+EWMA_ALPHA_PCT = 25
+
+
+def q139_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average over the events
+    stream (operators/temporal.py:ewma): the recursive smoother folded
+    over each user's (ts, event_id)-sorted values — one shuffle, then
+    array math; α=0.25 is an exact binary fraction so both engines
+    fold identical doubles."""
+    from ..operators.temporal import ewma
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return ewma(events, alpha_pct=EWMA_ALPHA_PCT)
+
+
+ORACLE_Q139 = f"""
+WITH ev AS (
+  SELECT user_id,
+         {{'t': ts, 'o': event_id, 'v': CAST(value AS DOUBLE)}} AS e
+  FROM events),
+per AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         list_sort(list(e)) AS arr
+  FROM ev GROUP BY user_id),
+vals AS (
+  SELECT user_id, n_events,
+         list_transform(arr, x -> x.v) AS vs
+  FROM per)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+         AS ewma
+FROM vals
+"""
+
+
 def batch21_registry() -> list[QueryDef]:
     return [
         QueryDef("q129_incremental_minhash", q129_incremental_minhash, ORACLE_Q129, "new-batch MinHash dedup against stored history index"),
@@ -659,4 +696,5 @@ def batch21_registry() -> list[QueryDef]:
         QueryDef("q136_incremental_topk", q136_incremental_topk, ORACLE_Q136, "incremental top-k merge vs full recompute"),
         QueryDef("q137_phrase_search", q137_phrase_search, ORACLE_Q137, "positional-postings exact phrase search"),
         QueryDef("q138_corpus_build", q138_corpus_build, ORACLE_Q138, "end-to-end corpus build: dedup->gates->quota->mixture"),
+        QueryDef("q139_ewma", q139_ewma, ORACLE_Q139, "per-key EWMA via order-fixed array fold"),
     ]

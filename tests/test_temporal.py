@@ -312,3 +312,24 @@ def test_signband_hot_bucket_cap(spark):
     assert uncapped == {(1, 2), (1, 3), (2, 3)}
     # band 0 holds 3/3 rows (> 0.9) -> dropped; (1,3)/(2,3) relied on it
     assert capped == {(1, 2)}
+
+
+def test_ewma_hand_computed(spark):
+    import datetime as dt
+
+    from postgresimporter_spark.operators.temporal import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: values 10, 20, 30 in ts order (ids break the ts tie)
+        (1, t0, 1, 10.0),
+        (1, t0, 2, 20.0),
+        (1, t0 + dt.timedelta(minutes=1), 3, 30.0),
+        # user 2: single event -> ewma = the value
+        (2, t0, 4, 7.5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    got = {r.user_id: r for r in ewma(df, alpha_pct=25).collect()}
+    # s = 10 -> 0.25*20+0.75*10 = 12.5 -> 0.25*30+0.75*12.5 = 16.875
+    assert got[1].n_events == 3 and abs(got[1].ewma - 16.875) < 1e-9
+    assert got[2].n_events == 1 and got[2].ewma == 7.5
