@@ -147,6 +147,33 @@ def _drop_hot_shingles(
     return exploded.join(rare, on="shingle")
 
 
+def hot_shingles(
+    df: DataFrame,
+    max_doc_ratio: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shingles appearing in MORE than ``max_doc_ratio`` of ``df``'s
+    documents, as a 1-column (shingle) DataFrame — the drop list an
+    index build should PERSIST next to its ``minhash_band_index`` so
+    probes exclude exactly the same shingles regardless of batch size
+    (a probe batch's own document frequencies are meaningless for a
+    1-doc batch: every shingle has ratio 1.0)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    n_docs = df.agg(F.count("*").cast("double").alias("_n_docs"))
+    return (
+        exploded.groupBy("shingle")
+        .agg(F.count_distinct("id").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") > F.lit(max_doc_ratio) * F.col("_n_docs"))
+        .select("shingle")
+    )
+
+
 def _md5_long(c: Column, seed: int) -> Column:
     """Deterministic 60-bit integer hash from md5 (engine-independent:
     DuckDB computes the identical value). 15 hex chars avoids sign
@@ -193,16 +220,21 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_ratio: float | None = None,
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: min over the shingle set of each
     of ``num_hashes`` hash functions — one md5 per shingle, the
     per-function values are integer arithmetic on the shared base hash.
 
     ``max_doc_ratio`` drops shingles appearing in more than that
-    fraction of documents *before* hashing (boilerplate/stop-phrase
-    guard: hot shingles both skew the LSH bucket join and drag every
-    document's minima toward the same values, inflating estimated
-    similarity between unrelated docs).
+    fraction of THIS corpus's documents *before* hashing
+    (boilerplate/stop-phrase guard: hot shingles both skew the LSH
+    bucket join and drag every document's minima toward the same
+    values, inflating estimated similarity between unrelated docs).
+    ``stop_shingles`` is the explicit-drop-list alternative — a
+    (shingle) DataFrame (see ``hot_shingles``) anti-joined before
+    hashing; use it when the drop set must come from a DIFFERENT
+    corpus than ``df`` (probing an index with a small batch).
     """
     # explode + one grouped aggregation: computes md5 exactly once per
     # shingle. (The pure-projection alternative — 16 array_min(transform)
@@ -216,6 +248,12 @@ def minhash_signatures(
     )
     if max_doc_ratio is not None:
         exploded_sh = _drop_hot_shingles(exploded_sh, df, max_doc_ratio)
+    if stop_shingles is not None:
+        exploded_sh = exploded_sh.join(
+            F.broadcast(stop_shingles.select("shingle")),
+            on="shingle",
+            how="left_anti",
+        )
     exploded = exploded_sh.select(
         "id", _md5_base(F.col("shingle")).alias("base")
     )
@@ -336,6 +374,7 @@ def minhash_band_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_ratio: float | None = None,
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Persistable banded MinHash index over a (history) corpus: one row
     per (id, signature, band, bucket).
@@ -346,10 +385,17 @@ def minhash_band_index(
     documents WITHOUT recomputing history signatures. At 100 TB the
     index is O(corpus x bands) small rows and the probe touches only the
     new batch's buckets — corpus history is never re-shingled.
+
+    When building with ``max_doc_ratio``, ALSO persist
+    ``hot_shingles(df, max_doc_ratio)`` next to the index and pass it
+    as ``stop_shingles`` to every probe and append (the drop set must
+    be the history corpus's, never a small batch's own estimate).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
-        df, num_hashes, n, text_col, id_col, max_doc_ratio=max_doc_ratio
+        df, num_hashes, n, text_col, id_col,
+        max_doc_ratio=max_doc_ratio,
+        stop_shingles=stop_shingles,
     ).localCheckpoint(eager=False)
     return _band_entries(sigs, bands, rows_per_band)
 
@@ -365,6 +411,7 @@ def minhash_match_index(
     id_col: str = "doc_id",
     broadcast_batch: bool = True,
     max_doc_ratio: float | None = None,
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: match a NEW batch of documents
     against an existing ``minhash_band_index`` (corpus history) without
@@ -378,18 +425,22 @@ def minhash_match_index(
     broadcasts (``broadcast_batch``) and the index — the 100 TB side —
     never shuffles. Hash params MUST match the ones the index was built
     with (same num_hashes/bands/n); mismatched params silently produce
-    disjoint buckets. ``max_doc_ratio`` likewise: an index built with
-    hot-shingle dropping must be probed with it too, else batch
-    signatures include the boilerplate shingles the index excluded and
-    buckets disagree. Note the drop set is estimated from the BATCH's
-    own document frequencies — for small batches with atypical
-    boilerplate density, persist the index build's dropped-shingle list
-    alongside the index and anti-join it here instead.
+    disjoint buckets.
+
+    If the index was built with hot-shingle dropping, probe with
+    ``stop_shingles`` = the drop list PERSISTED from the index build
+    (``hot_shingles`` over the history corpus) — that excludes exactly
+    the shingles the index excluded for any batch size.
+    ``max_doc_ratio`` estimates the drop set from the BATCH's own
+    document frequencies instead, which is only meaningful for large
+    batches (a 1-doc batch has ratio 1.0 for every shingle and would
+    drop them all — prefer ``stop_shingles``).
     """
     rows_per_band = num_hashes // bands
     new_sigs = minhash_signatures(
         new_df, num_hashes, n, text_col, id_col,
         max_doc_ratio=max_doc_ratio,
+        stop_shingles=stop_shingles,
     ).localCheckpoint(eager=False)
     new_entries = _band_entries(new_sigs, bands, rows_per_band)
     if broadcast_batch:
@@ -563,9 +614,14 @@ def simhash_hamming_pairs(
         raise ValueError("bits must divide evenly into chunks")
     width = bits // chunks
     mask = (1 << width) - 1
-    if combo_size is not None and combo_size > max(1, chunks - max_hamming):
+    if combo_size is not None and combo_size > chunks - max_hamming:
         # a pair with max_hamming flips can leave only chunks-max_hamming
-        # chunks unchanged; a larger combo has no agreement guarantee
+        # chunks unchanged; a larger combo has no agreement guarantee.
+        # (chunks <= max_hamming has NO guarantee at any combo size —
+        # that degenerate config is rejected here too rather than
+        # masked; the combo_size=None default then degrades to plain
+        # single-chunk banding, which the docstring scopes as exact
+        # only for max_hamming < chunks.)
         raise ValueError(
             "combo_size > chunks - max_hamming breaks the exact-recall "
             "pigeonhole guarantee"
@@ -634,6 +690,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_band_index",
     "minhash_match_index",
+    "hot_shingles",
+    "ordered_pair_structs",
     "cross_source_overlap",
     "simhash",
     "simhash_hamming_pairs",

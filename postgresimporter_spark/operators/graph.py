@@ -67,10 +67,12 @@ def cooccurrence_edges(
     to slow instead of OOM/array-limit (a ~70k-item container would
     exceed the 2^31 array-element ceiling in the array path).
     """
-    a = items.select(
-        F.col(container_col).alias("_c"), F.col(item_col).alias("src")
-    ).distinct()
     if max_container_size is None:
+        # distinct is needed here (the join would pair duplicate item
+        # rows); checkpoint it — both join sides read it
+        a = items.select(
+            F.col(container_col).alias("_c"), F.col(item_col).alias("src")
+        ).distinct().localCheckpoint(eager=False)
         b = a.select("_c", F.col("src").alias("dst"))
         return (
             a.join(b, on="_c")
@@ -78,8 +80,13 @@ def cooccurrence_edges(
             .select("src", "dst")
             .distinct()
         )
+    # no pre-distinct in this path: collect_set dedups per container,
+    # so the groupBy is the ONE shuffle over the input
     sets = (
-        a.groupBy("_c")
+        items.select(
+            F.col(container_col).alias("_c"), F.col(item_col).alias("src")
+        )
+        .groupBy("_c")
         .agg(F.sort_array(F.collect_set("src")).alias("_items"))
         .where(F.size("_items") <= max_container_size)
     )

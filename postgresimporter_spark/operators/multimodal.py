@@ -70,11 +70,23 @@ def parse_media_header(content: bytes) -> dict | None:
             "height": int.from_bytes(b[20:24], "big"),
         }
     if b[:3] == b"\xff\xd8\xff":
+        # SOF markers carry frame dims: 0xC0-0xCF except DHT (C4),
+        # JPG (C8), DAC (CC). The spec allows 0xFF fill bytes before
+        # any marker — skip them or the length read desynchronizes.
+        _SOF = {
+            m
+            for m in range(0xC0, 0xD0)
+            if m not in (0xC4, 0xC8, 0xCC)
+        }
         i = 2
-        while i + 9 < len(b) and b[i] == 0xFF:
+        while i + 1 < len(b) and b[i] == 0xFF:
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1  # fill byte
             marker = b[i + 1]
+            if i + 9 >= len(b):
+                break
             seglen = int.from_bytes(b[i + 2 : i + 4], "big")
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3: baseline..lossless
+            if marker in _SOF:
                 return {
                     "codec": "jpeg",
                     "height": int.from_bytes(b[i + 5 : i + 7], "big"),
@@ -93,7 +105,7 @@ def parse_media_header(content: bytes) -> dict | None:
         while i + 8 <= len(b):
             cid = b[i : i + 4]
             clen = int.from_bytes(b[i + 4 : i + 8], "little")
-            if cid == b"fmt " and i + 24 <= len(b):
+            if cid == b"fmt " and clen >= 16 and i + 24 <= len(b):
                 channels = int.from_bytes(b[i + 10 : i + 12], "little")
                 rate = int.from_bytes(b[i + 12 : i + 16], "little")
                 bits = int.from_bytes(b[i + 22 : i + 24], "little")
@@ -120,54 +132,66 @@ MEDIA_META_SCHEMA = (
 )
 
 
-def extract_media_metadata(media: DataFrame) -> DataFrame:
-    """Container-header metadata extraction over a binary column — the
-    REAL (non-stub) half of the multimodal tier: ``parse_media_header``
-    reads actual PNG/JPEG/GIF/WAV byte layouts. Arrow-batched
-    mapInPandas, same streaming memory posture as ``extract_features``;
-    unrecognized or truncated bytes yield null fields, never task
-    failures.
-    """
-    def _extract(batches: Iterator) -> Iterator:
+def _map_media_rows(
+    media: DataFrame, row_fn, columns: list[str], schema: str
+) -> DataFrame:
+    """Shared Arrow-batched per-row mapper for the media operators:
+    streams batches through ``mapInPandas`` (constant memory per task),
+    applying ``row_fn(row) -> dict``. Failure semantics live inside
+    ``row_fn`` (decode errors -> null fields, never task failures)."""
+
+    def _run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                content = r["content"] or b""
-                try:
-                    meta = parse_media_header(content) or {}
-                except Exception:  # noqa: BLE001 - corrupt headers -> nulls
-                    meta = {}
-                rows.append(
-                    {
-                        "path": r["path"],
-                        "modality": r["modality"],
-                        "n_bytes": len(content),
-                        "codec": meta.get("codec"),
-                        "width": meta.get("width"),
-                        "height": meta.get("height"),
-                        "sample_rate": meta.get("sample_rate"),
-                        "channels": meta.get("channels"),
-                        "duration_ms": meta.get("duration_ms"),
-                    }
-                )
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path",
-                    "modality",
-                    "n_bytes",
-                    "codec",
-                    "width",
-                    "height",
-                    "sample_rate",
-                    "channels",
-                    "duration_ms",
-                ],
+                [row_fn(r) for _, r in pdf.iterrows()], columns=columns
             )
 
-    return media.mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
+    return media.mapInPandas(_run, schema=schema)
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """Container-header metadata extraction over a binary column — the
+    REAL (non-stub) half of the multimodal tier: ``parse_media_header``
+    reads actual PNG/JPEG/GIF/WAV byte layouts. Arrow-batched via the
+    shared mapper; unrecognized or truncated bytes yield null fields,
+    never task failures.
+    """
+    def _row(r) -> dict:
+        content = r["content"] or b""
+        try:
+            meta = parse_media_header(content) or {}
+        except Exception:  # noqa: BLE001 - corrupt headers -> nulls
+            meta = {}
+        return {
+            "path": r["path"],
+            "modality": r["modality"],
+            "n_bytes": len(content),
+            "codec": meta.get("codec"),
+            "width": meta.get("width"),
+            "height": meta.get("height"),
+            "sample_rate": meta.get("sample_rate"),
+            "channels": meta.get("channels"),
+            "duration_ms": meta.get("duration_ms"),
+        }
+
+    return _map_media_rows(
+        media,
+        _row,
+        [
+            "path",
+            "modality",
+            "n_bytes",
+            "codec",
+            "width",
+            "height",
+            "sample_rate",
+            "channels",
+            "duration_ms",
+        ],
+        MEDIA_META_SCHEMA,
+    )
 
 
 def read_media_dir(spark: SparkSession, path_glob: str, modality: str) -> DataFrame:
@@ -192,44 +216,38 @@ def extract_features(media: DataFrame) -> DataFrame:
     """
     import hashlib
 
-    def _extract(batches: Iterator) -> Iterator:
-        import pandas as pd
+    def _row(r) -> dict:
+        content = r["content"] or b""
+        try:
+            decoded = DECODERS[r["modality"]](content)
+        except Exception:  # noqa: BLE001 - log-and-continue:
+            # a corrupt media file must yield nulls, never fail
+            # the task (reference failure semantics)
+            decoded = {}
+        return {
+            "path": r["path"],
+            "modality": r["modality"],
+            "n_bytes": len(content),
+            "sha256": hashlib.sha256(content).hexdigest(),
+            "width": decoded.get("width"),
+            "height": decoded.get("height"),
+            "duration_ms": decoded.get("duration_ms"),
+        }
 
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                content = r["content"] or b""
-                try:
-                    decoded = DECODERS[r["modality"]](content)
-                except Exception:  # noqa: BLE001 - log-and-continue:
-                    # a corrupt media file must yield nulls, never fail
-                    # the task (reference failure semantics)
-                    decoded = {}
-                rows.append(
-                    {
-                        "path": r["path"],
-                        "modality": r["modality"],
-                        "n_bytes": len(content),
-                        "sha256": hashlib.sha256(content).hexdigest(),
-                        "width": decoded.get("width"),
-                        "height": decoded.get("height"),
-                        "duration_ms": decoded.get("duration_ms"),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path",
-                    "modality",
-                    "n_bytes",
-                    "sha256",
-                    "width",
-                    "height",
-                    "duration_ms",
-                ],
-            )
-
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return _map_media_rows(
+        media,
+        _row,
+        [
+            "path",
+            "modality",
+            "n_bytes",
+            "sha256",
+            "width",
+            "height",
+            "duration_ms",
+        ],
+        FEATURE_SCHEMA,
+    )
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

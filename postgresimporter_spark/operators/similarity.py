@@ -377,11 +377,14 @@ def merge_topk(
     total order as ``brute_force_topk``, so the merged result is
     bit-identical to a from-scratch recompute over A ∪ B. A corpus id
     present on BOTH sides (a replayed/duplicated batch row) is deduped
-    before ranking — scoring is deterministic, so the duplicate rows
-    are identical and dropping one is exact. That makes the merge
-    idempotent: re-merging an already-merged batch is a no-op, which
-    is what lets an at-least-once delivery upstream compose into an
-    exactly-once standings table.
+    before ranking via max(score) per (query, id) — when scoring is
+    deterministic the duplicate rows are identical and this is exact;
+    if the sides genuinely disagree (mismatched round_digits, a vector
+    mutated between runs) the resolution is still DETERMINISTIC
+    (better score wins), never partition-order-dependent. That makes
+    the merge idempotent: re-merging an already-merged batch is a
+    no-op, which is what lets an at-least-once delivery upstream
+    compose into an exactly-once standings table.
     """
     new_scored = brute_force_topk(
         batch,
@@ -395,7 +398,8 @@ def merge_topk(
     merged = (
         prev_topk.select(query_id, corpus_id, "score")
         .unionByName(new_scored.select(query_id, corpus_id, "score"))
-        .dropDuplicates([query_id, corpus_id])
+        .groupBy(query_id, corpus_id)
+        .agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("score"), F.asc(corpus_id)

@@ -577,13 +577,16 @@ def q138_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textstats as TS
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # aug feeds the dedup groupBy AND the survivor join-back; kept
+    # feeds quality_features AND the gated join — materialize both
+    # (invariant 7: twice-read intermediates)
     aug = docs.select("doc_id", "text", "source").unionByName(
         docs.where(F.col("doc_id") < 50).select(
             (F.col("doc_id") + 10000).alias("doc_id"), "text", "source"
         )
-    )
+    ).localCheckpoint(eager=False)
     surv = D.exact_dedup(aug).select("doc_id")
-    kept = aug.join(surv, on="doc_id")
+    kept = aug.join(surv, on="doc_id").localCheckpoint(eager=False)
     gated = (
         C.quality_gates(TS.quality_features(kept))
         .where(F.col("passes"))

@@ -316,22 +316,6 @@ def test_simhash_combo_size_validation(spark):
         )
 
 
-def test_cooccurrence_uncapped_fallback_matches_capped(spark):
-    from postgresimporter_spark.operators.graph import cooccurrence_edges
-
-    items = spark.createDataFrame(
-        [(1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c"), (2, "b")],
-        ["basket", "item"],
-    )
-    capped = sorted(
-        map(tuple, cooccurrence_edges(items, "basket", "item", 10).collect())
-    )
-    uncapped = sorted(
-        map(tuple, cooccurrence_edges(items, "basket", "item").collect())
-    )
-    assert capped == uncapped == [("a", "b"), ("a", "c"), ("b", "c")]
-
-
 def test_minhash_match_index_with_hot_shingle_cap(spark):
     boiler = "terms of service apply here now "
     hist = spark.createDataFrame(
@@ -383,3 +367,30 @@ def test_phrase_search_overlapping_and_boundaries(spark):
         for r in phrase_search(df, ["b"]).collect()
     )
     assert single == [(0, 3), (1, 0), (2, 1)]
+
+
+def test_minhash_match_index_stop_shingles_one_doc_batch(spark):
+    """The persisted drop list closes the small-batch footgun: a 1-doc
+    probe against a hot-shingle-capped index matches correctly when
+    probed with the HISTORY's stop list (its own ratio estimate would
+    drop every shingle it has)."""
+    boiler = "terms of service apply here now "
+    hist = spark.createDataFrame(
+        [
+            (0, boiler + "alpha beta gamma delta epsilon zeta"),
+            (1, boiler + "completely different content with other words"),
+            (2, boiler + "third unrelated history document entirely new"),
+        ],
+        ["doc_id", "text"],
+    )
+    stop = D.hot_shingles(hist, max_doc_ratio=0.9).localCheckpoint()
+    assert stop.count() > 0  # boilerplate shingles detected
+    index = D.minhash_band_index(hist, stop_shingles=stop)
+    batch = spark.createDataFrame(
+        [(100, boiler + "alpha beta gamma delta epsilon zeta extra")],
+        ["doc_id", "text"],
+    )
+    out = D.minhash_match_index(
+        index, batch, threshold=0.5, stop_shingles=stop
+    )
+    assert {(r.new_id, r.hist_id) for r in out.collect()} == {(100, 0)}
