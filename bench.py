@@ -60,6 +60,10 @@ HEADLINE = [
     # cross-document span removal
     "q129_incremental_minhash",
     "q130_span_dedup",
+    # round-3 web-curation tier: canonical-URL dedup + domain quotas and
+    # iterative BPE merge learning (6 collect-per-round jobs)
+    "q141_domain_quota",
+    "q142_bpe_merges",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.

@@ -811,6 +811,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch21_registry():
         out[q.name] = q
+    from .catalog_batch22 import batch22_registry
+
+    for q in batch22_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

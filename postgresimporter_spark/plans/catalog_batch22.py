@@ -1,0 +1,329 @@
+"""Batch 22: web-curation & tokenizer-training tier.
+
+Net-new engine surface (the reference has no analytics): the front door
+of a crawl-scale corpus build — URL canonicalization (q140), canonical
+exact-URL dedup + per-domain quota capping (q141) — and BPE tokenizer
+merge learning (q142), the iterative "big aggregation, tiny state"
+job every LLM tokenizer starts from.
+
+The fixture documents table has no URL column, so q140/q141 derive a
+deterministic synthetic URL per document (scheme/WWW-casing/port/
+tracking-param/fragment noise keyed off ``doc_id``) — the derivation is
+part of the query and mirrored verbatim in the DuckDB oracle, so the
+canonicalizer is differentially tested end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import urls as U
+from ..operators.bpe import learn_bpe_merges
+from ..operators.textstats import tokens
+from ..sources.parquet import load_tables
+from .catalog import QueryDef
+
+# ---------------------------------------------------------------------------
+# Shared: deterministic synthetic URLs over documents
+# ---------------------------------------------------------------------------
+
+
+def _raw_urls(docs: DataFrame) -> DataFrame:
+    """Synthesize one messy-but-deterministic URL per document.
+
+    Covers every canonicalization rule: mixed-case scheme/host, www
+    prefix, default and non-default ports, trailing slashes, tracking
+    params, fragments, and two-label public suffixes.
+    """
+    d = F.col("doc_id")
+    scheme_raw = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    www = F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    hostbase = F.when(d % 5 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    tld = F.when(d % 4 == 0, F.lit("-site.co.uk")).otherwise(
+        F.lit("-site.com")
+    )
+    port = (
+        F.when((d % 2 == 0) & (d % 5 == 0), F.lit(":443"))
+        .when(d % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/Docs/"),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 1, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.concat(
+        F.lit("?utm_source=feed&id="),
+        (d % 25).cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+        F.when(d % 6 == 0, F.lit("&fbclid=abc123")).otherwise(F.lit("")),
+    )
+    frag = F.when(d % 4 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            scheme_raw, F.lit("://"), www, hostbase, tld, port, path,
+            query, frag,
+        ).alias("raw_url"),
+    )
+
+
+RAW_URLS_SQL = """
+SELECT doc_id, n_chars,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+  (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+  (CASE WHEN doc_id % 4 = 0 THEN '-site.co.uk'
+        ELSE '-site.com' END) ||
+  (CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN ':443'
+        WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+  '/Docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+  (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) ||
+  '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR) ||
+  '&lang=' || lang ||
+  (CASE WHEN doc_id % 6 = 0 THEN '&fbclid=abc123' ELSE '' END) ||
+  (CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS raw_url
+FROM documents
+"""
+
+# Canonicalization CTE mirroring functions/urls.py rule-for-rule.
+CANON_SQL = f"""
+raw AS ({RAW_URLS_SQL}),
+parsed AS (
+  SELECT doc_id, n_chars, raw_url,
+    lower(regexp_extract(raw_url, '^([a-zA-Z]+)://', 1)) AS scheme,
+    regexp_extract(raw_url, '^[a-zA-Z]+://([^/?#]*)', 1) AS auth,
+    regexp_extract(raw_url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1)
+      AS rawpath,
+    regexp_extract(raw_url, '\\?([^#]*)', 1) AS rawq
+  FROM raw),
+hosted AS (
+  SELECT *,
+    regexp_replace(regexp_replace(lower(auth), ':[0-9]+$', ''),
+                   '^www\\.', '') AS host,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p0
+  FROM parsed),
+pathed AS (
+  SELECT *,
+    CASE WHEN p0 = '/' THEN p0
+         ELSE regexp_replace(p0, '/$', '') END AS path,
+    list_sort(list_filter(
+      list_filter(string_split(rawq, '&'), x -> x != ''),
+      kv -> NOT regexp_matches(string_split(kv, '=')[1],
+                               '^(utm_[a-z]+|fbclid|gclid)$')))
+      AS params
+  FROM hosted),
+canon AS (
+  SELECT doc_id, n_chars, raw_url, scheme, host, port, path, params,
+    scheme || '://' || host ||
+    (CASE WHEN port = ''
+               OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END) ||
+    path ||
+    (CASE WHEN len(params) > 0
+          THEN '?' || array_to_string(params, '&') ELSE '' END)
+      AS canonical_url,
+    CASE WHEN (host LIKE '%.co.uk' OR host LIKE '%.com.au'
+               OR host LIKE '%.co.jp')
+              AND len(string_split(host, '.')) >= 3
+         THEN array_to_string(list_slice(string_split(host, '.'),
+                len(string_split(host, '.')) - 2,
+                len(string_split(host, '.'))), '.')
+         ELSE array_to_string(list_slice(string_split(host, '.'),
+                len(string_split(host, '.')) - 1,
+                len(string_split(host, '.'))), '.')
+    END AS registered_domain
+  FROM pathed)
+"""
+
+
+# q140: URL canonicalization ---------------------------------------------------
+
+
+def q140_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize crawl URLs with pure Catalyst expressions
+    (functions/urls.py): lowercase scheme+host, strip www/default
+    ports/fragments/tracking params, sort surviving params, trim
+    trailing slashes, derive the registered domain.  Zero shuffles —
+    the whole thing is one codegen'd projection over the scan, the
+    right shape for the first stage of a 100 TB crawl ingest."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    canon = U.with_canonical(_raw_urls(docs), "raw_url")
+    return (
+        canon.where(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            "raw_url",
+            "canonical_url",
+            "host",
+            "registered_domain",
+            F.size("params").cast("long").alias("n_params"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q140 = f"""
+WITH {CANON_SQL}
+SELECT doc_id, raw_url, canonical_url, host, registered_domain,
+       CAST(len(params) AS BIGINT) AS n_params
+FROM canon
+WHERE doc_id < 60
+ORDER BY doc_id
+"""
+
+
+# q141: canonical-URL dedup + per-domain quota --------------------------------
+
+DOMAIN_CAP = 5
+
+
+def q141_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-corpus admission control: exact dedup on canonical URL
+    (keep lowest doc_id), then cap each registered domain at
+    DOMAIN_CAP documents preferring longer ones (n_chars desc, doc_id
+    tiebreak).  Both windows partition on bounded keys (canonical URL,
+    domain) — no global window — so the plan scales with the number of
+    domains, and the per-domain cap is itself the skew guard: a
+    crawler trap emitting millions of URLs under one domain
+    contributes at most DOMAIN_CAP documents."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    canon = U.with_canonical(_raw_urls(docs), "raw_url")
+    w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
+    uniq = (
+        canon.withColumn("rn", F.row_number().over(w_url))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_dom = Window.partitionBy("registered_domain").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    kept = (
+        uniq.withColumn("rk", F.row_number().over(w_dom))
+        .where(F.col("rk") <= DOMAIN_CAP)
+    )
+    tot = canon.groupBy("registered_domain").agg(
+        F.count("*").alias("n_docs")
+    )
+    nuniq = uniq.groupBy("registered_domain").agg(
+        F.count("*").alias("n_unique")
+    )
+    nkept = kept.groupBy("registered_domain").agg(
+        F.count("*").alias("n_kept")
+    )
+    return (
+        tot.join(nuniq, "registered_domain")
+        .join(nkept, "registered_domain")
+        .orderBy("registered_domain")
+    )
+
+
+ORACLE_Q141 = f"""
+WITH {CANON_SQL},
+uniq AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY canonical_url
+                                 ORDER BY doc_id) AS rn
+    FROM canon) WHERE rn = 1),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY registered_domain
+                                 ORDER BY n_chars DESC, doc_id) AS rk
+    FROM uniq) WHERE rk <= {DOMAIN_CAP}),
+tot AS (SELECT registered_domain, COUNT(*) AS n_docs
+        FROM canon GROUP BY 1),
+u AS (SELECT registered_domain, COUNT(*) AS n_unique
+      FROM uniq GROUP BY 1),
+k AS (SELECT registered_domain, COUNT(*) AS n_kept
+      FROM capped GROUP BY 1)
+SELECT registered_domain, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST(n_kept AS BIGINT) AS n_kept
+FROM tot JOIN u USING (registered_domain) JOIN k USING (registered_domain)
+ORDER BY registered_domain
+"""
+
+
+# q142: BPE merge learning -----------------------------------------------------
+
+BPE_ROUNDS = 6
+
+
+def q142_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_ROUNDS BPE merges from the corpus word
+    frequencies (operators/bpe.py).  One corpus-scale shuffle builds
+    the vocabulary; every round after that is vocabulary-sized with a
+    single argmax row collected per round — k-means-style metadata
+    collects, not data collects."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return learn_bpe_merges(vocab, rounds=BPE_ROUNDS)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled DuckDB mirror of learn_bpe_merges: fixed rounds, no
+    recursion — each round is (pair count → argmax → replace-merge)."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    ctes = [
+        "toks AS (SELECT list_filter(string_split_regex(trim(text),"
+        " '\\s+'), t -> t != '') AS arr FROM documents)",
+        "tw AS (SELECT unnest(arr) AS word FROM toks)",
+        "vocab AS (SELECT word, COUNT(*) AS freq FROM tw GROUP BY word)",
+        f"v1 AS (SELECT freq, {sep} || array_to_string("
+        f"list_concat(regexp_extract_all(word, '.'), ['</w>']), {sep2})"
+        f" || {sep} AS s FROM vocab)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"e{k} AS (SELECT freq, syms, unnest(generate_series(1,"
+            f" len(syms) - 1)) AS i FROM (SELECT freq, string_split("
+            f"substr(s, 2, length(s) - 2), {sep2}) AS syms FROM v{k}))"
+        )
+        ctes.append(
+            f"m{k} AS (SELECT syms[i] AS l, syms[i + 1] AS r,"
+            f" SUM(freq) AS c FROM e{k} GROUP BY 1, 2"
+            f" ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"v{k + 1} AS (SELECT freq, replace(s,"
+            f" {sep}||l||{sep2}||r||{sep}, {sep}||l||r||{sep}) AS s"
+            f" FROM v{k} CROSS JOIN m{k})"
+        )
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS merge_round, l AS merge_left,"
+        f" r AS merge_right, CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, rounds + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE_Q142 = _bpe_oracle(BPE_ROUNDS)
+
+
+def batch22_registry() -> list[QueryDef]:
+    return [
+        QueryDef(
+            "q140_url_canonicalize", q140_url_canonicalize, ORACLE_Q140,
+            "crawl URL canonicalization (pure Catalyst, zero-shuffle)",
+        ),
+        QueryDef(
+            "q141_domain_quota", q141_domain_quota, ORACLE_Q141,
+            "canonical-URL dedup + per-domain quota cap",
+        ),
+        QueryDef(
+            "q142_bpe_merges", q142_bpe_merges, ORACLE_Q142,
+            "BPE tokenizer merge learning (6 rounds, argmax-only collects)",
+        ),
+    ]

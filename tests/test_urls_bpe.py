@@ -1,0 +1,92 @@
+"""Web-curation tier: URL canonicalization edge cases and BPE greedy
+merge semantics (batch 22)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresimporter_spark.functions import urls as U
+from postgresimporter_spark.operators.bpe import learn_bpe_merges
+
+
+def _canon(spark, url: str) -> dict:
+    df = spark.createDataFrame([(url,)], "raw_url string")
+    return U.with_canonical(df, "raw_url").collect()[0].asDict()
+
+
+def test_canonical_full_noise(spark):
+    r = _canon(
+        spark,
+        "HTTP://WWW.Ex.COM:80/a/b/?utm_source=x&z=1&a=2&fbclid=f#frag",
+    )
+    assert r["canonical_url"] == "http://ex.com/a/b?a=2&z=1"
+    assert r["host"] == "ex.com"
+    assert r["registered_domain"] == "ex.com"
+
+
+def test_canonical_default_port_only_for_matching_scheme(spark):
+    # :443 is NOT default for http — must be kept
+    assert (
+        _canon(spark, "http://a.com:443/x")["canonical_url"]
+        == "http://a.com:443/x"
+    )
+    assert (
+        _canon(spark, "https://a.com:443/x")["canonical_url"]
+        == "https://a.com/x"
+    )
+    assert (
+        _canon(spark, "https://a.com:8080/x")["canonical_url"]
+        == "https://a.com:8080/x"
+    )
+
+
+def test_canonical_empty_path_and_root(spark):
+    assert _canon(spark, "https://a.com")["canonical_url"] == "https://a.com/"
+    assert _canon(spark, "https://a.com/")["canonical_url"] == "https://a.com/"
+
+
+def test_registered_domain_public_suffix(spark):
+    assert (
+        _canon(spark, "https://www.news.bbc.co.uk/x")["registered_domain"]
+        == "bbc.co.uk"
+    )
+    assert (
+        _canon(spark, "https://deep.sub.host.com/x")["registered_domain"]
+        == "host.com"
+    )
+    # a host that IS exactly a two-label suffix + one label
+    assert (
+        _canon(spark, "https://only.co.jp/x")["registered_domain"]
+        == "only.co.jp"
+    )
+
+
+def test_bpe_greedy_single_pass(spark):
+    # "aaaa" with merge (a,a) must yield [aa, aa]; "aaa" yields [aa, a]:
+    # SQL replace's continue-after-replacement semantics == greedy BPE.
+    vocab = spark.createDataFrame(
+        [("aaaa", 10)], "word string, freq long"
+    )
+    m = learn_bpe_merges(vocab, rounds=2).collect()
+    assert (m[0]["merge_left"], m[0]["merge_right"]) == ("a", "a")
+    # round 1: 10 words x 3 adjacent (a,a) pairs = 30
+    assert m[0]["pair_count"] == 30
+    # after greedy merge: [aa, aa, </w>] -> (aa,aa) and (aa,</w>) tie at
+    # 10; bytewise tiebreak picks '</w>' ('<' 0x3C sorts before 'a')
+    assert (m[1]["merge_left"], m[1]["merge_right"]) == ("aa", "</w>")
+    assert m[1]["pair_count"] == 10
+
+
+def test_bpe_frequency_weighting_and_tiebreak(spark):
+    vocab = spark.createDataFrame(
+        [("he", 3), ("she", 2), ("hem", 1)], "word string, freq long"
+    )
+    m = learn_bpe_merges(vocab, rounds=1).collect()[0]
+    # (h,e) appears in all three words: 3+2+1=6, beats (e,</w>)=5
+    assert (m["merge_left"], m["merge_right"]) == ("h", "e")
+    assert m["pair_count"] == 6
+
+
+def test_bpe_empty_vocab(spark):
+    vocab = spark.createDataFrame([], "word string, freq long")
+    assert learn_bpe_merges(vocab, rounds=3).count() == 0
