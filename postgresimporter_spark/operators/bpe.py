@@ -76,6 +76,23 @@ def learn_bpe_merges(
     bit-reproducibility.  Only the per-round argmax row is collected;
     the vocabulary itself never leaves the cluster.
     """
+    return learn_bpe(words, rounds, word_col, freq_col)[0]
+
+
+def learn_bpe(
+    words: DataFrame,
+    rounds: int = 6,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> tuple[DataFrame, DataFrame]:
+    """Full BPE training state: (merge table, final encoded vocabulary).
+
+    The second element is the word-frequency table with its wrapped
+    symbol string after all merges — ``(freq, s)`` — i.e. the trained
+    tokenizer applied to every vocabulary word.  Encoding a corpus is
+    then a vocab-sized join (or, for out-of-vocabulary words at serving
+    time, re-applying the merge table's ``rounds`` replaces in order).
+    """
     spark = words.sparkSession
     vocab = words.select(
         F.col(freq_col).cast("long").alias("freq"),
@@ -123,4 +140,16 @@ def learn_bpe_merges(
         vocab = vocab.select(
             "freq", F.replace("s", F.lit(pattern), F.lit(repl)).alias("s")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(out, MERGE_SCHEMA)
+    return spark.createDataFrame(out, MERGE_SCHEMA), vocab
+
+
+def encoded_tokens(final_vocab: DataFrame) -> DataFrame:
+    """Explode a trained vocabulary's wrapped symbol strings into
+    (token, n_occurrences): the corpus token-frequency table under the
+    learned tokenizer.  One explode + one groupBy — vocabulary-sized."""
+    syms = F.split(F.expr("substring(s, 2, length(s) - 2)"), SEP + SEP)
+    return (
+        final_vocab.select("freq", F.explode(syms).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+    )

@@ -341,6 +341,69 @@ def cdc_chunks(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by ``Σ_tokens ln(p_target(w) / p_corpus(w))`` where both
+    unigram LMs are add-1 smoothed — p_target estimated from the rows
+    where ``is_target`` holds, p_corpus from the whole corpus.  High
+    weight ⇒ the document looks like the target domain; resampling by
+    weight skews a raw crawl toward it.
+
+    Scale shape is exactly ``unigram_logprob``: one explode feeds both
+    the LM counts and the join back (checkpointed against projection
+    collapse); the two LMs come from ONE aggregation (conditional
+    sums), so adding the target model costs no extra pass.  Per-token
+    log-ratios round at 9 digits before summing so the float total is
+    engine-portable (BUILD_NOTES invariant #1).
+    """
+    ex = df.select(
+        F.col(id_col),
+        is_target.cast("int").alias("_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).localCheckpoint(eager=False)
+    counts = ex.groupBy("_t").agg(
+        F.count("*").alias("_c_all"),
+        F.sum("_tgt").alias("_c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("_c_all").alias("_n_all"),
+        F.sum("_c_tgt").alias("_n_tgt"),
+        F.count("*").alias("_v"),
+    )
+    log_ratio = F.round(
+        F.log(
+            ((F.col("_c_tgt") + 1).cast("double"))
+            / ((F.col("_n_tgt") + F.col("_v")).cast("double"))
+        )
+        - F.log(
+            ((F.col("_c_all") + 1).cast("double"))
+            / ((F.col("_n_all") + F.col("_v")).cast("double"))
+        ),
+        9,
+    )
+    return (
+        ex.join(counts, on="_t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(log_ratio).alias("_w"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("_w", round_digits).alias("dsir_weight"),
+        )
+    )
+
+
 __all__ = [
     "containment_pairs",
     "unigram_logprob",
@@ -348,4 +411,5 @@ __all__ = [
     "pmi_bigrams",
     "hard_negatives",
     "cdc_chunks",
+    "dsir_importance",
 ]

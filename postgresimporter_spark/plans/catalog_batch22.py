@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import urls as U
-from ..operators.bpe import learn_bpe_merges
+from ..operators import mining as M
+from ..operators.bpe import encoded_tokens, learn_bpe, learn_bpe_merges
 from ..operators.textstats import tokens
 from ..sources.parquet import load_tables
 from .catalog import QueryDef
@@ -271,9 +272,11 @@ def q142_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(vocab, rounds=BPE_ROUNDS)
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, final_select: str | None = None) -> str:
     """Unrolled DuckDB mirror of learn_bpe_merges: fixed rounds, no
-    recursion — each round is (pair count → argmax → replace-merge)."""
+    recursion — each round is (pair count → argmax → replace-merge).
+    ``final_select`` overrides the default merge-table output (used by
+    q144 to read the post-merge vocabulary ``v{rounds+1}``)."""
     sep = "chr(31)"
     sep2 = f"{sep}||{sep}"
     ctes = [
@@ -301,6 +304,8 @@ def _bpe_oracle(rounds: int) -> str:
             f" {sep}||l||{sep2}||r||{sep}, {sep}||l||r||{sep}) AS s"
             f" FROM v{k} CROSS JOIN m{k})"
         )
+    if final_select is not None:
+        return "WITH " + ",\n".join(ctes) + "\n" + final_select
     selects = [
         f"SELECT CAST({k} AS BIGINT) AS merge_round, l AS merge_left,"
         f" r AS merge_right, CAST(c AS BIGINT) AS pair_count FROM m{k}"
@@ -310,6 +315,92 @@ def _bpe_oracle(rounds: int) -> str:
 
 
 ORACLE_Q142 = _bpe_oracle(BPE_ROUNDS)
+
+
+# q143: DSIR importance weights ------------------------------------------------
+
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+DSIR_TOP = 25
+
+
+def q143_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (operators/mining.py
+    dsir_importance): add-1-smoothed unigram LMs for a target domain
+    (four sources) vs the whole corpus; each document scored by the
+    summed per-token log-ratio; top DSIR_TOP selected.  Both LMs come
+    from ONE token aggregation; per-token logs round at 9 digits so the
+    distributed float sum is engine-portable."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    scored = M.dsir_importance(
+        docs, F.col("source").isin(*DSIR_TARGET_SOURCES)
+    )
+    return scored.orderBy(F.desc("dsir_weight"), "doc_id").limit(DSIR_TOP)
+
+
+ORACLE_Q143 = f"""
+WITH ex AS (
+  SELECT doc_id,
+         CASE WHEN source IN {DSIR_TARGET_SOURCES} THEN 1 ELSE 0 END
+           AS tgt,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t != '')) AS t
+  FROM documents),
+counts AS (SELECT t, COUNT(*) AS c_all, SUM(tgt) AS c_tgt
+           FROM ex GROUP BY t),
+totals AS (SELECT SUM(c_all) AS n_all, SUM(c_tgt) AS n_tgt,
+                  COUNT(*) AS v FROM counts),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(round(ln((c_tgt + 1) / CAST(n_tgt + v AS DOUBLE))
+                   - ln((c_all + 1) / CAST(n_all + v AS DOUBLE)), 9))
+           AS w
+  FROM ex JOIN counts USING (t) CROSS JOIN totals
+  GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(w, 6) AS dsir_weight
+FROM scored
+ORDER BY dsir_weight DESC, doc_id
+LIMIT {DSIR_TOP}
+"""
+
+
+# q144: encode the corpus with the learned BPE tokenizer ----------------------
+
+BPE_TOP_TOKENS = 20
+
+
+def q144_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the q142-trained tokenizer: the post-merge vocabulary's
+    wrapped symbol strings explode into the corpus token-frequency
+    table; top BPE_TOP_TOKENS reported.  Train + encode stays
+    vocabulary-sized after the single corpus word-count shuffle."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    _, final_vocab = learn_bpe(vocab, rounds=BPE_ROUNDS)
+    return (
+        encoded_tokens(final_vocab)
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(BPE_TOP_TOKENS)
+    )
+
+
+ORACLE_Q144 = _bpe_oracle(
+    BPE_ROUNDS,
+    final_select=f"""
+SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences FROM (
+  SELECT freq,
+         unnest(string_split(substr(s, 2, length(s) - 2),
+                             chr(31)||chr(31))) AS token
+  FROM v{BPE_ROUNDS + 1})
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {BPE_TOP_TOKENS}
+""",
+)
 
 
 def batch22_registry() -> list[QueryDef]:
@@ -325,5 +416,13 @@ def batch22_registry() -> list[QueryDef]:
         QueryDef(
             "q142_bpe_merges", q142_bpe_merges, ORACLE_Q142,
             "BPE tokenizer merge learning (6 rounds, argmax-only collects)",
+        ),
+        QueryDef(
+            "q143_dsir_select", q143_dsir_select, ORACLE_Q143,
+            "DSIR importance resampling: target-vs-corpus unigram LMs",
+        ),
+        QueryDef(
+            "q144_bpe_encode", q144_bpe_encode, ORACLE_Q144,
+            "corpus token frequencies under the learned BPE tokenizer",
         ),
     ]

@@ -90,3 +90,52 @@ def test_bpe_frequency_weighting_and_tiebreak(spark):
 def test_bpe_empty_vocab(spark):
     vocab = spark.createDataFrame([], "word string, freq long")
     assert learn_bpe_merges(vocab, rounds=3).count() == 0
+
+
+def test_bpe_encode_roundtrip_token_mass(spark):
+    # encoding must conserve total symbol mass per word: after any
+    # number of merges, sum(freq * len(word)+1 end-marks) splits across
+    # tokens whose concatenation rebuilds each word
+    from postgresimporter_spark.operators.bpe import encoded_tokens, learn_bpe
+
+    vocab = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, freq long",
+    )
+    merges, final = learn_bpe(vocab, rounds=4)
+    assert merges.count() == 4
+    toks = encoded_tokens(final)
+    # total character mass (excluding </w>) is conserved
+    rows = toks.collect()
+    char_mass = sum(
+        (len(r["token"]) - (4 if r["token"].endswith("</w>") else 0))
+        * r["n_occurrences"]
+        for r in rows
+    )
+    word_mass = 5 * 3 + 2 * 5 + 6 * 6 + 3 * 6
+    assert char_mass == word_mass
+    # every word carries exactly one end-mark (merged or bare)
+    end_mass = sum(
+        r["n_occurrences"] for r in rows if r["token"].endswith("</w>")
+    )
+    assert end_mass == 5 + 2 + 6 + 3
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from postgresimporter_spark.operators.mining import dsir_importance
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "tgt"),
+            (2, "alpha beta beta alpha", "tgt"),
+            (3, "gamma delta gamma delta", "other"),
+            (4, "alpha beta gamma delta", "other"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    scored = dsir_importance(df, F.col("source") == "tgt").collect()
+    w = {r["doc_id"]: r["dsir_weight"] for r in scored}
+    # docs made of target-domain tokens outweigh off-domain docs
+    assert w[1] > w[3] and w[2] > w[3]
+    # the mixed doc sits between
+    assert w[3] < w[4] < w[1]
