@@ -42,6 +42,13 @@ class PipelineConfig:
     # Spark-native mode: materialize as temp views + optional parquet sink
     # instead of a database (no Postgres needed).
     sink_dir: Path | None = None
+    # Bucketed sink (Spark-native mode only): views whose schema contains
+    # all ``bucket_by`` columns are ALSO saved as bucketed+sorted catalog
+    # tables (``<view>_bucketed``) — the shuffle is paid once at write
+    # time, and every downstream join/agg on the bucket key plans with
+    # no exchange on that side.
+    bucket_by: list[str] = field(default_factory=list)
+    bucket_count: int = 8
 
 
 def parse_args(argv: list[str] | None = None) -> PipelineConfig:
@@ -58,6 +65,8 @@ def parse_args(argv: list[str] | None = None) -> PipelineConfig:
     p.add_argument("--check-tolerance", type=int, default=100)
     p.add_argument("--log-level", default="INFO")
     p.add_argument("--sink-dir", default=None)
+    p.add_argument("--bucket-by", action="append", default=[])
+    p.add_argument("--bucket-count", type=int, default=8)
     p.add_argument(
         "--db-protocol", choices=["copy", "jdbc"], default="copy"
     )
@@ -105,4 +114,6 @@ def parse_args(argv: list[str] | None = None) -> PipelineConfig:
         db=db,
         db_protocol=a.db_protocol,
         sink_dir=Path(a.sink_dir) if a.sink_dir else None,
+        bucket_by=a.bucket_by,
+        bucket_count=a.bucket_count,
     )

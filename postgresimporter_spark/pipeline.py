@@ -290,6 +290,22 @@ class Loader:
         elif cfg.sink_dir is not None:
             for view, df in {**result.file_views, **result.combined_views}.items():
                 df.write.mode("overwrite").parquet(str(cfg.sink_dir / view))
+                # Bucketed CTAS: additionally persist views carrying all
+                # bucket columns as bucketed+sorted catalog tables, so
+                # downstream joins/aggs on the key are exchange-free —
+                # the shuffle is paid ONCE here, not per query.
+                if cfg.bucket_by and set(cfg.bucket_by) <= set(df.columns):
+                    from .operators.bucketing import write_bucketed
+
+                    try:
+                        write_bucketed(
+                            df,
+                            f"{view}_bucketed",
+                            bucket_cols=list(cfg.bucket_by),
+                            num_buckets=cfg.bucket_count,
+                        )
+                    except Exception:  # noqa: BLE001
+                        log.exception("bucketed sink failed for %s", view)
 
 
 def run_pipeline(

@@ -315,3 +315,27 @@ def test_single_file_collision_skips_combine(spark, tmp_path):
     result = run_pipeline(spark, cfg)
     assert "import_running" in result.file_views
     assert "import_running" not in result.combined_views
+
+
+def test_bucketed_sink_joins_without_exchange(spark, animals_dir, tmp_path):
+    """With bucket_by configured, the sink additionally saves each view
+    as a bucketed+sorted catalog table; a self-join on the bucket key
+    must then plan with zero shuffle exchanges (the write paid it)."""
+    from postgresimporter_spark.operators.bucketing import count_exchanges
+
+    cfg = PipelineConfig(
+        sources=[animals_dir],
+        combine_tables=True,
+        sink_dir=tmp_path / "sink",
+        bucket_by=["name"],
+        bucket_count=4,
+    )
+    result = run_pipeline(spark, cfg)
+    assert result.check_passed
+    # plain parquet sink still written
+    assert (tmp_path / "sink" / "import_animals").exists()
+
+    t = spark.table("import_animals_bucketed")
+    joined = t.alias("a").join(t.alias("b"), on=["name"])
+    assert count_exchanges(joined) == 0
+    assert joined.count() == 3
