@@ -173,6 +173,35 @@ def stream_dedup(
     return hashed.dropDuplicates(["content_hash"])
 
 
+def stream_url_dedup(
+    records: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming crawl-frontier dedup on the CANONICAL URL: the same
+    page re-fetched as ``HTTP://WWW.X.com/a/?utm_source=y`` and
+    ``http://x.com/a`` is one key, so replays and tracking-param
+    variants of already-ingested pages drop at the door.
+
+    Canonicalization (``functions/urls.with_canonical``) is a pure
+    stateless projection — streaming-safe, stays in codegen — so the
+    only state is the dedup key store, watermark-bounded exactly like
+    ``stream_dedup``.  This is the URL-keyed front half of a continuous
+    corpus build; content-hash dedup (``stream_dedup``) remains the
+    second line of defense for mirrored pages on different URLs.
+    """
+    from ..functions.urls import with_canonical
+
+    canon = with_canonical(records, url_col).withWatermark(
+        ts_col, watermark
+    )
+    if within_watermark:
+        return canon.dropDuplicatesWithinWatermark(["canonical_url"])
+    return canon.dropDuplicates(["canonical_url"])
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

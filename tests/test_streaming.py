@@ -488,3 +488,36 @@ def test_stream_merge_topk_matches_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_stream_url_dedup_canonical_variants_collapse(spark, tmp_path):
+    """Messy variants of the same page (case, www, default port,
+    tracking params, fragment) are ONE canonical key in the stream;
+    distinct pages survive. Stream survivors == batch canonical count."""
+    import datetime as dt
+
+    from postgresimporter_spark.functions.urls import with_canonical
+    from postgresimporter_spark.streaming.pipeline import stream_url_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "HTTP://WWW.Ex.com:80/a/?utm_source=x&b=1#f", t0),
+        (2, "http://ex.com/a?b=1", t0 + dt.timedelta(minutes=1)),  # same
+        (3, "http://ex.com/a?b=2", t0 + dt.timedelta(minutes=2)),  # new
+        (4, "https://ex.com/a?b=1", t0 + dt.timedelta(minutes=3)),  # new scheme
+    ]
+    df = spark.createDataFrame(rows, ["id", "url", "ts"])
+    path = str(tmp_path / "urls_parquet")
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+
+    out = stream_url_dedup(stream, watermark="1 hour")
+    run_to_memory(out, "url_dedup_stream", output_mode="append")
+    got = spark.table("url_dedup_stream")
+    n_batch = (
+        with_canonical(df, "url").select("canonical_url").distinct().count()
+    )
+    assert got.count() == n_batch == 3
+    # the (1,2) pair collapsed to a single survivor
+    ids = {r.id for r in got.collect()}
+    assert {3, 4} <= ids and len(ids & {1, 2}) == 1
