@@ -298,3 +298,93 @@ def test_source_quota_properties(spark, rows, k):
     # deterministic: identical kept set on re-run
     again = sorted(r.doc_id for r in source_quota(df, k).collect())
     assert again == sorted(r.doc_id for r in got)
+
+
+# --- URL canonicalization (batch 22) ---------------------------------------
+
+url_scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS"])
+url_host = st.builds(
+    lambda www, labels, suf: (www + ".".join(labels) + suf),
+    st.sampled_from(["", "www.", "WWW."]),
+    st.lists(
+        st.text(alphabet="abXZ09", min_size=1, max_size=5),
+        min_size=1,
+        max_size=3,
+    ),
+    st.sampled_from([".com", ".co.uk", ".io", ".Co.JP"]),
+)
+url_port = st.sampled_from(["", ":80", ":443", ":8080"])
+url_path = st.sampled_from(["", "/", "/a", "/a/", "/A/b9", "/a/b/"])
+url_query = st.sampled_from(
+    ["", "?a=1", "?utm_source=x", "?b=2&a=1&utm_medium=m", "?z=9&fbclid=f"]
+)
+url_frag = st.sampled_from(["", "#x", "#frag-2"])
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.builds(
+            lambda s, h, po, pa, q, f: f"{s}://{h}{po}{pa}{q}{f}",
+            url_scheme, url_host, url_port, url_path, url_query, url_frag,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_url_canonicalization_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): the canonical form is a
+    fixed point, so re-ingesting already-canonical URLs never reshuffles
+    dedup keys."""
+    from postgresimporter_spark.functions.urls import with_canonical
+
+    df = spark.createDataFrame([(u,) for u in urls], "raw_url string")
+    once = with_canonical(df, "raw_url").select(
+        F.col("canonical_url").alias("c1")
+    )
+    twice = with_canonical(once, "c1").select(
+        "c1", F.col("canonical_url").alias("c2")
+    )
+    for r in twice.collect():
+        assert r.c1 == r.c2
+        # canonical invariants
+        assert r.c1 == r.c1.split("://")[0].lower() + "://" + r.c1.split("://", 1)[1]
+        host = r.c1.split("://")[1].split("/")[0]
+        assert not host.startswith("www.")
+        assert "#" not in r.c1
+        assert "utm_" not in r.c1 and "fbclid" not in r.c1
+
+
+# --- compaction planning (driver-side, no Spark needed) --------------------
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc09/", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda f: f[0],
+    ),
+    st.integers(min_value=100, max_value=20_000),
+)
+def test_compaction_plan_invariants(files, target):
+    """Every group fits the target, only small files are planned, no
+    file appears twice, and the plan is deterministic."""
+    from postgresimporter_spark.operators.compaction import plan_compaction
+
+    groups = plan_compaction(files, target_bytes=target)
+    sizes = dict(files)
+    seen = set()
+    for g in groups:
+        assert g.total_bytes <= target
+        assert len(g.files) > 1
+        for f in g.files:
+            assert sizes[f] < 0.75 * target
+            assert f not in seen
+            seen.add(f)
+        assert g.total_bytes == sum(sizes[f] for f in g.files)
+    assert plan_compaction(files, target_bytes=target) == groups
