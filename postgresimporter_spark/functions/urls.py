@@ -91,6 +91,7 @@ def registered_domain(host_col: Column) -> Column:
     for suf in TWO_LABEL_SUFFIXES:
         is_two = is_two | host_col.endswith("." + suf)
     take = F.when(is_two & (n >= 3), F.lit(3)).otherwise(F.lit(2))
+    take = F.least(take, n)  # 0/1-label hosts: keep the host whole
     return F.array_join(F.slice(labels, n - take + 1, take), ".")
 
 
@@ -121,9 +122,16 @@ def with_canonical(df: DataFrame, url_col: str) -> DataFrame:
     ).otherwise(F.lit(""))
     df = df.withColumn(
         "canonical_url",
-        F.concat(
-            F.col("scheme"), F.lit("://"), F.col("host"), keep_port,
-            F.col("path"), qs,
+        # malformed input (no scheme/authority) canonicalizes to NULL —
+        # a crawl pipeline filters these, it must not invent keys
+        F.when(
+            (F.col("scheme") == "") | (F.col("host") == ""),
+            F.lit(None).cast("string"),
+        ).otherwise(
+            F.concat(
+                F.col("scheme"), F.lit("://"), F.col("host"), keep_port,
+                F.col("path"), qs,
+            )
         ),
     )
     return df.withColumn(

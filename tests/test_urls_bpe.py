@@ -61,6 +61,13 @@ def test_registered_domain_public_suffix(spark):
     )
 
 
+def test_canonical_malformed_is_null(spark):
+    # no scheme / no authority -> NULL canonical key (never invent one)
+    assert _canon(spark, "not a url")["canonical_url"] is None
+    assert _canon(spark, "example.com/a")["canonical_url"] is None
+    assert _canon(spark, "https:///path-only")["canonical_url"] is None
+
+
 def test_bpe_greedy_single_pass(spark):
     # "aaaa" with merge (a,a) must yield [aa, aa]; "aaa" yields [aa, a]:
     # SQL replace's continue-after-replacement semantics == greedy BPE.
