@@ -388,3 +388,78 @@ def test_compaction_plan_invariants(files, target):
             seen.add(f)
         assert g.total_bytes == sum(sizes[f] for f in g.files)
     assert plan_compaction(files, target_bytes=target) == groups
+
+
+# --- BPE merge learning vs an independent Python model ---------------------
+
+
+def _ref_bpe(words: dict, rounds: int):
+    """Classic BPE (Sennrich et al.) in direct Python: pair counts over
+    the vocabulary, argmax with (count desc, left asc, right asc), and
+    an explicit greedy left-to-right single-pass merge — no string
+    replace trick, so it cannot share a bug with the engine's path."""
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for w, f in words.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, c))
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@SETTINGS
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_bpe_matches_python_model(spark, words, rounds):
+    from postgresimporter_spark.operators.bpe import encoded_tokens, learn_bpe
+
+    vocab_df = spark.createDataFrame(
+        list(words.items()), "word string, freq long"
+    )
+    merges_df, final = learn_bpe(vocab_df, rounds=rounds)
+    got = [
+        (r.merge_left, r.merge_right, r.pair_count)
+        for r in merges_df.orderBy("merge_round").collect()
+    ]
+    exp_merges, exp_vocab = _ref_bpe(words, rounds)
+    assert got == exp_merges
+
+    # final token frequencies match the model's encoded vocabulary
+    exp_counts = {}
+    for w, f in words.items():
+        for s in exp_vocab[w]:
+            exp_counts[s] = exp_counts.get(s, 0) + f
+    got_counts = {
+        r.token: r.n_occurrences for r in encoded_tokens(final).collect()
+    }
+    assert got_counts == exp_counts
