@@ -488,3 +488,87 @@ def source_quota(
 
 
 __all__.append("source_quota")
+
+
+def duplicate_span_extents(
+    df: DataFrame,
+    span: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup REPORTING (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at token granularity):
+    the maximal extents of text shared verbatim across >= ``min_docs``
+    documents.  Where ``remove_duplicate_spans`` rewrites the corpus,
+    this returns the audit — (id, span_start, span_len, n_grams) per
+    maximal duplicated region — the artifact you inspect before
+    deciding to cut.
+
+    Maximality via gaps-and-islands: duplicated ``span``-gram start
+    positions merge into one region while consecutive starts are
+    <= ``span`` apart (their coverage windows overlap or touch); the
+    region covers [min(start), max(start)+span-1].
+
+    Scale shape: gram build and duplicate detection are the
+    ``remove_duplicate_spans`` shapes (one explode, gram-key groupBy);
+    the island window partitions BY DOCUMENT ordered by position —
+    state bounded by a single document's length, embarrassingly
+    parallel across docs, never a global window.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)  # feeds gram build AND the dup count
+    starts = F.when(
+        F.col("n_tokens") >= span,
+        F.sequence(F.lit(0), (F.col("n_tokens") - span).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id", F.explode(starts).alias("start"), "_toks"
+    ).select(
+        "id",
+        "start",
+        F.array_join(
+            F.slice("_toks", F.col("start") + F.lit(1), span), " "
+        ).alias("gram"),
+    ).localCheckpoint(eager=False)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    ds = grams.join(dup, on="gram").select("id", "start")
+    w = Window.partitionBy("id").orderBy("start")
+    flagged = ds.withColumn(
+        "_new",
+        F.when(
+            F.lag("start").over(w).isNull()
+            | (F.col("start") > F.lag("start").over(w) + span),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("id", "_island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            (F.max("start") + span - 1 - F.min("start") + 1)
+            .cast("long")
+            .alias("span_len"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select("id", "span_start", "span_len", "n_grams")
+    )
+
+
+__all__.append("duplicate_span_extents")

@@ -403,6 +403,79 @@ LIMIT {BPE_TOP_TOKENS}
 )
 
 
+# q145: maximal duplicated span extents (exact-substring dedup audit) --------
+
+
+def q145_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup audit (curation.duplicate_span_extents):
+    maximal extents of text shared verbatim across >= 10 documents,
+    merged gaps-and-islands style from duplicated 5-gram starts.  Same
+    injected-boilerplate fixture as q130 so both views of the operator
+    (audit here, rewrite there) are differentially tested on one
+    corpus.  The island window partitions per document — bounded state,
+    never global."""
+    from ..operators import curation as C
+    from .catalog_batch21 import _SPAN_BOILER, SPAN, SPAN_MIN_DOCS
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    marked = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_SPAN_BOILER), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return C.duplicate_span_extents(
+        marked, span=SPAN, min_docs=SPAN_MIN_DOCS
+    ).orderBy("id", "span_start")
+
+
+def _oracle_q145() -> str:
+    from .catalog_batch21 import _SPAN_BOILER, SPAN, SPAN_MIN_DOCS
+
+    return f"""
+WITH marked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_BOILER}' || text
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS arr
+         FROM marked),
+starts AS (
+  SELECT id, arr, unnest(generate_series(0, len(arr) - {SPAN})) AS start
+  FROM toks WHERE len(arr) >= {SPAN}),
+grams AS (
+  SELECT id, start,
+         array_to_string(list_slice(arr, start + 1, start + {SPAN}), ' ')
+           AS gram
+  FROM starts),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT id) >= {SPAN_MIN_DOCS}),
+ds AS (SELECT id, start FROM grams JOIN dup USING (gram)),
+flagged AS (
+  SELECT id, start,
+         CASE WHEN lag(start) OVER (PARTITION BY id ORDER BY start)
+                     IS NULL
+                OR start > lag(start)
+                     OVER (PARTITION BY id ORDER BY start) + {SPAN}
+              THEN 1 ELSE 0 END AS new_island
+  FROM ds),
+islands AS (
+  SELECT id, start,
+         SUM(new_island) OVER (PARTITION BY id ORDER BY start
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged)
+SELECT id, CAST(MIN(start) AS BIGINT) AS span_start,
+       CAST(MAX(start) - MIN(start) + {SPAN} AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM islands GROUP BY id, island
+ORDER BY id, span_start
+"""
+
+
 def batch22_registry() -> list[QueryDef]:
     return [
         QueryDef(
@@ -424,5 +497,9 @@ def batch22_registry() -> list[QueryDef]:
         QueryDef(
             "q144_bpe_encode", q144_bpe_encode, ORACLE_Q144,
             "corpus token frequencies under the learned BPE tokenizer",
+        ),
+        QueryDef(
+            "q145_duplicate_spans", q145_duplicate_spans, _oracle_q145(),
+            "maximal duplicated span extents (gaps-and-islands audit)",
         ),
     ]
