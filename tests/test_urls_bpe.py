@@ -146,3 +146,46 @@ def test_dsir_prefers_target_like_docs(spark):
     assert w[1] > w[3] and w[2] > w[3]
     # the mixed doc sits between
     assert w[3] < w[4] < w[1]
+
+
+def test_new_tier_null_robustness(spark):
+    """Null text/word/url rows pass through or drop — never crash."""
+    from postgresimporter_spark.operators.bpe import encoded_tokens, learn_bpe
+    from postgresimporter_spark.operators.curation import (
+        duplicate_span_extents,
+    )
+    from postgresimporter_spark.operators.mining import dsir_importance
+
+    urls = spark.createDataFrame(
+        [(None,), ("https://a.com/x",)], "raw_url string"
+    )
+    got = U.with_canonical(urls, "raw_url").select("canonical_url").collect()
+    assert {r.canonical_url for r in got} == {None, "https://a.com/x"}
+
+    vocab = spark.createDataFrame(
+        [(None, 1), ("ab", 2)], "word string, freq long"
+    )
+    merges, final = learn_bpe(vocab, rounds=1)
+    assert [(r.merge_left, r.merge_right) for r in merges.collect()] == [
+        ("a", "b")
+    ]
+    # null word contributes no tokens
+    assert {r.token for r in encoded_tokens(final).collect()} == {
+        "ab",
+        "</w>",
+    }
+
+    docs = spark.createDataFrame(
+        [(1, None, "a"), (2, "x y", "b")],
+        "doc_id long, text string, source string",
+    )
+    assert [
+        r.doc_id
+        for r in dsir_importance(docs, F.col("source") == "a").collect()
+    ] == [2]
+    assert [
+        r.id
+        for r in duplicate_span_extents(
+            docs.select("doc_id", "text"), span=2, min_docs=1
+        ).collect()
+    ] == [2]
