@@ -339,3 +339,16 @@ def test_bucketed_sink_joins_without_exchange(spark, animals_dir, tmp_path):
     joined = t.alias("a").join(t.alias("b"), on=["name"])
     assert count_exchanges(joined) == 0
     assert joined.count() == 3
+
+
+def test_parse_args_bucket_flags():
+    from postgresimporter_spark.config import parse_args
+
+    cfg = parse_args(
+        ["data", "--bucket-by", "k1", "--bucket-by", "k2",
+         "--bucket-count", "16"]
+    )
+    assert cfg.bucket_by == ["k1", "k2"]
+    assert cfg.bucket_count == 16
+    # default: bucketing off
+    assert parse_args(["data"]).bucket_by == []
