@@ -21,13 +21,24 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 8,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Save as a bucketed (+sorted) managed table."""
+    """Save as a bucketed (+sorted) catalog table.
+
+    With ``path``, the table is EXTERNAL at that location — overwrite
+    replaces the data there even when a previous session (in-memory
+    catalog, no persisted metadata) left files behind.  Without it, a
+    managed table in the warehouse dir (same caveat: a stale managed
+    location from a dead session raises LOCATION_ALREADY_EXISTS, so
+    prefer ``path`` for anything rerun across sessions)."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, *bucket_cols)
     )
     writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

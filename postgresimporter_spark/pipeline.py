@@ -303,6 +303,7 @@ class Loader:
                             f"{view}_bucketed",
                             bucket_cols=list(cfg.bucket_by),
                             num_buckets=cfg.bucket_count,
+                            path=str(cfg.sink_dir / f"{view}_bucketed"),
                         )
                     except Exception:  # noqa: BLE001
                         log.exception("bucketed sink failed for %s", view)
