@@ -17,21 +17,26 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
-def bucketed_tables(spark):
+def bucketed_tables(spark, tmp_path_factory):
     t = load_tables(spark, SF, ["orders", "lineitem"])
     # disable auto-broadcast so the join strategy under test is SMJ
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # external under tmp: a session killed before teardown can't leave a
+    # stale warehouse location behind (LOCATION_ALREADY_EXISTS on rerun)
+    base = tmp_path_factory.mktemp("bkt")
     write_bucketed(
         t["orders"].withColumnRenamed("o_orderkey", "orderkey"),
         "bkt_orders",
         ["orderkey"],
         num_buckets=8,
+        path=str(base / "bkt_orders"),
     )
     write_bucketed(
         t["lineitem"].withColumnRenamed("l_orderkey", "orderkey"),
         "bkt_lineitem",
         ["orderkey"],
         num_buckets=8,
+        path=str(base / "bkt_lineitem"),
     )
     yield
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
