@@ -72,6 +72,22 @@ def kmeans_lloyd(
     Empty clusters keep their previous centroid (no reseeding — keeps
     the trajectory reproducible).
     """
+    assigned, _ = kmeans_lloyd_full(
+        df, k, iters, id_col, vec_col, round_digits
+    )
+    return assigned
+
+
+def kmeans_lloyd_full(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> tuple[DataFrame, list[list[float]]]:
+    """``kmeans_lloyd`` plus the trained centroids (k x dim driver-side
+    metadata) — the codebook consumers like product quantization need."""
     scale = 10**round_digits
     base = df.select(
         F.col(id_col),
@@ -109,7 +125,7 @@ def kmeans_lloyd(
                 new[cid][r.dim] = r.s / (scale * r.n)
         centroids = new
 
-    return assign_clusters(base, centroids)
+    return assign_clusters(base, centroids), centroids
 
 
-__all__ = ["kmeans_lloyd", "assign_clusters"]
+__all__ = ["kmeans_lloyd", "kmeans_lloyd_full", "assign_clusters"]

@@ -57,3 +57,123 @@ def dequantized_cosine(qa: Column, sa: Column, qb: Column, sb: Column) -> Column
 
 
 __all__ = ["quantize_embeddings", "dequantized_cosine"]
+
+
+def pq_train_encode(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization (Jégou et al. 2011, FAISS's workhorse):
+    split each vector into ``m`` subspaces and k-means each subspace
+    independently; a vector compresses to ``m`` small codes
+    (m=4, k=8 ⇒ 64 floats → 12 bits).
+
+    Returns ``(codes, codebooks)``: codes = (id, subspace, code) rows;
+    codebooks = m × k × (dim/m) driver-side floats — METADATA, the same
+    class as k-means centroids, broadcast or inlined by consumers.
+
+    Scale shape: each subspace training is the deterministic Lloyd loop
+    (``kmeans_lloyd_full``) over a SLICED projection of the corpus —
+    m independent passes whose only shuffle is the (cluster, dim)
+    partial-sum agg; nothing vector-sized ever concentrates.  Encoding
+    IS the final assignment (no extra pass).  ADC search over the codes
+    is a (subspace, code) equi-join against a probe lookup table —
+    see ``pq_adc_topk``.
+    """
+    from functools import reduce
+
+    from .kmeans import kmeans_lloyd_full
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    parts = []
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), s * sub + 1, sub
+            ).alias("subv"),
+        )
+        assigned, cents = kmeans_lloyd_full(
+            sliced, k=k, iters=iters, id_col=id_col, vec_col="subv"
+        )
+        books.append(cents)
+        parts.append(
+            assigned.select(
+                F.col(id_col),
+                F.lit(s).cast("long").alias("subspace"),
+                F.col("cid").cast("long").alias("code"),
+            )
+        )
+    codes = reduce(lambda a, b: a.unionByName(b), parts)
+    return codes, books
+
+
+def pq_adc_lookup(
+    probes: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+) -> list[tuple[int, int, int, float]]:
+    """Asymmetric-distance lookup table: for every (probe, subspace,
+    code), the squared L2 distance between the probe's subvector and
+    that code's centroid.  |probes| × m × k rows — driver-side
+    metadata.  Distances accumulate in index order and stay UNROUNDED:
+    a sequential fold over identical doubles is bit-identical to the
+    SQL ``list_sum(list_transform(...))`` the oracle uses, so rounding
+    happens only once, at the final ADC sum.
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    out = []
+    for pid, vec in probes:
+        for s in range(m):
+            pv = vec[s * sub : (s + 1) * sub]
+            for code, cv in enumerate(books[s]):
+                d = 0.0
+                for a, b in zip(pv, cv):
+                    d += (a - b) * (a - b)
+                out.append((pid, s, code, d))
+    return out
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    lookup: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: approximate distance(probe, vector) = Σ_subspaces
+    lookup(probe, subspace, code(vector)).  One (subspace, code)
+    broadcast equi-join + one (probe, vector) aggregation — the corpus
+    is touched only through its 12-bit codes, never its floats; this is
+    what makes PQ search feasible when the float vectors don't fit
+    anywhere.  Ties (identical codes ⇒ identical ADC) break on vec_id
+    for a total order."""
+    from pyspark.sql import Window
+
+    joined = codes.join(
+        F.broadcast(lookup), on=["subspace", "code"]
+    )
+    adc = joined.groupBy("probe_id", id_col).agg(
+        F.round(F.sum("pdist"), 6).alias("adc")
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc", id_col)
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "probe_id",
+            F.col("rank").cast("long").alias("rank"),
+            id_col,
+            "adc",
+        )
+    )
+
+
+__all__ += ["pq_train_encode", "pq_adc_lookup", "pq_adc_topk"]

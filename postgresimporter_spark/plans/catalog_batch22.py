@@ -476,6 +476,139 @@ ORDER BY id, span_start
 """
 
 
+# q146/q147: product quantization ---------------------------------------------
+
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 2
+EMB_DIM = 64
+PQ_PROBES = 5
+PQ_TOPK = 10
+
+
+def q146_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (quantize.pq_train_encode): each 64-dim
+    embedding compresses to 4 subspace codes via per-subspace
+    deterministic k-means.  The oracle unrolls all four independent
+    training chains (2 Lloyd iterations each), so the full codebook
+    training — not just encoding — is differentially tested."""
+    from ..operators.quantize import pq_train_encode
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    codes, _ = pq_train_encode(
+        emb, dim=EMB_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+    )
+    return codes.orderBy("vec_id", "subspace")
+
+
+def _pq_chain_sql(s: int) -> str:
+    """One subspace's sliced vectors + 2-iteration k-means chain,
+    reusing the q91 CTE builders (catalog_batch8)."""
+    from .catalog_batch8 import _km_assign_cte, _km_update_cte
+
+    sub = EMB_DIM // PQ_M
+    lo, hi = s * sub + 1, (s + 1) * sub
+    return f"""q_{s} AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6))[{lo}:{hi}]
+           AS v
+  FROM embeddings),
+c0_{s} AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM q_{s} ORDER BY vec_id LIMIT {PQ_K})),
+{_km_assign_cte(f'q_{s}', f'c0_{s}', f'a1_{s}')},
+{_km_update_cte(f'a1_{s}', f'c0_{s}', f'c1_{s}')},
+{_km_assign_cte(f'q_{s}', f'c1_{s}', f'a2_{s}')},
+{_km_update_cte(f'a2_{s}', f'c1_{s}', f'c2_{s}')},
+{_km_assign_cte(f'q_{s}', f'c2_{s}', f'a3_{s}')}"""
+
+
+def _pq_codes_sql() -> str:
+    selects = [
+        f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace,"
+        f" CAST(cid AS BIGINT) AS code FROM a3_{s}"
+        for s in range(PQ_M)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+def _oracle_q146() -> str:
+    chains = ",\n".join(_pq_chain_sql(s) for s in range(PQ_M))
+    return (
+        "WITH " + chains + ",\ncodes AS (" + _pq_codes_sql() + ")\n"
+        "SELECT * FROM codes ORDER BY vec_id, subspace"
+    )
+
+
+def q147_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over the PQ codes: per probe, approximate distance is
+    the sum of per-subspace lookup-table entries joined on
+    (subspace, code) — the corpus is touched only through its codes.
+    Lookup table is |probes|*m*k driver-side metadata, broadcast."""
+    from ..operators.quantize import (
+        pq_adc_lookup,
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    codes, books = pq_train_encode(
+        emb, dim=EMB_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+    )
+    probe_rows = (
+        emb.where(F.col("vec_id") < PQ_PROBES)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x, 6),
+            ).alias("v"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    probes = [(int(r["vec_id"]), list(r["v"])) for r in probe_rows]
+    lookup = spark.createDataFrame(
+        pq_adc_lookup(probes, books),
+        "probe_id long, subspace long, code long, pdist double",
+    )
+    return pq_adc_topk(codes, lookup, topk=PQ_TOPK).orderBy(
+        "probe_id", "rank"
+    )
+
+
+def _oracle_q147() -> str:
+    from .catalog_batch8 import _KM_DIST
+
+    chains = ",\n".join(_pq_chain_sql(s) for s in range(PQ_M))
+    d = _KM_DIST.format(v="pq.v", c="c.cv")
+    lks = "\nUNION ALL\n".join(
+        f"SELECT pq.vec_id AS probe_id, CAST({s} AS BIGINT) AS subspace,"
+        f" CAST(c.cid AS BIGINT) AS code, {d} AS pdist"
+        f" FROM q_{s} pq CROSS JOIN c2_{s} c WHERE pq.vec_id < {PQ_PROBES}"
+        for s in range(PQ_M)
+    )
+    return f"""WITH {chains},
+codes AS ({_pq_codes_sql()}),
+lk AS ({lks}),
+joined AS (
+  SELECT lk.probe_id, codes.vec_id, lk.pdist
+  FROM codes JOIN lk
+    ON codes.subspace = lk.subspace AND codes.code = lk.code),
+adc AS (
+  SELECT probe_id, vec_id, round(SUM(pdist), 6) AS adc
+  FROM joined GROUP BY 1, 2),
+ranked AS (
+  SELECT probe_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY adc, vec_id) AS rank
+  FROM adc)
+SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, adc
+FROM ranked WHERE rank <= {PQ_TOPK}
+ORDER BY probe_id, rank
+"""
+
+
 def batch22_registry() -> list[QueryDef]:
     return [
         QueryDef(
@@ -501,5 +634,13 @@ def batch22_registry() -> list[QueryDef]:
         QueryDef(
             "q145_duplicate_spans", q145_duplicate_spans, _oracle_q145(),
             "maximal duplicated span extents (gaps-and-islands audit)",
+        ),
+        QueryDef(
+            "q146_pq_encode", q146_pq_encode, _oracle_q146(),
+            "product quantization: 4-subspace codebook training + encode",
+        ),
+        QueryDef(
+            "q147_pq_adc_topk", q147_pq_adc_topk, _oracle_q147(),
+            "PQ asymmetric-distance top-k over codes (lookup-table join)",
         ),
     ]

@@ -62,3 +62,55 @@ def test_quantize_roundtrip_bounds(spark):
         ).alias("oob")
     ).agg(F.sum("oob")).collect()[0][0]
     assert bad == 0
+
+
+def test_pq_codes_shape_and_self_retrieval(spark):
+    """PQ sanity: every vector gets one code per subspace in [0, k);
+    ADC search ranks each probe's own vector within the top-k (its ADC
+    is exactly its own quantization error, which competes with the
+    best cells)."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.quantize import (
+        pq_adc_lookup,
+        pq_adc_topk,
+        pq_train_encode,
+    )
+    from postgresimporter_spark.sources.parquet import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"
+    ]
+    codes, books = pq_train_encode(emb, dim=64, m=4, k=8, iters=2)
+    n_vecs = emb.count()
+    assert codes.count() == n_vecs * 4
+    rng = codes.agg(
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+        F.count_distinct("subspace").alias("m"),
+    ).collect()[0]
+    assert rng.lo >= 0 and rng.hi < 8 and rng.m == 4
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+
+    probes_rows = (
+        emb.where(F.col("vec_id") < 3)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x, 6),
+            ).alias("v"),
+        )
+        .collect()
+    )
+    probes = [(int(r.vec_id), list(r.v)) for r in probes_rows]
+    lookup = spark.createDataFrame(
+        pq_adc_lookup(probes, books),
+        "probe_id long, subspace long, code long, pdist double",
+    )
+    top = pq_adc_topk(codes, lookup, topk=10).collect()
+    by_probe = {}
+    for r in top:
+        by_probe.setdefault(r.probe_id, []).append(r.vec_id)
+    for pid, ids in by_probe.items():
+        assert pid in ids, f"probe {pid} missing from its own top-10"
