@@ -609,6 +609,130 @@ ORDER BY probe_id, rank
 """
 
 
+# q148: PQ recall audit --------------------------------------------------------
+
+
+def q148_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest way to ship PQ (same rule as q97's ANN recall and
+    q125's LSH audit): per probe, how many of the exact L2 top-k
+    survive in the ADC top-k.  Exact side is a broadcast
+    probes × corpus distance with the corpus never shuffling; ADC side
+    is the q147 path."""
+    from ..operators.quantize import (
+        pq_adc_lookup,
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    rounded = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x, 6),
+        ).alias("v"),
+    )
+    codes, books = pq_train_encode(
+        emb, dim=EMB_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+    )
+    probe_rows = (
+        rounded.where(F.col("vec_id") < PQ_PROBES).orderBy("vec_id").collect()
+    )
+    probes = [(int(r["vec_id"]), list(r["v"])) for r in probe_rows]
+    lookup = spark.createDataFrame(
+        pq_adc_lookup(probes, books),
+        "probe_id long, subspace long, code long, pdist double",
+    )
+    adc_top = pq_adc_topk(codes, lookup, topk=PQ_TOPK).select(
+        "probe_id", "vec_id"
+    )
+
+    probes_df = spark.createDataFrame(
+        probes, "probe_id long, pv array<double>"
+    )
+    from pyspark.sql import Window
+
+    dist = F.aggregate(
+        F.zip_with("v", "pv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("probe_id").orderBy("d", "vec_id")
+    exact_top = (
+        rounded.crossJoin(F.broadcast(probes_df))
+        .select("probe_id", "vec_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    caught = exact_top.join(adc_top, on=["probe_id", "vec_id"]).groupBy(
+        "probe_id"
+    ).agg(F.count("*").cast("long").alias("n_caught"))
+    return (
+        exact_top.select("probe_id")
+        .distinct()
+        .join(caught, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+            F.round(
+                F.coalesce("n_caught", F.lit(0)) / F.lit(float(PQ_TOPK)), 6
+            ).alias("recall"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _oracle_q148() -> str:
+    from .catalog_batch8 import _KM_DIST
+
+    chains = ",\n".join(_pq_chain_sql(s) for s in range(PQ_M))
+    d_lk = _KM_DIST.format(v="pq.v", c="c.cv")
+    lks = "\nUNION ALL\n".join(
+        f"SELECT pq.vec_id AS probe_id, CAST({s} AS BIGINT) AS subspace,"
+        f" CAST(c.cid AS BIGINT) AS code, {d_lk} AS pdist"
+        f" FROM q_{s} pq CROSS JOIN c2_{s} c WHERE pq.vec_id < {PQ_PROBES}"
+        for s in range(PQ_M)
+    )
+    d_ex = _KM_DIST.format(v="r.v", c="p.v")
+    return f"""WITH {chains},
+rv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+  FROM embeddings),
+codes AS ({_pq_codes_sql()}),
+lk AS ({lks}),
+adc AS (
+  SELECT lk.probe_id, codes.vec_id, round(SUM(lk.pdist), 6) AS adc
+  FROM codes JOIN lk
+    ON codes.subspace = lk.subspace AND codes.code = lk.code
+  GROUP BY 1, 2),
+adc_top AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY adc, vec_id) AS rn
+    FROM adc) WHERE rn <= {PQ_TOPK}),
+exact_top AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.vec_id AS probe_id, r.vec_id, {d_ex} AS d,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {d_ex}, r.vec_id) AS rn
+    FROM rv r CROSS JOIN (SELECT * FROM rv WHERE vec_id < {PQ_PROBES}) p)
+  WHERE rn <= {PQ_TOPK}),
+caught AS (
+  SELECT e.probe_id, COUNT(a.vec_id) AS n_caught
+  FROM exact_top e
+  LEFT JOIN adc_top a
+    ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+  GROUP BY 1)
+SELECT probe_id, CAST(n_caught AS BIGINT) AS n_caught,
+       round(n_caught / {float(PQ_TOPK)}, 6) AS recall
+FROM caught
+ORDER BY probe_id
+"""
+
+
 def batch22_registry() -> list[QueryDef]:
     return [
         QueryDef(
@@ -642,5 +766,9 @@ def batch22_registry() -> list[QueryDef]:
         QueryDef(
             "q147_pq_adc_topk", q147_pq_adc_topk, _oracle_q147(),
             "PQ asymmetric-distance top-k over codes (lookup-table join)",
+        ),
+        QueryDef(
+            "q148_pq_recall", q148_pq_recall, _oracle_q148(),
+            "PQ recall@k vs exact L2 (the honest-ANN audit)",
         ),
     ]
