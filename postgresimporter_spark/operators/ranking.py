@@ -187,3 +187,62 @@ def exact_ntile(
     return ranked.withColumn(bucket_col, bucket.cast("long")).drop(
         "_gidx", "_n"
     )
+
+
+def topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_buckets: int | None = None,
+    salt_on: list[str] | None = None,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-``k`` rows per key under a deterministic total order.
+
+    Plain mode (``salt_buckets=None``): one window partitioned by the
+    key — right whenever no single key dominates a task.
+
+    Salted mode: the scale answer for HOT keys (a crawler-trap domain
+    with 10M rows would otherwise sort in one task, and AQE's skew
+    splitter does not apply to windows).  Phase 1 ranks within
+    (key, salt) so the hot key's sort spreads across ``salt_buckets``
+    tasks and survives at most ``salt_buckets * k`` rows; phase 2
+    re-ranks that bounded set per key.  The result is IDENTICAL for any
+    row-to-bucket assignment — the global top-k is contained in the
+    union of per-bucket top-k — so the salt just needs spread, not
+    determinism (we hash the order columns for stability anyway).
+
+    ``order_cols`` must define a total order (tie-break to a unique
+    column) or "top k" itself is ambiguous.  ``salt_on`` names the
+    plain columns hashed into the salt (order_cols may be sort
+    expressions, which can't be hashed); defaults to every column.
+    """
+    order = list(order_cols)
+    final_w = Window.partitionBy(*key_cols).orderBy(*order)
+    if salt_buckets is None:
+        return df.withColumn(
+            rank_col, F.row_number().over(final_w)
+        ).where(F.col(rank_col) <= k)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in (salt_on or df.columns)]),
+        F.lit(salt_buckets),
+    )
+    phase1_w = Window.partitionBy(*key_cols, "_salt").orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(phase1_w))
+        .where(F.col("_rk1") <= k)
+        .drop("_salt", "_rk1")
+    )
+    return survivors.withColumn(
+        rank_col, F.row_number().over(final_w)
+    ).where(F.col(rank_col) <= k)
+
+
+__all__ = [
+    "global_row_number",
+    "global_running_sum",
+    "exact_ntile",
+    "topk_per_key",
+]

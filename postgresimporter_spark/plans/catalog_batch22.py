@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions import urls as U
 from ..operators import mining as M
 from ..operators.bpe import encoded_tokens, learn_bpe, learn_bpe_merges
+from ..operators.ranking import topk_per_key
 from ..operators.textstats import tokens
 from ..sources.parquet import load_tables
 from .catalog import QueryDef
@@ -203,12 +204,15 @@ def q141_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
-    w_dom = Window.partitionBy("registered_domain").orderBy(
-        F.desc("n_chars"), "doc_id"
-    )
-    kept = (
-        uniq.withColumn("rk", F.row_number().over(w_dom))
-        .where(F.col("rk") <= DOMAIN_CAP)
+    # salted 2-phase per-key top-k: a crawler-trap domain's rows sort
+    # across 8 tasks in phase 1 instead of one (ranking.topk_per_key)
+    kept = topk_per_key(
+        uniq,
+        key_cols=["registered_domain"],
+        order_cols=[F.desc("n_chars"), F.asc("doc_id")],
+        k=DOMAIN_CAP,
+        salt_buckets=8,
+        salt_on=["doc_id"],
     )
     tot = canon.groupBy("registered_domain").agg(
         F.count("*").alias("n_docs")

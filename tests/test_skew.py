@@ -77,3 +77,29 @@ def test_hot_bucket_cap_keeps_rare_band_pairs(spark):
     capped = signband_neardup_pairs(df, threshold=0.0, max_bucket_ratio=0.2)
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got == {(2, 9)}
+
+
+def test_salted_topk_per_key_equals_plain_under_hot_key(spark):
+    """2-phase salted top-k must return EXACTLY the plain window's
+    result; the hot key's phase-1 sort spreads across salt buckets."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.ranking import topk_per_key
+
+    rows = [("hot", i, i * 7 % 1000) for i in range(5000)] + [
+        ("cold%d" % j, i, i) for j in range(5) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "key string, rid long, score long")
+    order = [F.desc("score"), F.asc("rid")]
+    plain = topk_per_key(df, ["key"], order, k=4)
+    salted = topk_per_key(
+        df, ["key"], order, k=4, salt_buckets=8, salt_on=["rid"]
+    )
+    a = {(r.key, r.rid, r.rk) for r in plain.collect()}
+    b = {(r.key, r.rid, r.rk) for r in salted.collect()}
+    assert a == b
+    assert len({r for r in a if r[0] == "hot"}) == 4
+    # both phases present in the salted plan
+    from postgresimporter_spark.operators.bucketing import physical_plan
+
+    assert physical_plan(salted).count("Window [") >= 2
