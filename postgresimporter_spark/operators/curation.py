@@ -466,24 +466,29 @@ def source_quota(
     subset is stable across runs, partitionings, and engines — the
     standard guard against one domain dominating a crawl mix.
 
-    Scale shape: one window over the GROUP partitioning (bounded
-    per-group state, never a global window); a pathologically hot
-    group costs a single partition's sort of its own rows — cap it
-    upstream with a coarse filter if a group exceeds executor memory.
+    Scale shape: salted two-phase per-key top-k
+    (``ranking.topk_per_key``) — a pathologically hot group ranks
+    within (group, salt) first, spreading its sort across the salt
+    buckets, and at most ``buckets * max_per_group`` of its rows reach
+    the final per-group ranking.  Identical output to a single window
+    by construction.
     """
-    from pyspark.sql import Window
+    from .ranking import topk_per_key
 
     order_key = F.md5(
         F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(order_key, F.col(id_col))
+    capped = topk_per_key(
+        df,
+        key_cols=[group_col],
+        order_cols=[order_key, F.col(id_col)],
+        k=max_per_group,
+        salt_buckets=8,
+        salt_on=[id_col],
+        rank_col="_rk",
     )
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= max_per_group)
-        .select(*df.columns, F.col("_rk").cast("long").alias("quota_rank"))
+    return capped.select(
+        *df.columns, F.col("_rk").cast("long").alias("quota_rank")
     )
 
 
