@@ -737,6 +737,54 @@ ORDER BY probe_id
 """
 
 
+# q149: PSI distribution drift -------------------------------------------------
+
+PSI_WIDTH = 50000.0
+PSI_BINS = 10
+PSI_BASE_YEAR = 1997
+
+
+def q149_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between order-value distributions of
+    the early snapshot (orders through PSI_BASE_YEAR=1997) and the rest
+    (operators/drift.py).  One pass, one groupBy(bin), Laplace-smoothed
+    shares, one ln per bin — the standard production drift monitor,
+    fully oracle-mirrored."""
+    from ..operators.drift import psi_report
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return psi_report(
+        orders,
+        value_col="o_totalprice",
+        is_baseline=F.year("o_orderdate") <= PSI_BASE_YEAR,
+        width=PSI_WIDTH,
+        n_bins=PSI_BINS,
+    )
+
+
+ORACLE_Q149 = f"""
+WITH binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / {PSI_WIDTH}) AS BIGINT),
+                        0), {PSI_BINS - 1}) AS bin,
+         CASE WHEN year(o_orderdate) <= {PSI_BASE_YEAR} THEN 1 ELSE 0 END
+           AS b
+  FROM orders),
+counts AS (
+  SELECT bin, SUM(b) AS n_base, SUM(1 - b) AS n_curr
+  FROM binned GROUP BY bin),
+tot AS (SELECT SUM(n_base) AS nb, SUM(n_curr) AS nc FROM counts)
+SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_curr AS BIGINT) AS n_curr,
+       round(((n_base + 1) / CAST(nb + {PSI_BINS} AS DOUBLE)
+              - (n_curr + 1) / CAST(nc + {PSI_BINS} AS DOUBLE))
+             * (ln((n_base + 1) / CAST(nb + {PSI_BINS} AS DOUBLE))
+                - ln((n_curr + 1) / CAST(nc + {PSI_BINS} AS DOUBLE))), 6)
+         AS psi_term
+FROM counts CROSS JOIN tot
+ORDER BY bin
+"""
+
+
 def batch22_registry() -> list[QueryDef]:
     return [
         QueryDef(
@@ -774,5 +822,9 @@ def batch22_registry() -> list[QueryDef]:
         QueryDef(
             "q148_pq_recall", q148_pq_recall, _oracle_q148(),
             "PQ recall@k vs exact L2 (the honest-ANN audit)",
+        ),
+        QueryDef(
+            "q149_psi_drift", q149_psi_drift, ORACLE_Q149,
+            "PSI distribution drift between snapshots (per-bin terms)",
         ),
     ]
