@@ -65,15 +65,18 @@ def port(url: Column) -> Column:
 
 
 def norm_path(url: Column) -> Column:
-    """Path with the trailing slash stripped (non-root); empty → '/'."""
+    """Path with ALL trailing slashes stripped (so the canonical form
+    is a fixed point: '/a//' and '/a/' key identically); empty → '/'."""
     p = F.regexp_extract(url, _PATH_RX, 1)
-    p = F.when(p == "", F.lit("/")).otherwise(p)
-    return F.when(p == "/", p).otherwise(F.regexp_replace(p, "/$", ""))
+    stripped = F.regexp_replace(p, "/+$", "")
+    return F.when(stripped == "", F.lit("/")).otherwise(stripped)
 
 
 def clean_params(url: Column) -> Column:
-    """Sorted array of non-tracking ``k=v`` query params."""
-    q = F.regexp_extract(url, _QUERY_RX, 1)
+    """Sorted array of non-tracking ``k=v`` query params.  The fragment
+    is cut FIRST — a '?' inside a fragment ('/a#f?z=1') is fragment
+    content, not a query."""
+    q = F.regexp_extract(F.regexp_replace(url, "#.*", ""), _QUERY_RX, 1)
     parts = F.filter(F.split(q, "&"), lambda kv: kv != "")
     kept = F.filter(
         parts,

@@ -55,8 +55,14 @@ MERGE_SCHEMA = StructType(
 
 
 def wrapped_symbols(word: Column) -> Column:
-    """Initial wrapped-string encoding: characters + ``</w>`` end mark."""
-    chars = F.regexp_extract_all(word, F.lit("."), 0)
+    """Initial wrapped-string encoding: characters + ``</w>`` end mark.
+
+    The separator char itself (U+001F) is stripped from the word first
+    — ``\\s`` tokenization can let it through in crawl text, and an
+    embedded separator would corrupt the wrapped encoding.  The DuckDB
+    oracles apply the same ``replace(word, chr(31), '')``."""
+    cleaned = F.replace(word, F.lit(SEP), F.lit(""))
+    chars = F.regexp_extract_all(cleaned, F.lit("."), 0)
     syms = F.concat(chars, F.array(F.lit("</w>")))
     return F.concat(
         F.lit(SEP), F.array_join(syms, SEP + SEP), F.lit(SEP)

@@ -42,17 +42,34 @@ def _local_path(uri: str) -> str:
     return unquote(p.path) if p.scheme in ("file", "") else uri
 
 
+def _file_size(spark: SparkSession, uri: str) -> int:
+    """Size in bytes for any filesystem Spark can read (file:/, s3a://,
+    hdfs://, abfs://, ...) via the Hadoop FileSystem API — still a
+    metadata call, no data IO."""
+    p = urlparse(uri)
+    if p.scheme in ("file", ""):
+        return os.path.getsize(unquote(p.path))
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getFileStatus(jpath).getLen())
+
+
 def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) for every data file backing a parquet table.
 
     Uses the scan's own file listing (``inputFiles``) so partition
     discovery/filtering match what queries actually read; sizes come
-    from the filesystem — all metadata, no data IO.
+    from the filesystem (local stat or Hadoop FileSystem for object
+    stores) — all metadata, no data IO.
     """
     out = []
     for f in spark.read.parquet(path).inputFiles():
-        local = _local_path(f)
-        out.append((local, os.path.getsize(local)))
+        p = urlparse(f)
+        if p.scheme in ("file", ""):
+            out.append((unquote(p.path), _file_size(spark, f)))
+        else:
+            out.append((f, _file_size(spark, f)))
     return out
 
 
@@ -95,18 +112,33 @@ def compact(
     spark: SparkSession,
     groups: list[CompactionGroup],
     out_dir: str,
+    max_concurrency: int = 8,
 ) -> int:
     """Rewrite each group as a single parquet file under
     ``out_dir/group=<id>/``.  ``coalesce(1)`` is a narrow dependency —
     no shuffle; the group's partitions stream-concatenate into one
-    writer.  Returns the number of groups rewritten."""
-    for g in groups:
+    writer.  Each group's write is a one-task job, so groups are
+    submitted CONCURRENTLY (Spark's scheduler interleaves jobs from
+    multiple threads) — the cluster runs up to ``max_concurrency``
+    single-task rewrites at once instead of idling through a serial
+    loop.  Returns the number of groups rewritten; any failure
+    propagates after in-flight groups finish (per-group isolation)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _rewrite(g: CompactionGroup) -> None:
         (
             spark.read.parquet(*g.files)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"group={g.group_id}"))
         )
+
+    if not groups:
+        return 0
+    with ThreadPoolExecutor(
+        max_workers=min(max_concurrency, len(groups))
+    ) as pool:
+        list(pool.map(_rewrite, groups))
     return len(groups)
 
 

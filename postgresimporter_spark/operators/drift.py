@@ -51,7 +51,9 @@ def psi_report(
     """
     binned = df.select(
         fixed_width_bin(F.col(value_col), width, n_bins).alias("bin"),
-        is_baseline.cast("int").alias("_b"),
+        # NULL predicate counts as current, not skipped (sum() would
+        # silently drop NULLs and desync n_base + n_curr from N)
+        F.coalesce(is_baseline.cast("int"), F.lit(0)).alias("_b"),
     )
     counts = binned.groupBy("bin").agg(
         F.sum("_b").cast("long").alias("n_base"),

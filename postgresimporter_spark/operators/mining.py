@@ -365,7 +365,10 @@ def dsir_importance(
     """
     ex = df.select(
         F.col(id_col),
-        is_target.cast("int").alias("_tgt"),
+        # coalesce: a NULL predicate (e.g. source IS NULL) must count
+        # as not-target, matching the oracle's CASE ... ELSE 0 — a NULL
+        # here would be SKIPPED by sum() and silently drop the token
+        F.coalesce(is_target.cast("int"), F.lit(0)).alias("_tgt"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
     ).localCheckpoint(eager=False)
     counts = ex.groupBy("_t").agg(

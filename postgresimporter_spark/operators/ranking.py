@@ -216,7 +216,13 @@ def topk_per_key(
     ``order_cols`` must define a total order (tie-break to a unique
     column) or "top k" itself is ambiguous.  ``salt_on`` names the
     plain columns hashed into the salt (order_cols may be sort
-    expressions, which can't be hashed); defaults to every column.
+    expressions, which can't be hashed) — pass a high-cardinality
+    column for a deterministic salt.  Without it, the salt is a
+    round-robin over physical position (partition id + per-partition
+    counter): full-duplicate rows of a hot key still SPREAD — hashing
+    columns would send identical rows to one bucket and silently void
+    the guard.  Positional salt is non-deterministic across runs,
+    which is fine: any row-to-bucket assignment yields the same top-k.
     """
     order = list(order_cols)
     final_w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -224,10 +230,15 @@ def topk_per_key(
         return df.withColumn(
             rank_col, F.row_number().over(final_w)
         ).where(F.col(rank_col) <= k)
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in (salt_on or df.columns)]),
-        F.lit(salt_buckets),
-    )
+    if salt_on:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_on]),
+            F.lit(salt_buckets),
+        )
+    else:
+        salt = F.pmod(
+            F.monotonically_increasing_id(), F.lit(salt_buckets)
+        )
     phase1_w = Window.partitionBy(*key_cols, "_salt").orderBy(*order)
     survivors = (
         df.withColumn("_salt", salt)

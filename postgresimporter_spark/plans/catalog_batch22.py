@@ -102,7 +102,8 @@ parsed AS (
     regexp_extract(raw_url, '^[a-zA-Z]+://([^/?#]*)', 1) AS auth,
     regexp_extract(raw_url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1)
       AS rawpath,
-    regexp_extract(raw_url, '\\?([^#]*)', 1) AS rawq
+    regexp_extract(regexp_replace(raw_url, '#.*', ''),
+                   '\\?([^#]*)', 1) AS rawq
   FROM raw),
 hosted AS (
   SELECT *,
@@ -113,8 +114,8 @@ hosted AS (
   FROM parsed),
 pathed AS (
   SELECT *,
-    CASE WHEN p0 = '/' THEN p0
-         ELSE regexp_replace(p0, '/$', '') END AS path,
+    CASE WHEN regexp_replace(p0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(p0, '/+$', '') END AS path,
     list_sort(list_filter(
       list_filter(string_split(rawq, '&'), x -> x != ''),
       kv -> NOT regexp_matches(string_split(kv, '=')[1],
@@ -289,8 +290,8 @@ def _bpe_oracle(rounds: int, final_select: str | None = None) -> str:
         "tw AS (SELECT unnest(arr) AS word FROM toks)",
         "vocab AS (SELECT word, COUNT(*) AS freq FROM tw GROUP BY word)",
         f"v1 AS (SELECT freq, {sep} || array_to_string("
-        f"list_concat(regexp_extract_all(word, '.'), ['</w>']), {sep2})"
-        f" || {sep} AS s FROM vocab)",
+        f"list_concat(regexp_extract_all(replace(word, {sep}, ''), '.'),"
+        f" ['</w>']), {sep2}) || {sep} AS s FROM vocab)",
     ]
     for k in range(1, rounds + 1):
         ctes.append(

@@ -194,8 +194,13 @@ def stream_url_dedup(
     """
     from ..functions.urls import with_canonical
 
-    canon = with_canonical(records, url_col).withWatermark(
-        ts_col, watermark
+    # malformed URLs canonicalize to NULL; dropDuplicates treats NULL
+    # keys as equal, which would silently collapse DISTINCT malformed
+    # records into one — filter them (they are not fetchable pages)
+    canon = (
+        with_canonical(records, url_col)
+        .where(F.col("canonical_url").isNotNull())
+        .withWatermark(ts_col, watermark)
     )
     if within_watermark:
         return canon.dropDuplicatesWithinWatermark(["canonical_url"])

@@ -314,11 +314,13 @@ url_host = st.builds(
     st.sampled_from([".com", ".co.uk", ".io", ".Co.JP"]),
 )
 url_port = st.sampled_from(["", ":80", ":443", ":8080"])
-url_path = st.sampled_from(["", "/", "/a", "/a/", "/A/b9", "/a/b/"])
+url_path = st.sampled_from(
+    ["", "/", "/a", "/a/", "/A/b9", "/a/b/", "/a//", "//", "/a/b//"]
+)
 url_query = st.sampled_from(
     ["", "?a=1", "?utm_source=x", "?b=2&a=1&utm_medium=m", "?z=9&fbclid=f"]
 )
-url_frag = st.sampled_from(["", "#x", "#frag-2"])
+url_frag = st.sampled_from(["", "#x", "#frag-2", "#f?z=1", "#a&b=2"])
 
 
 @SETTINGS

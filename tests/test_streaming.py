@@ -505,6 +505,7 @@ def test_stream_url_dedup_canonical_variants_collapse(spark, tmp_path):
         (2, "http://ex.com/a?b=1", t0 + dt.timedelta(minutes=1)),  # same
         (3, "http://ex.com/a?b=2", t0 + dt.timedelta(minutes=2)),  # new
         (4, "https://ex.com/a?b=1", t0 + dt.timedelta(minutes=3)),  # new scheme
+        (5, "not a url", t0 + dt.timedelta(minutes=4)),  # malformed: filtered
     ]
     df = spark.createDataFrame(rows, ["id", "url", "ts"])
     path = str(tmp_path / "urls_parquet")
@@ -515,9 +516,14 @@ def test_stream_url_dedup_canonical_variants_collapse(spark, tmp_path):
     run_to_memory(out, "url_dedup_stream", output_mode="append")
     got = spark.table("url_dedup_stream")
     n_batch = (
-        with_canonical(df, "url").select("canonical_url").distinct().count()
+        with_canonical(df, "url")
+        .where(F.col("canonical_url").isNotNull())
+        .select("canonical_url")
+        .distinct()
+        .count()
     )
     assert got.count() == n_batch == 3
-    # the (1,2) pair collapsed to a single survivor
+    # the (1,2) pair collapsed to a single survivor; the malformed
+    # record is filtered (NULL canonical keys must never dedup together)
     ids = {r.id for r in got.collect()}
-    assert {3, 4} <= ids and len(ids & {1, 2}) == 1
+    assert {3, 4} <= ids and len(ids & {1, 2}) == 1 and 5 not in ids

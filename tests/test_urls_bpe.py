@@ -61,6 +61,18 @@ def test_registered_domain_public_suffix(spark):
     )
 
 
+def test_canonical_fixed_point_on_multi_slash_and_fragment_query(spark):
+    # '/a//' and '/a/' must key identically (all trailing slashes cut)
+    assert _canon(spark, "http://x.com/a//")["canonical_url"] == "http://x.com/a"
+    assert _canon(spark, "http://x.com/a/")["canonical_url"] == "http://x.com/a"
+    assert _canon(spark, "http://x.com////")["canonical_url"] == "http://x.com/"
+    # a '?' inside the fragment is fragment content, not a query
+    assert (
+        _canon(spark, "http://x.com/a#f?z=1")["canonical_url"]
+        == "http://x.com/a"
+    )
+
+
 def test_canonical_malformed_is_null(spark):
     # no scheme / no authority -> NULL canonical key (never invent one)
     assert _canon(spark, "not a url")["canonical_url"] is None
@@ -97,6 +109,17 @@ def test_bpe_frequency_weighting_and_tiebreak(spark):
 def test_bpe_empty_vocab(spark):
     vocab = spark.createDataFrame([], "word string, freq long")
     assert learn_bpe_merges(vocab, rounds=3).count() == 0
+
+
+def test_bpe_separator_char_in_word_is_stripped(spark):
+    # a token containing U+001F (the wrapped-string separator) must not
+    # corrupt the encoding: 'a\x1fb' trains exactly like 'ab'
+    vocab = spark.createDataFrame(
+        [("a\x1fb", 3)], "word string, freq long"
+    )
+    m = learn_bpe_merges(vocab, rounds=1).collect()[0]
+    assert (m["merge_left"], m["merge_right"]) == ("a", "b")
+    assert m["pair_count"] == 3
 
 
 def test_bpe_encode_roundtrip_token_mass(spark):
