@@ -43,11 +43,26 @@ def deterministic_fake_decode(content: bytes) -> dict:
     }
 
 
-# modality -> decoder; swap in real ones ([PIL.Image.open etc.) in a
-# deployment. Raising NotImplementedError marks intentionally-stubbed
-# modalities.
+def image_decode(content: bytes) -> dict:
+    """Image decoder: REAL pixel decode for the supported PNG subset
+    (``operators/png.py`` — stdlib zlib + numpy, no media library);
+    other formats / unsupported PNG variants fall back to the
+    deterministic fake, same claim boundary as before."""
+    from .png import PNG_MAGIC, png_decode_meta
+
+    if content and content.startswith(PNG_MAGIC):
+        try:
+            return png_decode_meta(content)
+        except ValueError:
+            pass  # unsupported variant: fall through to the stub
+    return deterministic_fake_decode(content)
+
+
+# modality -> decoder; image PNGs decode for real (png.py), everything
+# else remains a deterministic stub until a deployment registers real
+# codecs (PIL/ffmpeg/...) with the same (bytes) -> dict signature.
 DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "image": deterministic_fake_decode,
+    "image": image_decode,
     "audio": deterministic_fake_decode,
     "video": deterministic_fake_decode,
 }
@@ -291,8 +306,22 @@ def deterministic_fake_resize(
     return seed * n
 
 
+def image_resize(content: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample + re-encode for supported PNGs
+    (``operators/png.py``); other image bytes keep the deterministic
+    fake."""
+    from .png import PNG_MAGIC, png_resize
+
+    if content and content.startswith(PNG_MAGIC):
+        try:
+            return png_resize(content, width, height)
+        except ValueError:
+            pass
+    return deterministic_fake_resize(content, width, height)
+
+
 RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {
-    "image": deterministic_fake_resize,
+    "image": image_resize,
 }
 
 
