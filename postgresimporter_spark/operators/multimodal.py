@@ -58,12 +58,56 @@ def image_decode(content: bytes) -> dict:
     return deterministic_fake_decode(content)
 
 
-# modality -> decoder; image PNGs decode for real (png.py), everything
-# else remains a deterministic stub until a deployment registers real
-# codecs (PIL/ffmpeg/...) with the same (bytes) -> dict signature.
+def audio_decode(content: bytes) -> dict:
+    """Audio decoder: REAL sample decode for PCM WAV (8/16-bit) — the
+    data chunk is raw little-endian PCM, readable with numpy alone.
+    Returns true duration plus RMS/peak sample stats; non-WAV or
+    compressed codecs fall back to the deterministic fake."""
+    b = content or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return deterministic_fake_decode(content)
+    import numpy as np
+
+    i, rate, channels, bits, fmt, data = 12, None, None, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and clen >= 16 and i + 24 <= len(b):
+            fmt = int.from_bytes(b[i + 8 : i + 10], "little")
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen % 2)
+    if fmt != 1 or not (rate and channels) or bits not in (8, 16) or data is None:
+        return deterministic_fake_decode(content)  # non-PCM: stubbed
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.float64)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+    n_frames = len(samples) // channels
+    rms = float(np.round(np.sqrt(np.mean(samples**2)), 4)) if len(samples) else 0.0
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": int(n_frames * 1000 // rate),
+        "sample_rate": rate,
+        "channels": channels,
+        "rms": rms,
+        "peak": float(np.max(np.abs(samples))) if len(samples) else 0.0,
+    }
+
+
+# modality -> decoder; image PNGs and PCM WAVs decode for real
+# (png.py / audio_decode), everything else remains a deterministic
+# stub until a deployment registers real codecs (PIL/ffmpeg/...) with
+# the same (bytes) -> dict signature.
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "image": image_decode,
-    "audio": deterministic_fake_decode,
+    "audio": audio_decode,
     "video": deterministic_fake_decode,
 }
 

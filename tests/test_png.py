@@ -131,3 +131,42 @@ def test_multimodal_image_decode_dispatch(spark, tmp_path):
     assert got["real.png"].width == 29 and got["real.png"].height == 13
     # fake decoder: width = (n % 640) + 1 over 3 bytes
     assert got["junk.bin"].width == 4
+
+
+def test_audio_decode_real_pcm_wav():
+    """audio_decode returns true duration/RMS for PCM WAV; non-PCM
+    falls back to the fake."""
+    import struct
+
+    from postgresimporter_spark.operators.multimodal import audio_decode
+
+    rate, channels = 8000, 1
+    samples = np.array([0, 1000, -1000, 0] * 2000, dtype="<i2")  # 1 s
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2, 2, 16)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    d = audio_decode(wav)
+    assert d["duration_ms"] == 1000
+    assert d["sample_rate"] == rate and d["channels"] == 1
+    assert d["peak"] == 1000.0
+    assert abs(d["rms"] - 707.1068) < 0.01
+
+    # non-PCM (format tag 3 = IEEE float): falls back to fake
+    fmt3 = struct.pack("<HHIIHH", 3, channels, rate, rate * 2, 2, 16)
+    wav3 = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+        + b"data" + struct.pack("<I", 0)
+    )
+    f = audio_decode(wav3)
+    assert "rms" not in f  # the fake's dict, not real stats
