@@ -15,9 +15,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
 
-@udtf(returnType="token string, position int")
+@udtf(returnType="token string, position int", useArrow=True)
 class TokenizeUDTF:
-    """Lateral table function: one row per whitespace token."""
+    """Lateral table function: one row per whitespace token.
+
+    ``useArrow=True`` plans as ArrowEvalPythonUDTF — batched Arrow
+    transfer instead of row-at-a-time pickling (the plan-hygiene test
+    forbids BatchEvalPython anywhere in the registry)."""
 
     def eval(self, text: str):  # noqa: D102
         if not text:

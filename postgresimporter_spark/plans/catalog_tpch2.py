@@ -367,13 +367,20 @@ def q57_daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = first_seen.groupBy("first_day").agg(
         F.count("*").alias("new_users")
     )
-    w = Window.orderBy("first_day").rowsBetween(
-        Window.unboundedPreceding, 0
+    # distributed running sum (ranking.global_running_sum): range-
+    # partition + per-partition prefix sums + broadcast offsets — the
+    # daily table is calendar-bounded, but the unpartitioned-window
+    # form is banned repo-wide (test_plan_hygiene), so use the
+    # machinery that scales unconditionally.
+    from ..operators.ranking import global_running_sum
+
+    cum = global_running_sum(
+        daily, order_cols=["first_day"], value_col="new_users"
     )
-    return daily.select(
+    return cum.select(
         F.col("first_day").alias("day"),
         "new_users",
-        F.sum("new_users").over(w).alias("cumulative_users"),
+        F.col("running_sum").alias("cumulative_users"),
     )
 
 
