@@ -44,10 +44,12 @@ def deterministic_fake_decode(content: bytes) -> dict:
 
 
 def image_decode(content: bytes) -> dict:
-    """Image decoder: REAL pixel decode for the supported PNG subset
-    (``operators/png.py`` — stdlib zlib + numpy, no media library);
-    other formats / unsupported PNG variants fall back to the
-    deterministic fake, same claim boundary as before."""
+    """Image decoder: REAL pixel decode for supported PNGs
+    (``operators/png.py`` — stdlib zlib + numpy) and GIFs
+    (``operators/gif.py`` — pure-Python LZW); other formats /
+    unsupported variants fall back to the deterministic fake, same
+    claim boundary as before."""
+    from .gif import GIF_MAGICS, gif_decode_meta
     from .png import PNG_MAGIC, png_decode_meta
 
     if content and content.startswith(PNG_MAGIC):
@@ -55,6 +57,11 @@ def image_decode(content: bytes) -> dict:
             return png_decode_meta(content)
         except ValueError:
             pass  # unsupported variant: fall through to the stub
+    if content and content[:6] in GIF_MAGICS:
+        try:
+            return gif_decode_meta(content)
+        except ValueError:
+            pass
     return deterministic_fake_decode(content)
 
 

@@ -1,0 +1,141 @@
+"""GIF LZW decoder: ground-truth bitstreams, encoder roundtrip,
+interlace, and multimodal dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from postgresimporter_spark.operators.gif import decode_gif, gif_decode_meta
+
+PALETTE = bytes(
+    [0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255]  # black, R, G, B
+)
+
+
+class _Bits:
+    """LSB-first bit packer (GIF's LZW bit order)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, code: int, width: int):
+        for i in range(width):
+            self.bits.append((code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _wrap_gif(w: int, h: int, lzw: bytes, interlace: bool = False) -> bytes:
+    head = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    head += bytes([0x81, 0, 0])  # GCT present, 4 entries (2 bits)
+    head += PALETTE
+    desc = (
+        b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0])
+    )
+    body = bytes([2])  # min code size
+    # sub-blocks
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        body += bytes([len(chunk)]) + chunk
+    body += b"\x00"
+    return head + desc + body + b"\x3b"
+
+
+def _lzw_all_clears(indices: list[int]) -> bytes:
+    """Degenerate LZW stream: CLEAR before every pixel, so the table
+    never grows — trivially correct ground truth."""
+    bits = _Bits()
+    for p in indices:
+        bits.put(4, 3)  # CLEAR
+        bits.put(p, 3)
+    bits.put(5, 3)  # END
+    return bits.bytes()
+
+
+def _lzw_encode(indices: list[int], min_code_size: int = 2) -> bytes:
+    """Independent reference GIF-LZW encoder (dictionary growth, code
+    width bumps) — no code shared with the decoder."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bits = _Bits()
+    code_size = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    bits.put(clear, code_size)
+    buf: tuple[int, ...] = ()
+    for p in indices:
+        cand = buf + (p,)
+        if cand in table:
+            buf = cand
+            continue
+        bits.put(table[buf], code_size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        buf = (p,)
+    if buf:
+        bits.put(table[buf], code_size)
+    bits.put(end, code_size)
+    return bits.bytes()
+
+
+def test_decode_all_clear_stream():
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2]
+    data = _wrap_gif(4, 3, _lzw_all_clears(idx))
+    px = decode_gif(data)
+    assert px.shape == (3, 4, 3)
+    pal = np.frombuffer(PALETTE, dtype=np.uint8).reshape(4, 3)
+    assert np.array_equal(px, pal[np.array(idx).reshape(3, 4)])
+
+
+def test_decode_encoder_roundtrip_with_dictionary_growth():
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 4, size=16 * 11).tolist()
+    data = _wrap_gif(16, 11, _lzw_encode(idx))
+    px = decode_gif(data)
+    pal = np.frombuffer(PALETTE, dtype=np.uint8).reshape(4, 3)
+    assert np.array_equal(px, pal[np.array(idx).reshape(11, 16)])
+
+
+def test_decode_interlaced():
+    h, w = 9, 2
+    idx = [[y % 4] * w for y in range(h)]  # row y filled with y%4
+    # interlaced storage order: rows 0,8 then 4 then 2,6 then 1,3,5,7
+    order = [0, 8, 4, 2, 6, 1, 3, 5, 7]
+    stored = [v for y in order for v in idx[y]]
+    data = _wrap_gif(w, h, _lzw_all_clears(stored), interlace=True)
+    px = decode_gif(data)
+    pal = np.frombuffer(PALETTE, dtype=np.uint8).reshape(4, 3)
+    assert np.array_equal(px, pal[np.array(idx)])
+
+
+def test_corrupt_gif_raises():
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x00")
+    with pytest.raises(ValueError):
+        decode_gif(b"nope")
+
+
+def test_meta_and_dispatch():
+    idx = [1] * 6
+    data = _wrap_gif(3, 2, _lzw_all_clears(idx))
+    m = gif_decode_meta(data)
+    assert (m["width"], m["height"]) == (3, 2)
+    assert m["mean_luma"] == pytest.approx(255 / 3, abs=0.01)
+
+    from postgresimporter_spark.operators.multimodal import image_decode
+
+    d = image_decode(data)
+    assert d["width"] == 3 and d["height"] == 2
