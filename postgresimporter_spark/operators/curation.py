@@ -577,3 +577,56 @@ def duplicate_span_extents(
 
 
 __all__.append("duplicate_span_extents")
+
+
+def token_budget_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    order_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to contiguous, ~equal-token output shards — the
+    writer-side partitioner of a training-corpus build (Megatron/GPT
+    dataset sharding): documents in ``order_cols`` order are cut into
+    shards of ``budget_tokens`` whitespace tokens each; a document is
+    never split (the shard of a doc is determined by the cumulative
+    token count BEFORE it, so shard boundaries land between documents).
+
+    Complements ``pack_sequences`` (which packs a GIVEN shard's token
+    stream into fixed-length training sequences): this operator CREATES
+    the shards from a global ordering.
+
+    Scale shape: the cumulative sum rides
+    ``ranking.global_running_sum`` — range-partition on the order
+    columns, per-partition prefix sums, broadcast |partitions|-row
+    offset join. No unpartitioned window, no driver data path; the
+    same machinery that de-windowed q99/q112.
+
+    Returns one row per shard: (shard_id, n_docs, shard_tokens,
+    first_*, last_*) with first/last of the FIRST order column —
+    the shard manifest a writer consumes.
+    """
+    from .ranking import global_running_sum
+    from .textstats import token_count
+
+    toks = df.select(
+        *[F.col(c) for c in order_cols],
+        token_count(F.col(text_col)).cast("long").alias("_n_tok"),
+    )
+    cum = global_running_sum(toks, list(order_cols), "_n_tok")
+    # exclusive prefix -> integer div: doc starts in shard floor(prev/B)
+    shard = F.expr(f"(running_sum - _n_tok) div {int(budget_tokens)}")
+    lead = F.col(order_cols[0])
+    return (
+        cum.withColumn("shard_id", shard.cast("long"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_n_tok").cast("long").alias("shard_tokens"),
+            F.min(lead).alias("first_doc"),
+            F.max(lead).alias("last_doc"),
+        )
+    )
+
+
+__all__.append("token_budget_shards")

@@ -238,7 +238,82 @@ def time_bucket_gapfill(
     return out.withColumnRenamed("_bucket_ts", "bucket_ts")
 
 
-__all__ = ["asof_join", "interval_join", "time_bucket_gapfill", "ewma"]
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION — TimescaleDB's
+    ``interpolate()`` / Pandas ``DataFrame.interpolate('time')``
+    semantics, distributed: bucket-average the series per key, densify
+    the calendar (via :func:`time_bucket_gapfill`), then fill each
+    missing bucket with the straight line between its nearest observed
+    neighbors. Buckets before the first / after the last observation of
+    a key stay NULL (no extrapolation).
+
+    Scale shape: one groupBy shuffle for the bucket aggregate, then two
+    windows over the SAME (key) partitioning — Catalyst plans a single
+    exchange for both window frames; no unpartitioned window exists and
+    per-key state is the key's bucket count, bounded by span/bucket.
+
+    Determinism (oracle hash-exact): the bucket mean is an exact
+    decimal sum with ONE IEEE double division; the interpolation
+    fraction divides two epoch-microsecond bigints cast to double, and
+    the fill is computed in the fixed shape ``prev + (next - prev) *
+    frac`` — identical operation order in the DuckDB oracle (q152).
+
+    Returns (key..., bucket_ts, v_obs, v_filled, is_observed).
+    """
+    mean = (
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+        / F.count(value_col)
+    ).alias("v_obs")
+    dense = time_bucket_gapfill(
+        df, ts_col, bucket, list(key_cols), [mean]
+    )
+
+    keys = [F.col(c) for c in key_cols]
+    t = F.unix_micros(F.col("bucket_ts"))
+    wp = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v_obs").isNotNull(), t)
+    prev_v = F.last("v_obs", ignorenulls=True).over(wp)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wp)
+    next_v = F.first("v_obs", ignorenulls=True).over(wf)
+    next_t = F.first(obs_t, ignorenulls=True).over(wf)
+
+    frac = (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    interp = prev_v + (next_v - prev_v) * frac
+    filled = F.coalesce(
+        F.col("v_obs"),
+        F.when(prev_v.isNotNull() & next_v.isNotNull(), interp),
+    )
+    return dense.select(
+        *key_cols,
+        "bucket_ts",
+        "v_obs",
+        filled.alias("v_filled"),
+        F.col("v_obs").isNotNull().alias("is_observed"),
+    )
+
+
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "time_bucket_gapfill",
+    "interpolate_linear",
+    "ewma",
+]
 
 
 def ewma(

@@ -815,6 +815,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch22_registry():
         out[q.name] = q
+    from .catalog_batch23 import batch23_registry
+
+    for q in batch23_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
