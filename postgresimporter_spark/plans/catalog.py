@@ -819,6 +819,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch23_registry():
         out[q.name] = q
+    from .catalog_batch24 import batch24_registry
+
+    for q in batch24_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -1,0 +1,281 @@
+"""Batch 24: corpus-graph analytics & skew diagnostics.
+
+- q155: TextRank keyword extraction (Mihalcea & Tarau 2004) — a word
+  co-occurrence graph from adjacent-token pairs, ranked by the graph
+  tier's exact fixed-point PageRank. Pure composition of existing
+  operators (``graph.pagerank`` over a Catalyst edge build); the oracle
+  unrolls the same 3 integer-arithmetic iterations as q119.
+- q156: GloVe-style window co-occurrence counts (unordered token pairs
+  within distance <= 3) — the corpus statistic embedding trainers
+  consume. Per-row array expansion (x3 the token stream), one hash
+  aggregate with map-side partial combine; no join anywhere.
+- q157: join-skew planner — per join-key column: row/key counts, the
+  heaviest key, a max/avg skew factor, and the salt-bucket count the
+  salted operators (q48/q141/topk_per_key) would need. All-integer
+  arithmetic; the "measure before you salt" diagnostic.
+
+Scale notes: q155's edge build explodes adjacent pairs (stream-sized,
+not quadratic), dedups per document, and aggregates — identical cost
+shape to the shingle joins; PageRank itself is the q119 machinery
+(checkpointed degree table, one O(E) shuffle per iteration). q156/q157
+are single-aggregate pipelines. Invariant 8 applies twice here:
+``F.sequence(1, 0)`` is DESCENDING in Spark, so every generated index
+range is guarded before use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from ..operators.textstats import tokens
+from ..sources.parquet import load_tables
+from .catalog import QueryDef
+
+# ---------------------------------------------------------------------------
+# q155: TextRank keywords
+# ---------------------------------------------------------------------------
+
+_MIN_DOCS = 60  # an edge must co-occur in >= this many documents
+# (sf0.01: keeps the top ~20% of adjacent pairs — 91 edges, a selective
+# graph rather than the near-complete co-occurrence clique)
+
+
+def _word_edges(docs: DataFrame) -> DataFrame:
+    """Canonical (src < dst) adjacent-token edges appearing in >=
+    _MIN_DOCS distinct documents."""
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    # guard: sequence(1, 0) would be DESCENDING, not empty (invariant 8)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.least(F.element_at(t, i), F.element_at(t, i + 1)).alias("src"),
+            F.greatest(F.element_at(t, i), F.element_at(t, i + 1)).alias(
+                "dst"
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(pair).alias("p"))
+        .select("doc_id", "p.src", "p.dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= _MIN_DOCS)
+        .select("src", "dst")
+    )
+
+
+def q155_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 corpus keywords by 3-iteration PageRank over the word
+    co-occurrence graph — TextRank, riding the exact scaled-integer
+    PageRank of the graph tier (bit-identical across engines)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pr = pagerank(_word_edges(docs), iterations=3, damping_pct=85)
+    return (
+        pr.orderBy(F.desc("rank_scaled"), F.asc("node"))
+        .limit(15)
+        .select(F.col("node").alias("keyword"), "rank_scaled", "rank")
+    )
+
+
+_WORD_EDGES_SQL = f"""
+toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+adj AS (
+  SELECT DISTINCT doc_id,
+         least(t[i], t[i + 1]) AS src,
+         greatest(t[i], t[i + 1]) AS dst
+  FROM toked, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE t[i] <> t[i + 1]),
+edges AS (
+  SELECT src, dst FROM adj GROUP BY src, dst
+  HAVING COUNT(*) >= {_MIN_DOCS})
+"""
+
+
+ORACLE_Q155 = f"""
+WITH {_WORD_EDGES_SQL},
+sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+),
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM sym GROUP BY src
+),
+nv AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (
+  SELECT node, CAST(1000000000000 // nv.n AS BIGINT) AS r
+  FROM deg, nv
+),
+r1 AS (
+  SELECT s.dst AS node,
+         CAST((SELECT (15 * 1000000000000) // (100 * n) FROM nv)
+              + (SUM(r0.r // d.degree) * 85) // 100 AS BIGINT) AS r
+  FROM sym s JOIN deg d ON s.src = d.node JOIN r0 ON s.src = r0.node
+  GROUP BY s.dst
+),
+r2 AS (
+  SELECT s.dst AS node,
+         CAST((SELECT (15 * 1000000000000) // (100 * n) FROM nv)
+              + (SUM(r1.r // d.degree) * 85) // 100 AS BIGINT) AS r
+  FROM sym s JOIN deg d ON s.src = d.node JOIN r1 ON s.src = r1.node
+  GROUP BY s.dst
+),
+r3 AS (
+  SELECT s.dst AS node,
+         CAST((SELECT (15 * 1000000000000) // (100 * n) FROM nv)
+              + (SUM(r2.r // d.degree) * 85) // 100 AS BIGINT) AS r
+  FROM sym s JOIN deg d ON s.src = d.node JOIN r2 ON s.src = r2.node
+  GROUP BY s.dst
+)
+SELECT node AS keyword, r AS rank_scaled,
+       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+FROM r3
+ORDER BY rank_scaled DESC, keyword ASC LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# q156: window co-occurrence counts
+# ---------------------------------------------------------------------------
+
+_WINDOW = 3
+
+
+def q156_window_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 unordered token pairs by co-occurrence count within a
+    +/-3 token window — the GloVe/word2vec corpus statistic. The pair
+    stream is generated per row (nested array transforms, ~3 pairs per
+    token position), so the only shuffle is the final count."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                # i ranges to n-1, so i+1 <= n and the sequence ascends
+                F.sequence(i + 1, F.least(i + F.lit(_WINDOW), n)),
+                lambda j: F.struct(
+                    F.least(
+                        F.element_at(t, i), F.element_at(t, j)
+                    ).alias("src"),
+                    F.greatest(
+                        F.element_at(t, i), F.element_at(t, j)
+                    ).alias("dst"),
+                ),
+            ),
+        )
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), F.asc("src"), F.asc("dst"))
+        .limit(30)
+    )
+
+
+ORACLE_Q156 = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT least(t[i], t[j]) AS src, greatest(t[i], t[j]) AS dst
+  FROM toked,
+       UNNEST(generate_series(1, len(t) - 1)) AS g(i),
+       UNNEST(generate_series(i + 1, least(i + {_WINDOW}, len(t)))) AS h(j))
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_cooc
+FROM pairs GROUP BY src, dst
+ORDER BY n_cooc DESC, src ASC, dst ASC LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# q157: join-skew planner
+# ---------------------------------------------------------------------------
+
+
+def _key_stats(df: DataFrame, key: str, label: str) -> DataFrame:
+    cnts = df.groupBy(key).agg(F.count("*").alias("c"))
+    max_c = F.max("c")
+    n_keys = F.count("*")
+    n_rows = F.sum("c")
+    # skew = max/avg = max*n_keys/n_rows, in integer basis points/100;
+    # salt buckets to tame the hottest key to ~2x average: ceil-div
+    return cnts.agg(
+        F.lit(label).alias("side"),
+        n_rows.cast("long").alias("n_rows"),
+        n_keys.cast("long").alias("n_keys"),
+        max_c.cast("long").alias("max_key_rows"),
+        F.expr("(max(c) * count(*) * 100) div sum(c)")
+        .cast("long")
+        .alias("skew_x100"),
+        F.expr("(max(c) * count(*) + 2 * sum(c) - 1) div (2 * sum(c))")
+        .cast("long")
+        .alias("salt_buckets"),
+    )
+
+
+def q157_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure-before-you-salt: per candidate join key, the integer
+    skew factor (heaviest key vs average) and the salt-bucket count
+    that would bound its hottest task — the diagnostic that decides
+    between a plain shuffle join and the salted two-phase operators."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "documents"])
+    return (
+        _key_stats(t["lineitem"], "l_orderkey", "lineitem.l_orderkey")
+        .unionAll(_key_stats(t["orders"], "o_custkey", "orders.o_custkey"))
+        .unionAll(_key_stats(t["documents"], "source", "documents.source"))
+    )
+
+
+_KEY_STATS_SQL = """
+SELECT '{label}' AS side,
+  CAST(SUM(c) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(MAX(c) AS BIGINT) AS max_key_rows,
+  CAST((MAX(c) * COUNT(*) * 100) // CAST(SUM(c) AS BIGINT) AS BIGINT)
+    AS skew_x100,
+  CAST((MAX(c) * COUNT(*) + 2 * CAST(SUM(c) AS BIGINT) - 1)
+       // (2 * CAST(SUM(c) AS BIGINT)) AS BIGINT) AS salt_buckets
+FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY {key})
+"""
+
+ORACLE_Q157 = " UNION ALL ".join(
+    _KEY_STATS_SQL.format(label=lb, key=k, table=tb)
+    for lb, k, tb in [
+        ("lineitem.l_orderkey", "l_orderkey", "lineitem"),
+        ("orders.o_custkey", "o_custkey", "orders"),
+        ("documents.source", "source", "documents"),
+    ]
+)
+
+
+def batch24_registry() -> list[QueryDef]:
+    return [
+        QueryDef("q155_textrank_keywords", q155_textrank_keywords,
+                 ORACLE_Q155,
+                 "TextRank keywords via exact fixed-point PageRank"),
+        QueryDef("q156_window_cooccurrence", q156_window_cooccurrence,
+                 ORACLE_Q156,
+                 "GloVe-style window co-occurrence counts (join-free)"),
+        QueryDef("q157_skew_planner", q157_skew_planner, ORACLE_Q157,
+                 "join-skew planner: integer skew factor + salt sizing"),
+    ]

@@ -1,0 +1,60 @@
+"""Edge-semantics tests for batch 24 (TextRank edge build, window
+co-occurrence guards, skew-planner integer math); fixture-scale
+behavior is covered by the q155-q157 oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresimporter_spark.plans.catalog_batch24 import (
+    _key_stats,
+    _word_edges,
+)
+
+
+def test_word_edges_single_token_docs_dont_explode(spark):
+    # sequence(1, 0) is descending in Spark (invariant 8): a 1-token
+    # doc must yield zero pairs, not an element_at(t, 0) error
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "a b a b a b")], ["doc_id", "text"]
+    )
+    edges = _word_edges(df).collect()
+    # only doc 2 contributes, and its single canonical pair is below
+    # the _MIN_DOCS threshold -> empty edge set, no failure
+    assert edges == []
+
+
+def test_word_edges_canonical_and_distinct_per_doc(spark):
+    import postgresimporter_spark.plans.catalog_batch24 as b24
+
+    old = b24._MIN_DOCS
+    b24._MIN_DOCS = 2
+    try:
+        df = spark.createDataFrame(
+            [(1, "x y x y"), (2, "y x")], ["doc_id", "text"]
+        )
+        edges = [(r["src"], r["dst"]) for r in _word_edges(df).collect()]
+    finally:
+        b24._MIN_DOCS = old
+    # both docs contain the same unordered pair exactly once each
+    assert edges == [("x", "y")]
+
+
+def test_key_stats_skew_factor_and_salt(spark):
+    # 10 rows on key 'hot', 1 each on 5 cold keys: n_rows=15, n_keys=6,
+    # avg=2.5, max=10 -> skew = 10*6*100 div 15 = 400 (4.00x avg);
+    # salt = ceil(10*6 / (2*15)) = 2 (split the hot key to ~2x avg)
+    rows = [("hot",)] * 10 + [(k,) for k in "abcde"]
+    df = spark.createDataFrame(rows, ["k"])
+    r = _key_stats(df, "k", "t.k").head()
+    assert r["n_rows"] == 15 and r["n_keys"] == 6
+    assert r["max_key_rows"] == 10
+    assert r["skew_x100"] == 400
+    assert r["salt_buckets"] == 2
+
+
+def test_key_stats_uniform_keys_need_no_salt(spark):
+    df = spark.createDataFrame([(k,) for k in "abcd"], ["k"])
+    r = _key_stats(df, "k", "t.k").head()
+    assert r["skew_x100"] == 100  # exactly average
+    assert r["salt_buckets"] == 1
