@@ -268,6 +268,31 @@ ORACLE_Q157 = " UNION ALL ".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# q158: prefix-filtered exact Jaccard pairs (PPJoin)
+# ---------------------------------------------------------------------------
+
+
+def q158_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result set as q25 (exact Jaccard >= 0.8 near-dup pairs on
+    the duplicated-docs fixture) through the PPJoin prefix-filtered
+    candidate join — the oracle is deliberately IDENTICAL to q25's:
+    prefix filtering is an exact optimization, and any recall loss
+    would surface as a hash mismatch here."""
+    from ..operators.dedup import prefix_jaccard_pairs
+    from .catalog_northstar import _duped_docs
+
+    return prefix_jaccard_pairs(
+        _duped_docs(spark, sf_dir), threshold_pct=80
+    )
+
+
+def _oracle_q158() -> str:
+    from .catalog_northstar import ORACLE_Q25
+
+    return ORACLE_Q25
+
+
 def batch24_registry() -> list[QueryDef]:
     return [
         QueryDef("q155_textrank_keywords", q155_textrank_keywords,
@@ -278,4 +303,7 @@ def batch24_registry() -> list[QueryDef]:
                  "GloVe-style window co-occurrence counts (join-free)"),
         QueryDef("q157_skew_planner", q157_skew_planner, ORACLE_Q157,
                  "join-skew planner: integer skew factor + salt sizing"),
+        QueryDef("q158_prefix_jaccard", q158_prefix_jaccard,
+                 _oracle_q158(),
+                 "PPJoin prefix-filtered exact Jaccard pairs (q25 oracle)"),
     ]

@@ -58,3 +58,19 @@ def test_key_stats_uniform_keys_need_no_salt(spark):
     r = _key_stats(df, "k", "t.k").head()
     assert r["skew_x100"] == 100  # exactly average
     assert r["salt_buckets"] == 1
+
+
+def test_prefix_filter_shrinks_candidates_without_recall_loss(spark):
+    from postgresimporter_spark.operators.dedup import (
+        prefix_candidate_count,
+    )
+    from postgresimporter_spark.plans.catalog_northstar import _duped_docs
+
+    docs = _duped_docs(spark, "/root/testdata/sf0.001")
+    pref, full = prefix_candidate_count(docs, threshold_pct=80)
+    # exactness is pinned by q158 sharing q25's oracle; this pins the
+    # POINT of the technique: a much smaller candidate set
+    assert pref < full / 5, (pref, full)
+    # ...while still containing every true pair (>=1 candidate per
+    # true near-dup: the fixture has 100 exact copies)
+    assert pref >= 100
