@@ -64,6 +64,12 @@ HEADLINE = [
     # iterative BPE merge learning (6 collect-per-round jobs)
     "q141_domain_quota",
     "q142_bpe_merges",
+    # round-3 web-text extraction + blocking tier: C4 line cleaning,
+    # interpolation gap fill, and the PPJoin prefix-filtered Jaccard
+    # (regression guard for the candidate-reduction machinery)
+    "q150_line_filter",
+    "q152_interpolate",
+    "q158_prefix_jaccard",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.

@@ -33,7 +33,7 @@ complete algorithm avoids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -161,3 +161,71 @@ def edit_distance_pairs(
         )
         .where(F.col("edit_distance") <= max_dist)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key: Column,
+    window: int = 5,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): order
+    records by a sort key, compare each record only with the next
+    ``window`` records — O(n*w) candidates instead of O(n^2), the
+    third classic blocking family next to q-gram count filtering
+    (``edit_distance_candidates``) and LSH banding.
+
+    Distributed shape: the global position comes from
+    ``ranking.global_row_number`` (range-partition + offsets, no
+    unpartitioned window); the neighborhood join is TWO equi-joins on
+    a block id (``idx div window`` — a pair within ``window``
+    positions spans at most two adjacent blocks), unioned and
+    distance-filtered. No range join, no window over the full table;
+    every stage is a hash join on a dense integer key.
+
+    Returns candidate pairs (id_a, id_b, idx_a, idx_b) with
+    idx_b - idx_a in [1, window]; callers apply their verify step
+    (edit distance, Jaccard, equality) on this bounded set.
+    """
+    from .ranking import global_row_number
+
+    keyed = df.select(
+        F.col(id_col).alias("id"), key.alias("_key")
+    )
+    idx = global_row_number(
+        keyed, ["_key", "id"], idx_col="idx",
+        num_partitions=num_partitions,
+    ).select(
+        "id", "idx",
+        F.expr(f"idx div {int(window)}").cast("long").alias("blk"),
+    )
+
+    a = idx.alias("a")
+
+    def _near(shift: int) -> DataFrame:
+        b = idx.select(
+            "id", "idx", (F.col("blk") - shift).alias("blk")
+        ).alias("b")
+        return (
+            a.join(b, on="blk")
+            .where(
+                (F.col("b.idx") > F.col("a.idx"))
+                & (F.col("b.idx") <= F.col("a.idx") + window)
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.idx").alias("idx_a"),
+                F.col("b.idx").alias("idx_b"),
+            )
+        )
+
+    return _near(0).unionAll(_near(1))
+
+
+__all__ = [
+    "edit_distance_candidates",
+    "edit_distance_pairs",
+    "sorted_neighborhood_pairs",
+]

@@ -293,6 +293,62 @@ def _oracle_q158() -> str:
     return ORACLE_Q25
 
 
+# ---------------------------------------------------------------------------
+# q159: sorted-neighborhood record linkage
+# ---------------------------------------------------------------------------
+
+
+def q159_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking over the duplicated-docs fixture:
+    records sort by their 40-char text prefix, each record is compared
+    only with its next 5 neighbors (O(n*w) candidates, window-free via
+    global_row_number), and candidates verify with full-text
+    Levenshtein <= 2. The oracle states the same neighborhood
+    definition directly — both engines agree on the window, so the
+    result is deterministic even when >5 records share a sort key."""
+    from ..operators.linkage import sorted_neighborhood_pairs
+    from .catalog_northstar import _duped_docs
+
+    docs = _duped_docs(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(
+        docs, key=F.substring("text", 1, 40), window=5
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("_txt_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("_txt_b")
+    )
+    return (
+        pairs.join(ta, on="id_a")
+        .join(tb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_txt_a", "_txt_b").cast("long").alias("lev"),
+        )
+        .where(F.col("lev") <= 2)
+    )
+
+
+def _oracle_q159() -> str:
+    from .catalog_northstar import DUPED_DOCS_SQL
+
+    return f"""
+WITH duped AS ({DUPED_DOCS_SQL}),
+keyed AS (SELECT doc_id AS id, substr(text, 1, 40) AS k, text FROM duped),
+idxd AS (
+  SELECT id, text,
+    CAST(row_number() OVER (ORDER BY k, id) AS BIGINT) AS idx
+  FROM keyed)
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+FROM idxd a JOIN idxd b
+  ON b.idx > a.idx AND b.idx <= a.idx + 5
+WHERE levenshtein(a.text, b.text) <= 2
+"""
+
+
 def batch24_registry() -> list[QueryDef]:
     return [
         QueryDef("q155_textrank_keywords", q155_textrank_keywords,
@@ -306,4 +362,7 @@ def batch24_registry() -> list[QueryDef]:
         QueryDef("q158_prefix_jaccard", q158_prefix_jaccard,
                  _oracle_q158(),
                  "PPJoin prefix-filtered exact Jaccard pairs (q25 oracle)"),
+        QueryDef("q159_sorted_neighborhood", q159_sorted_neighborhood,
+                 _oracle_q159(),
+                 "sorted-neighborhood blocking + Levenshtein verify"),
     ]

@@ -74,3 +74,39 @@ def test_prefix_filter_shrinks_candidates_without_recall_loss(spark):
     # ...while still containing every true pair (>=1 candidate per
     # true near-dup: the fixture has 100 exact copies)
     assert pref >= 100
+
+
+def test_sorted_neighborhood_window_and_block_boundaries(spark):
+    from postgresimporter_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    # keys sort as k00..k11; window 3 must pair records ACROSS the
+    # idx-div-3 block boundary (e.g. idx 3 with idx 4..6)
+    df = spark.createDataFrame(
+        [(i, f"k{i:02d}") for i in range(12)], ["doc_id", "text"]
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, key=F.col("text"), window=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {
+        (a, b)
+        for a in range(12)
+        for b in range(12)
+        if 0 < b - a <= 3
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_no_duplicate_pairs(spark):
+    from postgresimporter_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same-key") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = sorted_neighborhood_pairs(df, key=F.col("text"), window=2)
+    rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert len(rows) == len(set(rows))  # each pair exactly once
