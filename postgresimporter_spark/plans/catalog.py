@@ -823,6 +823,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch24_registry():
         out[q.name] = q
+    from .catalog_batch25 import batch25_registry
+
+    for q in batch25_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
