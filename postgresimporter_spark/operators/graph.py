@@ -251,3 +251,55 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         .groupBy("degree")
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007): every node starts in its own community
+    (label = node id) and repeatedly adopts the MAJORITY label among
+    its neighbors, ties broken to the SMALLEST label — the
+    deterministic synchronous variant, so the result is reproducible
+    across engines, partitionings, and runs (the async/random variant
+    in the paper is not).
+
+    Complements ``components.py`` (min-label propagation finds
+    CONNECTED components; this finds densely-linked communities inside
+    them) and shares the graph tier's Pregel-as-joins layout: per
+    iteration one O(E) join of the edge list against the O(V) label
+    table, a (node, label) vote count, and a deterministic argmax —
+    expressed as ``max(struct(cnt, -label))`` so it stays a hash
+    aggregate (no per-node window). ``localCheckpoint`` per round caps
+    lineage (invariant 6).
+
+    Returns (node, label) after ``iterations`` synchronous rounds.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = sym.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.col("src").cast("long").alias("label"),
+    )
+    for _ in range(iterations):
+        msgs = sym.join(
+            labels, sym["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        votes = msgs.groupBy("node", "label").agg(
+            F.count("*").alias("cnt")
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select(
+                "node", (-F.col("m.nl")).cast("long").alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -215,6 +215,57 @@ FROM exact e LEFT JOIN kth k ON e.source = k.source
 """
 
 
+# ---------------------------------------------------------------------------
+# q162: label-propagation communities
+# ---------------------------------------------------------------------------
+
+
+def q162_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 communities of the co-purchase graph after 3 synchronous
+    label-propagation rounds — the deterministic majority-vote variant
+    (ties to smallest label), oracle-unrolled like q119's PageRank."""
+    from ..operators.graph import label_propagation
+    from .catalog_batch18 import _edges
+
+    labels = label_propagation(_edges(spark, sf_dir), iterations=3)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("size"),
+            F.min("node").alias("first_node"),
+        )
+        .select(F.col("label").alias("community"), "size", "first_node")
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(10)
+    )
+
+
+def _oracle_q162() -> str:
+    from .catalog_batch18 import _EDGES_SQL
+
+    step = """
+v{i} AS (
+  SELECT s.dst AS node, l.label, COUNT(*) AS cnt
+  FROM sym s JOIN l{p} l ON s.src = l.node GROUP BY s.dst, l.label),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node
+                         ORDER BY cnt DESC, label ASC) AS rk
+    FROM v{i}) WHERE rk = 1)"""
+    rounds = ",".join(step.format(i=i, p=i - 1) for i in range(1, 4))
+    return f"""
+WITH {_EDGES_SQL},
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM sym),
+{rounds}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size,
+       MIN(node) AS first_node
+FROM l3 GROUP BY label
+ORDER BY size DESC, community ASC LIMIT 10
+"""
+
+
 def batch25_registry() -> list[QueryDef]:
     return [
         QueryDef("q160_countmin_heavy_hitters", q160_countmin_heavy_hitters,
@@ -222,4 +273,7 @@ def batch25_registry() -> list[QueryDef]:
                  "count-min sketch heavy hitters (deterministic grid)"),
         QueryDef("q161_kmv_distinct", q161_kmv_distinct, ORACLE_Q161,
                  "KMV bottom-k distinct estimation per source"),
+        QueryDef("q162_label_propagation", q162_label_propagation,
+                 _oracle_q162(),
+                 "label-propagation communities (synchronous, 3 rounds)"),
     ]

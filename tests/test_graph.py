@@ -101,3 +101,33 @@ def test_degrees(spark):
         for r in degrees(_edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])).collect()
     }
     assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    from postgresimporter_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: after 3 synchronous
+    # majority rounds each triangle converges to its own min label
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    bridge = [(3, 4)]
+    edges = spark.createDataFrame(tri1 + tri2 + bridge, ["src", "dst"])
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[4] == labels[5] == labels[6]
+    assert labels[1] != labels[4]
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    from postgresimporter_spark.operators.graph import label_propagation
+
+    # node 2's neighbors 1 and 3 tie (one vote each): label 1 wins
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    assert labels[2] == 1
