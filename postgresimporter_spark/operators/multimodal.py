@@ -45,11 +45,13 @@ def deterministic_fake_decode(content: bytes) -> dict:
 
 def image_decode(content: bytes) -> dict:
     """Image decoder: REAL pixel decode for supported PNGs
-    (``operators/png.py`` — stdlib zlib + numpy) and GIFs
-    (``operators/gif.py`` — pure-Python LZW); other formats /
-    unsupported variants fall back to the deterministic fake, same
-    claim boundary as before."""
+    (``operators/png.py`` — stdlib zlib + numpy), GIFs
+    (``operators/gif.py`` — pure-Python LZW), and baseline JPEGs
+    (``operators/jpeg.py`` — Huffman + IDCT in numpy); other formats /
+    unsupported variants (e.g. progressive JPEG) fall back to the
+    deterministic fake, same claim boundary as before."""
     from .gif import GIF_MAGICS, gif_decode_meta
+    from .jpeg import JPEG_MAGIC, jpeg_decode_meta
     from .png import PNG_MAGIC, png_decode_meta
 
     if content and content.startswith(PNG_MAGIC):
@@ -61,6 +63,11 @@ def image_decode(content: bytes) -> dict:
         try:
             return gif_decode_meta(content)
         except ValueError:
+            pass
+    if content and content.startswith(JPEG_MAGIC):
+        try:
+            return jpeg_decode_meta(content)
+        except (ValueError, StopIteration):
             pass
     return deterministic_fake_decode(content)
 

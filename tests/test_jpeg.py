@@ -1,0 +1,109 @@
+"""Baseline-JPEG codec tests (operators/jpeg.py): encode -> decode
+roundtrips across the 4:4:4 / 4:2:0 / grayscale / restart paths, the
+honest unsupported-variant boundary, and the multimodal dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from postgresimporter_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_decode_meta,
+)
+from postgresimporter_spark.operators.multimodal import image_decode
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 3 + xx) % 256, (yy + xx * 2) % 256, (yy * 2 + xx * 2) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_constant_block_roundtrips_exactly():
+    px = np.full((8, 8), 130, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quant=4))
+    assert dec.shape == (8, 8)
+    assert (dec == 130).all()
+
+
+def test_grayscale_gradient_tight_roundtrip():
+    yy, xx = np.mgrid[0:13, 0:21]
+    px = ((yy * 17 + xx * 5) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quant=1))
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_rgb_444_roundtrip_non_multiple_of_8():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quant=2))
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).mean() < 3.0
+
+
+def test_rgb_420_subsampled_roundtrip():
+    px = _smooth(33, 46)  # smooth chroma survives 2x2 subsampling
+    dec = decode_jpeg(encode_jpeg(px, quant=2, subsample=True))
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).mean() < 3.0
+
+
+def test_restart_markers_roundtrip():
+    px = _smooth(33, 46)
+    base = decode_jpeg(encode_jpeg(px, quant=2))
+    with_dri = decode_jpeg(encode_jpeg(px, quant=2, restart=3))
+    # restart markers change the byte stream, not the pixels
+    assert (base == with_dri).all()
+    both = decode_jpeg(encode_jpeg(px, quant=2, subsample=True, restart=2))
+    assert np.abs(both.astype(int) - px.astype(int)).mean() < 3.0
+
+
+def test_byte_stuffing_roundtrip():
+    # an 0xFF entropy byte must be written as FF 00 and read back as
+    # eight 1-bits — writer and reader agree on the stuffing protocol
+    from postgresimporter_spark.operators.jpeg import (
+        _BitReader,
+        _BitWriter,
+    )
+
+    bw = _BitWriter()
+    bw.put(0xFF, 8)
+    bw.put(0xA5, 8)
+    bw.flush()
+    assert bytes(bw.out) == b"\xff\x00\xa5"
+    br = _BitReader(bytes(bw.out) + b"\xff\xd9", 0)
+    assert br.bits(8) == 0xFF and br.bits(8) == 0xA5
+    # and the reader stops (not misreads) at the real marker
+    with pytest.raises((StopIteration, ValueError)):
+        br.bits(8)
+
+
+def test_unsupported_variants_raise():
+    px = _smooth(8, 8)
+    enc = bytearray(encode_jpeg(px, quant=2))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # claim progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0hello")  # no SOF/SOS
+
+
+def test_meta_contract_and_dispatch():
+    px = _smooth(20, 30)
+    enc = encode_jpeg(px, quant=2)
+    meta = jpeg_decode_meta(enc)
+    assert meta["width"] == 30 and meta["height"] == 20
+    assert meta["channels"] == 3
+    # dispatch: real decode for baseline, stub for corrupted variants
+    assert image_decode(enc) == meta
+    broken = bytearray(enc)
+    i = broken.find(b"\xff\xc0")
+    broken[i + 1] = 0xC2
+    fake = image_decode(bytes(broken))
+    assert fake["width"] == (len(broken) % 640) + 1  # stub fallback
