@@ -507,3 +507,15 @@ __all__ = [
     "jpeg_decode_meta",
     "JPEG_MAGIC",
 ]
+
+
+def jpeg_resize(content: bytes, width: int, height: int) -> bytes:
+    """Resizer-contract wrapper: real decode -> nearest resample ->
+    re-encode (4:4:4, quant 4). Shares ``png.resize_nearest``; works
+    for grayscale and RGB alike (shape-agnostic indexing)."""
+    from .png import resize_nearest
+
+    return encode_jpeg(resize_nearest(decode_jpeg(content), width, height))
+
+
+__all__.append("jpeg_resize")

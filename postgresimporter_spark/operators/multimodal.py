@@ -366,14 +366,20 @@ def deterministic_fake_resize(
 
 def image_resize(content: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resample + re-encode for supported PNGs
-    (``operators/png.py``); other image bytes keep the deterministic
-    fake."""
+    (``operators/png.py``) and baseline JPEGs (``operators/jpeg.py``);
+    other image bytes keep the deterministic fake."""
+    from .jpeg import JPEG_MAGIC, jpeg_resize
     from .png import PNG_MAGIC, png_resize
 
     if content and content.startswith(PNG_MAGIC):
         try:
             return png_resize(content, width, height)
         except ValueError:
+            pass
+    if content and content.startswith(JPEG_MAGIC):
+        try:
+            return jpeg_resize(content, width, height)
+        except (ValueError, StopIteration):
             pass
     return deterministic_fake_resize(content, width, height)
 

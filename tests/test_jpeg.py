@@ -107,3 +107,18 @@ def test_meta_contract_and_dispatch():
     broken[i + 1] = 0xC2
     fake = image_decode(bytes(broken))
     assert fake["width"] == (len(broken) % 640) + 1  # stub fallback
+
+
+def test_jpeg_resize_dispatch():
+    from postgresimporter_spark.operators.jpeg import decode_jpeg
+    from postgresimporter_spark.operators.multimodal import image_resize
+
+    px = _smooth(32, 32)
+    enc = encode_jpeg(px, quant=2)
+    out = image_resize(enc, 16, 16)
+    dec = decode_jpeg(out)  # re-encoded JPEG, half size
+    assert dec.shape == (16, 16, 3)
+    # nearest-neighbor of a smooth ramp stays close to the 2x strided
+    # original
+    ref = px[::2, ::2]
+    assert abs(float(dec.mean()) - float(ref.mean())) < 4.0
