@@ -198,3 +198,85 @@ def phrase_search(
     return out.where(F.col("anchor") >= 0).select(
         "doc_id", F.col("anchor").cast("long").alias("start_pos")
     )
+
+
+def bm25_multi_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batched BM25: top-k per query for a whole TABLE of queries in
+    ONE distributed job — the serving-eval shape ``bm25_scores``
+    (single query, driver-held terms) cannot give. ``queries`` is
+    (query_id, term), set semantics (duplicate terms deduped).
+
+    Same integer-micro scoring as ``bm25_scores`` (identical idf /
+    tf-norm expressions, per-term rounding before the sum, so results
+    for a 1-query table match the single-query operator exactly).
+
+    Scale shape: tf/df are computed ONCE over the union of all query
+    vocabularies (a selective `isin`-style semi-join pushed before any
+    shuffle), then fanned out to queries by a broadcast term join; the
+    per-query cut is the salted-capable ``topk_per_key``. Cost grows
+    with corpus + total hits, not queries x corpus.
+    """
+    from .ranking import topk_per_key
+
+    q = queries.select(
+        F.col("query_id"), F.col("term").alias("token")
+    ).distinct()
+    vocab = q.select("token").distinct()
+    tok = _token_stream(docs, id_col, text_col)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    hits = tok.join(F.broadcast(vocab), on="token")
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = hits.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    stats = docs.agg(F.count("*").cast("double").alias("_n_docs"))
+    avgdl = dl.agg((F.sum("dl") / F.count("*")).alias("_avgdl"))
+    idf = F.log(
+        (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = (
+        F.col("tf") * (k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    term_micro = F.round(idf * tf_norm * 1e6).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_), on="token")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("term_micro", term_micro)
+        .join(F.broadcast(q), on="token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+    )
+    ranked = topk_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("score_micro"), F.asc("doc_id")],
+        k=k,
+    )
+    return ranked.withColumn("rk", F.col("rk").cast("long"))
+
+
+__all__ = [
+    "inverted_index",
+    "bm25_scores",
+    "bm25_topk",
+    "phrase_search",
+    "bm25_multi_topk",
+]

@@ -827,6 +827,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch25_registry():
         out[q.name] = q
+    from .catalog_batch26 import batch26_registry
+
+    for q in batch26_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

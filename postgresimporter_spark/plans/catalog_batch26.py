@@ -1,0 +1,145 @@
+"""Batch 26: end-to-end RAG retrieval evaluation.
+
+q163 composes the retrieval stack into the eval loop a RAG pipeline
+actually runs: sliding-window CHUNK the corpus (``chunk_documents``,
+the q93 operator) -> index the chunks -> run a whole TABLE of queries
+through batched BM25 in one distributed job (``bm25_multi_topk``, new:
+tf/df computed once over the union query vocabulary, fanned out to
+queries by a broadcast term join, per-query top-k via the salted
+``topk_per_key``) -> score retrieval as the reciprocal rank of the
+first chunk belonging to the query's source document.
+
+Queries are deterministic: every 25th document contributes its tokens
+4..8 as a 5-term query; the relevant set is that document's own
+chunks. On the word-soup fixture the query terms are common vocabulary
+— BM25 ranks by tf/length, MRR lands well below 1.0, and the oracle
+agrees on the exact per-query rank: the metric machinery is what is
+differentially pinned, on honestly-hard queries.
+
+Integer-exact output: reciprocal ranks in micro-units
+(1e6 div rank), 0 for misses — no float division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import chunk_documents
+from ..operators.textindex import bm25_multi_topk
+from ..sources.parquet import load_tables
+from .catalog import QueryDef
+
+_K1 = 1.2
+_B = 0.75
+_K1P1 = _K1 + 1.0
+_CHUNK = 40
+_STRIDE = 20
+_TOPK = 10
+
+
+def q163_rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    chunks = chunk_documents(
+        docs, chunk_tokens=_CHUNK, stride=_STRIDE
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    queries = (
+        docs.where(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 4, 5)).alias("term"),
+        )
+    )
+    top = bm25_multi_topk(
+        chunks, queries, k=_TOPK, k1=_K1, b=_B
+    )
+    hit_rank = F.min(
+        F.when(F.expr("doc_id div 1000") == F.col("query_id"), F.col("rk"))
+    )
+    return (
+        top.groupBy("query_id")
+        .agg(hit_rank.cast("long").alias("hit_rank"))
+        .select(
+            "query_id",
+            "hit_rank",
+            F.coalesce(
+                F.expr("1000000 div hit_rank"), F.lit(0)
+            ).cast("long").alias("rr_micro"),
+        )
+    )
+
+
+ORACLE_Q163 = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+chunks AS (
+  SELECT doc_id * 1000 + s.i AS doc_id,
+         array_to_string(list_slice(toks, s.start + 1,
+                                    s.start + {_CHUNK}), ' ') AS text
+  FROM base,
+       LATERAL (
+         SELECT UNNEST(generate_series(0, greatest(len(toks) - 1, 0),
+                                       {_STRIDE})) AS start,
+                UNNEST(generate_series(0,
+                  greatest(len(toks) - 1, 0) // {_STRIDE})) AS i
+       ) s),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t != '')) AS token
+  FROM chunks),
+queries AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(toks[4:8]) AS token
+  FROM base WHERE doc_id % 25 = 0),
+vocab AS (SELECT DISTINCT token FROM queries),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+hits AS (SELECT tok.* FROM tok JOIN vocab USING (token)),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM chunks),
+ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       FROM dl),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(SUM(CAST(round(
+           ln((n.n_docs - df.df + CAST(0.5 AS DOUBLE))
+              / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+           * ((tf.tf * CAST({_K1P1!r} AS DOUBLE))
+              / (tf.tf + CAST({_K1!r} AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE) - CAST({_B!r} AS DOUBLE)
+                    + CAST({_B!r} AS DOUBLE) * dl.dl / ad.avgdl)))
+           * CAST(1000000.0 AS DOUBLE)
+         ) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN queries q ON tf.token = q.token
+  CROSS JOIN n CROSS JOIN ad
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id ASC) AS rk
+  FROM scored),
+top AS (SELECT * FROM ranked WHERE rk <= {_TOPK})
+SELECT query_id,
+  CAST(MIN(CASE WHEN doc_id // 1000 = query_id THEN rk END) AS BIGINT)
+    AS hit_rank,
+  CAST(COALESCE(1000000 // MIN(CASE WHEN doc_id // 1000 = query_id
+                                    THEN rk END), 0) AS BIGINT)
+    AS rr_micro
+FROM top GROUP BY query_id
+"""
+
+
+def batch26_registry() -> list[QueryDef]:
+    return [
+        QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
+                 ORACLE_Q163,
+                 "chunk -> batched BM25 -> MRR: end-to-end RAG eval"),
+    ]

@@ -110,3 +110,28 @@ def test_sorted_neighborhood_no_duplicate_pairs(spark):
     pairs = sorted_neighborhood_pairs(df, key=F.col("text"), window=2)
     rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
     assert len(rows) == len(set(rows))  # each pair exactly once
+
+
+def test_bm25_multi_matches_single_query(spark):
+    from postgresimporter_spark.operators.textindex import (
+        bm25_multi_topk,
+        bm25_topk,
+    )
+    from postgresimporter_spark.sources.parquet import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])[
+        "documents"
+    ]
+    terms = ["table", "spark", "query"]
+    single = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25_topk(docs, terms, k=5).collect()
+    }
+    q = spark.createDataFrame(
+        [(1, t) for t in terms], ["query_id", "term"]
+    )
+    multi = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25_multi_topk(docs, q, k=5).collect()
+    }
+    assert multi == single
