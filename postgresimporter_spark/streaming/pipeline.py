@@ -395,6 +395,52 @@ def stream_merge_topk(
     return writer.start()
 
 
+def stream_countmin(
+    records: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Continuously-maintained count-min sketch over a token stream —
+    the streaming face of q160's deterministic CMS.
+
+    The state is the d x w cell grid itself: BOUNDED BY CONSTRUCTION
+    (depth*width groups, here 1024) no matter how long the stream runs,
+    so no watermark is needed — this is the rare unbounded-aggregation
+    query whose state cannot grow. Cells are additive (each microbatch
+    map-side combines into per-cell partial counts), which is exactly
+    the mergeable-summary property that makes the sketch work across
+    partitions, days, or streams: union streams = add their grids.
+
+    Works identically on a batch DataFrame (pure transformations), so
+    stream==batch equality is testable directly; heavy-hitter estimates
+    come from joining probes against the grid as in q160.
+    """
+    from ..operators.dedup import hash_bucket
+    from ..operators.textstats import tokens
+
+    tok = records.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    keyed = tok.select(
+        "token",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(depth)])
+        ).alias("r"),
+    ).select(
+        "r",
+        hash_bucket(
+            F.concat(
+                F.col("r").cast("string"), F.lit(":"), F.col("token")
+            ),
+            width,
+        ).alias("bucket"),
+    )
+    return keyed.groupBy("r", "bucket").agg(
+        F.count("*").cast("long").alias("cell_cnt")
+    )
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

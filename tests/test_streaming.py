@@ -527,3 +527,28 @@ def test_stream_url_dedup_canonical_variants_collapse(spark, tmp_path):
     # record is filtered (NULL canonical keys must never dedup together)
     ids = {r.id for r in got.collect()}
     assert {3, 4} <= ids and len(ids & {1, 2}) == 1 and 5 not in ids
+
+
+def test_stream_countmin_matches_batch(spark):
+    """The CMS grid is additive across microbatches, so the streamed
+    sketch must equal the batch sketch cell-for-cell; its state is
+    bounded by construction (depth x width groups)."""
+    from postgresimporter_spark.streaming.pipeline import stream_countmin
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    batch = {
+        (r.r, r.bucket): r.cell_cnt
+        for r in stream_countmin(docs.select("text")).collect()
+    }
+
+    path = "/tmp/stream_docs_parquet"
+    docs.select("text").write.mode("overwrite").parquet(path)
+    stream_src = spark.readStream.schema("text string").parquet(path)
+    run_to_memory(
+        stream_countmin(stream_src), "cms_stream", output_mode="complete"
+    )
+    got = {
+        (r.r, r.bucket): r.cell_cnt
+        for r in spark.table("cms_stream").collect()
+    }
+    assert got == batch and len(got) > 0
