@@ -46,6 +46,7 @@ def cooccurrence_edges(
     container_col: str,
     item_col: str,
     max_container_size: int | None = None,
+    count_pairs: bool = False,
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges ``(src < dst)`` from a
     (container, item) relation.
@@ -66,6 +67,11 @@ def cooccurrence_edges(
     that spill through the shuffle, so an unknown-skew input degrades
     to slow instead of OOM/array-limit (a ~70k-item container would
     exceed the 2^31 array-element ceiling in the array path).
+
+    ``count_pairs=True`` returns (src, dst, n_shared) — the number of
+    containers sharing the pair (co-purchase strength, the item2item
+    recommendation weight) — via the same single-shuffle layout, with
+    the final distinct replaced by a count aggregate.
     """
     if max_container_size is None:
         # distinct is needed here (the join would pair duplicate item
@@ -74,12 +80,16 @@ def cooccurrence_edges(
             F.col(container_col).alias("_c"), F.col(item_col).alias("src")
         ).distinct().localCheckpoint(eager=False)
         b = a.select("_c", F.col("src").alias("dst"))
-        return (
+        joined = (
             a.join(b, on="_c")
             .where(F.col("src") < F.col("dst"))
             .select("src", "dst")
-            .distinct()
         )
+        if count_pairs:
+            return joined.groupBy("src", "dst").agg(
+                F.count("*").cast("long").alias("n_shared")
+            )
+        return joined.distinct()
     # no pre-distinct in this path: collect_set dedups per container,
     # so the groupBy is the ONE shuffle over the input
     sets = (
@@ -90,15 +100,16 @@ def cooccurrence_edges(
         .agg(F.sort_array(F.collect_set("src")).alias("_items"))
         .where(F.size("_items") <= max_container_size)
     )
-    return (
-        sets.select(
-            F.explode(
-                ordered_pair_structs(F.col("_items"), "src", "dst")
-            ).alias("_p")
+    pairs = sets.select(
+        F.explode(
+            ordered_pair_structs(F.col("_items"), "src", "dst")
+        ).alias("_p")
+    ).select("_p.src", "_p.dst")
+    if count_pairs:
+        return pairs.groupBy("src", "dst").agg(
+            F.count("*").cast("long").alias("n_shared")
         )
-        .select("_p.src", "_p.dst")
-        .distinct()
-    )
+    return pairs.distinct()
 
 
 def degrees(edges: DataFrame) -> DataFrame:

@@ -143,3 +143,94 @@ def batch26_registry() -> list[QueryDef]:
                  ORACLE_Q163,
                  "chunk -> batched BM25 -> MRR: end-to-end RAG eval"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# q164: item-to-item co-occurrence recommendations
+# ---------------------------------------------------------------------------
+
+
+def q164_item2item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic item-to-item collaborative filtering (Linden et al.
+    2003, the Amazon recommender): for each of the 5 highest-degree
+    parts, the top-5 co-purchased parts by shared-order count — the
+    skew-capped co-occurrence edge build (q117 machinery) re-read as a
+    recommendation table, cut per item with the salted top-k."""
+    from ..operators.graph import cooccurrence_edges
+    from ..operators.ranking import topk_per_key
+    from .catalog_batch18 import MAX_CONTAINER
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", max_container_size=MAX_CONTAINER,
+        count_pairs=True,
+    )
+    sym = edges.select(
+        F.col("src").alias("item"), F.col("dst").alias("rec"), "n_shared"
+    ).unionAll(
+        edges.select(
+            F.col("dst").alias("item"), F.col("src").alias("rec"),
+            "n_shared",
+        )
+    )
+    deg = (
+        sym.groupBy("item")
+        .agg(F.count("*").alias("_deg"))
+        .orderBy(F.desc("_deg"), F.asc("item"))
+        .limit(5)
+        .select("item")
+    )
+    cand = sym.join(F.broadcast(deg), on="item")
+    out = topk_per_key(
+        cand,
+        ["item"],
+        [F.desc("n_shared"), F.asc("rec")],
+        k=5,
+    )
+    return out.select(
+        "item", "rec", F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+def _oracle_q164() -> str:
+    from .catalog_batch18 import _EDGES_SQL
+
+    # the shared _EDGES_SQL dedups pairs; rebuild with pair counts
+    return f"""
+WITH {_EDGES_SQL},
+wedges AS (
+  SELECT a.item AS src, b.item AS dst, COUNT(*) AS n_shared
+  FROM citems a
+  JOIN citems b ON a.c = b.c AND a.item < b.item
+  JOIN cok ON a.c = cok.c
+  GROUP BY 1, 2),
+sym AS (
+  SELECT src AS item, dst AS rec, n_shared FROM wedges
+  UNION ALL
+  SELECT dst AS item, src AS rec, n_shared FROM wedges),
+deg AS (
+  SELECT item FROM sym GROUP BY item
+  ORDER BY COUNT(*) DESC, item ASC LIMIT 5),
+ranked AS (
+  SELECT s.item, s.rec, s.n_shared,
+         row_number() OVER (PARTITION BY s.item
+                            ORDER BY s.n_shared DESC, s.rec ASC) AS rk
+  FROM sym s JOIN deg USING (item))
+SELECT item, rec, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+def _extended_batch26() -> list[QueryDef]:
+    return [
+        QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
+                 ORACLE_Q163,
+                 "chunk -> batched BM25 -> MRR: end-to-end RAG eval"),
+        QueryDef("q164_item2item", q164_item2item, _oracle_q164(),
+                 "item-to-item co-occurrence recommendations"),
+    ]
+
+
+batch26_registry = _extended_batch26
