@@ -137,14 +137,6 @@ FROM top GROUP BY query_id
 """
 
 
-def batch26_registry() -> list[QueryDef]:
-    return [
-        QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
-                 ORACLE_Q163,
-                 "chunk -> batched BM25 -> MRR: end-to-end RAG eval"),
-    ]
-
-
 # ---------------------------------------------------------------------------
 # q164: item-to-item co-occurrence recommendations
 # ---------------------------------------------------------------------------
@@ -223,14 +215,87 @@ FROM ranked WHERE rk <= 5
 """
 
 
-def _extended_batch26() -> list[QueryDef]:
+# ---------------------------------------------------------------------------
+# q165: last-touch conversion attribution report
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_SEC = 1800  # last-touch lookback: 30 minutes
+
+
+def q165_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    strictly-prior click by the same user IF it happened within 30
+    minutes (q82's single-shuffle as-of match + the latency cutoff and
+    daily report that make it an attribution pipeline). All latency
+    math in integer epoch seconds."""
+    from ..operators.temporal import asof_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    matched = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=[], strict=True,
+    )
+    lat = F.expr(
+        "(unix_micros(ts) - unix_micros(asof_ts)) div 1000000"
+    )
+    attributed = F.col("asof_ts").isNotNull() & (
+        lat <= _ATTR_WINDOW_SEC
+    )
+    return (
+        matched.withColumn("_lat", lat)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(attributed.cast("long")).cast("long").alias("n_attributed"),
+            F.sum(F.when(attributed, F.col("_lat")))
+            .cast("long")
+            .alias("total_latency_sec"),
+            F.max(F.when(attributed, F.col("_lat")))
+            .cast("long")
+            .alias("max_latency_sec"),
+        )
+    )
+
+
+ORACLE_Q165 = f"""
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts),
+lat AS (
+  SELECT ts,
+         (epoch_us(ts) - epoch_us(asof_ts)) // 1000000 AS l,
+         asof_ts IS NOT NULL
+           AND (epoch_us(ts) - epoch_us(asof_ts)) // 1000000
+               <= {_ATTR_WINDOW_SEC} AS attributed
+  FROM m)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_attributed,
+  CAST(SUM(CASE WHEN attributed THEN l END) AS BIGINT)
+    AS total_latency_sec,
+  CAST(MAX(CASE WHEN attributed THEN l END) AS BIGINT)
+    AS max_latency_sec
+FROM lat GROUP BY 1
+"""
+
+
+def batch26_registry() -> list[QueryDef]:
     return [
         QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
                  ORACLE_Q163,
                  "chunk -> batched BM25 -> MRR: end-to-end RAG eval"),
         QueryDef("q164_item2item", q164_item2item, _oracle_q164(),
                  "item-to-item co-occurrence recommendations"),
+        QueryDef("q165_attribution", q165_attribution, ORACLE_Q165,
+                 "last-touch conversion attribution (as-of + cutoff)"),
     ]
-
-
-batch26_registry = _extended_batch26

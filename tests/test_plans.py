@@ -227,3 +227,22 @@ def test_q135_semdedup_joins_on_cell_key(spark, reg):
     plan = plan_of(spark, reg, "q135_semdedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q158_prefix_filter_broadcasts_frequency_table(spark, reg):
+    """PPJoin: the shingle-frequency table is vocabulary-sized and must
+    broadcast; the candidate join must be a hash join on the shingle
+    (equi), never a cartesian."""
+    plan = plan_of(spark, reg, "q158_prefix_jaccard")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q163_batched_bm25_broadcasts_query_terms(spark, reg):
+    """Batched BM25: df/query-term fan-out joins are broadcast (query
+    table and per-term stats are metadata-scale); corpus side shuffles
+    only for tf/dl aggregates."""
+    plan = plan_of(spark, reg, "q163_rag_retrieval_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
