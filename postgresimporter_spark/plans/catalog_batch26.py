@@ -289,6 +289,50 @@ FROM lat GROUP BY 1
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q166: k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def q166_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance audit (Sweeney 2002; Machanavajjhala 2007):
+    treat (c_nationkey, c_mktsegment) as the quasi-identifier and
+    c_acctbal's sign bucket as the sensitive attribute. Reports, per
+    equivalence class: its size, whether it violates k=5 anonymity,
+    and its l-diversity (distinct sensitive values) — the table a
+    release-review actually needs, one groupBy, exact counts. Pairs
+    with the PII-redaction operator (q94): redact direct identifiers,
+    then verify the quasi-identifiers can't re-identify either."""
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    sensitive = F.when(F.col("c_acctbal") < 0, F.lit("negative")).otherwise(
+        F.lit("nonnegative")
+    )
+    return (
+        cust.select("c_nationkey", "c_mktsegment", sensitive.alias("_s"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            (F.count("*") < _K_ANON).alias("violates_k"),
+            F.count_distinct("_s").cast("long").alias("l_diversity"),
+        )
+    )
+
+
+ORACLE_Q166 = f"""
+SELECT c_nationkey, c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS class_size,
+  COUNT(*) < {_K_ANON} AS violates_k,
+  CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'negative'
+                           ELSE 'nonnegative' END) AS BIGINT)
+    AS l_diversity
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
 def batch26_registry() -> list[QueryDef]:
     return [
         QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
@@ -298,4 +342,6 @@ def batch26_registry() -> list[QueryDef]:
                  "item-to-item co-occurrence recommendations"),
         QueryDef("q165_attribution", q165_attribution, ORACLE_Q165,
                  "last-touch conversion attribution (as-of + cutoff)"),
+        QueryDef("q166_kanonymity", q166_kanonymity, ORACLE_Q166,
+                 "k-anonymity / l-diversity release audit"),
     ]
