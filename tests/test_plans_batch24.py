@@ -135,3 +135,23 @@ def test_bm25_multi_matches_single_query(spark):
         for r in bm25_multi_topk(docs, q, k=5).collect()
     }
     assert multi == single
+
+
+def test_bm25_query_df_guard_elides_stop_words_only(spark):
+    from postgresimporter_spark.operators.textindex import bm25_multi_topk
+
+    # 'stop' appears in every doc; 'rare' in one. With the guard at
+    # 0.5, 'stop' is elided from scoring and the rare-term ranking is
+    # unchanged; without it, 'stop' fans out to every document.
+    docs = spark.createDataFrame(
+        [(i, "stop " + ("rare" if i == 3 else "filler")) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame(
+        [(1, "stop"), (1, "rare")], ["query_id", "term"]
+    )
+    unguarded = bm25_multi_topk(docs, q, k=6)
+    assert unguarded.count() == 6  # every doc matches via 'stop'
+    guarded = bm25_multi_topk(docs, q, k=6, max_query_df_ratio=0.5)
+    rows = guarded.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 3  # only 'rare' hit
