@@ -155,3 +155,37 @@ def test_bm25_query_df_guard_elides_stop_words_only(spark):
     guarded = bm25_multi_topk(docs, q, k=6, max_query_df_ratio=0.5)
     rows = guarded.collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 3  # only 'rare' hit
+
+
+def test_plan_audit_counters(spark):
+    from pyspark.sql import Window
+
+    from postgresimporter_spark.plans.audit import plan_audit
+    from postgresimporter_spark.sources.parquet import load_tables
+
+    t = load_tables(
+        spark, "/root/testdata/sf0.001", ["nation", "region"]
+    )
+    joined = t["nation"].join(
+        t["region"],
+        t["nation"]["n_regionkey"] == t["region"]["r_regionkey"],
+    )
+    a = plan_audit(joined)
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_rowwise_python"] == 0
+    assert a["n_cartesian"] == 0
+    assert a["n_scans"] == 2
+
+    gw = t["nation"].withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("n_nationkey")),
+    )
+    bad = plan_audit(gw)
+    assert len(bad["unpartitioned_windows"]) == 1
+
+    filtered = t["nation"].where(F.col("n_nationkey") > 5).select(
+        "n_name"
+    )
+    f = plan_audit(filtered)
+    assert f["n_scans_with_pushdown"] == 1
+    assert f["n_exchanges"] == 0
