@@ -18,9 +18,10 @@ Scale notes: q155's edge build explodes adjacent pairs (stream-sized,
 not quadratic), dedups per document, and aggregates — identical cost
 shape to the shingle joins; PageRank itself is the q119 machinery
 (checkpointed degree table, one O(E) shuffle per iteration). q156/q157
-are single-aggregate pipelines. Invariant 8 applies twice here:
-``F.sequence(1, 0)`` is DESCENDING in Spark, so every generated index
-range is guarded before use.
+are single-aggregate pipelines. Invariant 8 (``F.sequence(1, 0)`` is
+DESCENDING in Spark, so generated index ranges are guarded) applies to
+q155's edge build; q156 avoids index generation entirely — its pairs
+come from zipping the token array with offset-shifted slices.
 """
 
 from __future__ import annotations
@@ -155,34 +156,27 @@ _WINDOW = 3
 def q156_window_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 unordered token pairs by co-occurrence count within a
     +/-3 token window — the GloVe/word2vec corpus statistic. The pair
-    stream is generated per row (nested array transforms, ~3 pairs per
-    token position), so the only shuffle is the final count."""
+    stream is THREE zips of the token array against its own
+    offset-shifted slice (one vectorized pass per offset, no
+    per-element element_at lambda: the nested-transform formulation
+    measured 10x slower at 10x scale — 35s -> 3.6s); the only shuffle
+    is the final count. ``slice`` with length 0 yields an empty array,
+    so short documents need no special-casing."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     t = tokens(F.col("text"))
     n = F.size(t)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pairs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                # i ranges to n-1, so i+1 <= n and the sequence ascends
-                F.sequence(i + 1, F.least(i + F.lit(_WINDOW), n)),
-                lambda j: F.struct(
-                    F.least(
-                        F.element_at(t, i), F.element_at(t, j)
-                    ).alias("src"),
-                    F.greatest(
-                        F.element_at(t, i), F.element_at(t, j)
-                    ).alias("dst"),
-                ),
-            ),
-        )
-    )
+    parts = []
+    for off in range(1, _WINDOW + 1):
+        a = F.slice(t, 1, F.greatest(n - off, F.lit(0)))
+        b = F.slice(t, off + 1, F.greatest(n - off, F.lit(0)))
+        parts.append(F.arrays_zip(a.alias("x"), b.alias("y")))
+    pairs = F.concat(*parts)
     return (
         docs.select(F.explode(pairs).alias("p"))
-        .select("p.src", "p.dst")
+        .select(
+            F.least("p.x", "p.y").alias("src"),
+            F.greatest("p.x", "p.y").alias("dst"),
+        )
         .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("n_cooc"))
         .orderBy(F.desc("n_cooc"), F.asc("src"), F.asc("dst"))
