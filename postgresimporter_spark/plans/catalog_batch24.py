@@ -45,25 +45,23 @@ _MIN_DOCS = 60  # an edge must co-occur in >= this many documents
 
 def _word_edges(docs: DataFrame) -> DataFrame:
     """Canonical (src < dst) adjacent-token edges appearing in >=
-    _MIN_DOCS distinct documents."""
+    _MIN_DOCS distinct documents. Pairs come from zipping the token
+    array with its own 1-shifted slice (the vectorized shape that made
+    q156 10x faster; ``slice`` length 0 on 1-token docs yields an
+    empty zip, no guard needed)."""
     t = tokens(F.col("text"))
     n = F.size(t)
-    # guard: sequence(1, 0) would be DESCENDING, not empty (invariant 8)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pair = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.least(F.element_at(t, i), F.element_at(t, i + 1)).alias("src"),
-            F.greatest(F.element_at(t, i), F.element_at(t, i + 1)).alias(
-                "dst"
-            ),
-        ),
+    ln = F.greatest(n - 1, F.lit(0))
+    pair = F.arrays_zip(
+        F.slice(t, 1, ln).alias("x"), F.slice(t, 2, ln).alias("y")
     )
     return (
         docs.select("doc_id", F.explode(pair).alias("p"))
-        .select("doc_id", "p.src", "p.dst")
+        .select(
+            "doc_id",
+            F.least("p.x", "p.y").alias("src"),
+            F.greatest("p.x", "p.y").alias("dst"),
+        )
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .groupBy("src", "dst")
