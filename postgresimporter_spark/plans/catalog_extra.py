@@ -99,11 +99,14 @@ def q35_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-order tiebreak. The canonical token-frequency pipeline shape."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     toks = tokens(F.col("text"))
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))
-    )
+    # zip-of-shifted-slices (the vectorized n-gram shape; see
+    # dedup.shingles) — the size>=2 filter below keeps partial grams out
+    ln = F.greatest(F.size(toks) - 1, F.lit(1))
     bigrams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")
+        F.arrays_zip(
+            F.slice(toks, 1, ln).alias("a"), F.slice(toks, 2, ln).alias("b")
+        ),
+        lambda s: F.concat_ws(" ", s["a"], s["b"]),
     )
     return (
         docs.where(F.size(toks) >= 2)
