@@ -39,9 +39,16 @@ from pyspark.sql import functions as F
 
 def _grams(text, q: int):
     """Array of character q-grams (with duplicates — the multiset) —
-    built with sequence/transform so the whole thing stays in codegen."""
+    built with sequence/transform so the whole thing stays in codegen.
+    The upper bound is clamped to >= 1: ``sequence(1, 0)`` is
+    DESCENDING in Spark (invariant 8), which used to hand a
+    string shorter than ``q`` a duplicated gram — harmless for the
+    count filter's losslessness (it only inflated candidates) but a
+    waste; a short string now contributes exactly one partial gram."""
     return F.transform(
-        F.sequence(F.lit(1), F.length(text) - (q - 1)),
+        F.sequence(
+            F.lit(1), F.greatest(F.length(text) - (q - 1), F.lit(1))
+        ),
         lambda i: text.substr(i, F.lit(q)),
     )
 

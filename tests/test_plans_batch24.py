@@ -189,3 +189,16 @@ def test_plan_audit_counters(spark):
     f = plan_audit(filtered)
     assert f["n_scans_with_pushdown"] == 1
     assert f["n_exchanges"] == 0
+
+
+def test_char_grams_short_strings_single_gram(spark):
+    from postgresimporter_spark.operators.linkage import _grams
+
+    df = spark.createDataFrame([("a",), ("ab",), ("abc",)], ["t"])
+    out = {
+        r["t"]: r["g"]
+        for r in df.select(
+            "t", _grams(F.col("t"), 2).alias("g")
+        ).collect()
+    }
+    assert out == {"a": ["a"], "ab": ["ab"], "abc": ["ab", "bc"]}
