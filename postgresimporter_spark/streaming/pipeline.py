@@ -395,6 +395,79 @@ def stream_merge_topk(
     return writer.start()
 
 
+def stream_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming last-touch attribution feed — the continuous face of
+    q165: each purchase joined (append mode, state-bounded) against the
+    same user's clicks within ``lookback`` BEFORE it.
+
+    Spark does not allow an aggregation downstream of a stream-stream
+    join in one query, so the op emits the bounded MATCH SET — every
+    (purchase, candidate click, latency) pair, at most lookback's worth
+    of clicks per purchase — and the latest-click reduction
+    (``reduce_last_touch``) runs on the consumer side: in a
+    ``foreachBatch`` sink, or as the batch report (q165) over the
+    landed matches. The time-range join condition is what lets Spark
+    size and evict both sides' state; unattributed purchases produce no
+    row (completeness lives in the batch report).
+
+    Returns (event_id, user_id, purchase_ts, click_ts, latency_sec)
+    with integer epoch-second latency.
+    """
+    p = (
+        purchases.select("event_id", key, ts_col)
+        .withWatermark(ts_col, watermark)
+        .alias("p")
+    )
+    c = (
+        clicks.select(key, ts_col)
+        .withWatermark(ts_col, watermark)
+        .alias("c")
+    )
+    cond = (
+        (F.col(f"p.{key}") == F.col(f"c.{key}"))
+        & (F.col(f"c.{ts_col}") < F.col(f"p.{ts_col}"))
+        & (
+            F.col(f"c.{ts_col}")
+            >= F.col(f"p.{ts_col}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p.event_id").alias("event_id"),
+        F.col(f"p.{key}").alias(key),
+        F.col(f"p.{ts_col}").alias("purchase_ts"),
+        F.col(f"c.{ts_col}").alias("click_ts"),
+        F.expr(
+            f"(unix_micros(p.{ts_col}) - unix_micros(c.{ts_col}))"
+            " div 1000000"
+        ).alias("latency_sec"),
+    )
+
+
+def reduce_last_touch(matches: DataFrame, key: str = "user_id") -> DataFrame:
+    """Consumer-side reduction for ``stream_attribution`` matches:
+    keep each purchase's LATEST candidate click. A plain batch
+    aggregate — run it inside a ``foreachBatch`` sink (per-flush
+    last-touch) or over the landed match table (exact, global)."""
+    return (
+        matches.groupBy("event_id", key, "purchase_ts")
+        .agg(F.max("click_ts").alias("click_ts"))
+        .withColumn(
+            "latency_sec",
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(click_ts))"
+                " div 1000000"
+            ),
+        )
+    )
+
+
 def stream_countmin(
     records: DataFrame,
     text_col: str = "text",

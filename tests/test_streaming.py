@@ -552,3 +552,48 @@ def test_stream_countmin_matches_batch(spark):
         for r in spark.table("cms_stream").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_attribution_matches_batch(spark):
+    """Streaming last-touch attribution == the batch as-of match
+    restricted to attributed purchases (the streaming op emits only
+    matches; q165's batch report covers the unattributed)."""
+    from postgresimporter_spark.operators.temporal import asof_join
+    from postgresimporter_spark.streaming.pipeline import (
+        reduce_last_touch,
+        stream_attribution,
+    )
+
+    ev = load_tables(spark, SF, ["events"])["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    m = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=[], strict=True,
+    )
+    lat = F.expr("(unix_micros(ts) - unix_micros(asof_ts)) div 1000000")
+    batch = {
+        (r["event_id"], r["asof_ts"])
+        for r in m.where(
+            F.col("asof_ts").isNotNull() & (lat <= 1800)
+        ).collect()
+    }
+
+    base = "/tmp/stream_attr_parquet"
+    purchases.write.mode("overwrite").parquet(base + "/p")
+    clicks.write.mode("overwrite").parquet(base + "/c")
+    ps = spark.readStream.schema(purchases.schema).parquet(base + "/p")
+    cs = spark.readStream.schema(clicks.schema).parquet(base + "/c")
+    out = stream_attribution(ps, cs)
+    run_to_memory(out, "attr_stream", output_mode="append")
+    # consumer-side reduction over the landed matches (foreachBatch
+    # pattern): latest candidate click per purchase == the as-of match
+    reduced = reduce_last_touch(spark.table("attr_stream"))
+    got = {
+        (r["event_id"], r["click_ts"]) for r in reduced.collect()
+    }
+    assert got == batch and len(got) > 0
