@@ -195,7 +195,100 @@ def parse_media_header(content: bytes) -> dict | None:
                 data_len * 8000 // (rate * channels * bits)
             )
         return out
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return _parse_mp4_header(b)
+    if b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+        return _parse_mp3_header(b)
     return None
+
+
+# MPEG-1 Layer III bitrates (kbps) and sample rates by header index
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                 128, 160, 192, 224, 256, 320, 0)
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def _parse_mp4_header(b: bytes) -> dict | None:
+    """REAL ISO-BMFF (MP4/MOV) container metadata: walk the top-level
+    box tree to moov/mvhd for duration+timescale and moov/trak/tkhd
+    for the presentation width/height — plain big-endian byte layout,
+    no codec involved (frame decode stays stubbed)."""
+    out: dict = {"codec": "mp4"}
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i : i + 4], "big")
+            btype = b[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return
+                size = int.from_bytes(b[i + 8 : i + 16], "big")
+                body = i + 16
+            if size < 8 or i + size > hi:
+                return
+            yield btype, body, i + size
+            i += size
+
+    for btype, lo, hi in boxes(0, len(b)):
+        if btype != b"moov":
+            continue
+        for ityp, ilo, ihi in boxes(lo, hi):
+            if ityp == b"mvhd" and ihi - ilo >= 20:
+                ver = b[ilo]
+                if ver == 1 and ihi - ilo >= 28:
+                    scale = int.from_bytes(b[ilo + 20 : ilo + 24], "big")
+                    dur = int.from_bytes(b[ilo + 24 : ilo + 32], "big")
+                else:
+                    scale = int.from_bytes(b[ilo + 12 : ilo + 16], "big")
+                    dur = int.from_bytes(b[ilo + 16 : ilo + 20], "big")
+                if scale:
+                    out["duration_ms"] = int(dur * 1000 // scale)
+            elif ityp == b"trak":
+                for ttyp, tlo, thi in boxes(ilo, ihi):
+                    if ttyp == b"tkhd" and thi - tlo >= 84:
+                        # width/height: last 8 bytes, 16.16 fixed point
+                        w = int.from_bytes(b[thi - 8 : thi - 4], "big")
+                        h = int.from_bytes(b[thi - 4 : thi], "big")
+                        if w and h:
+                            out["width"] = w >> 16
+                            out["height"] = h >> 16
+    return out
+
+
+def _parse_mp3_header(b: bytes) -> dict | None:
+    """REAL MP3 metadata: skip an ID3v2 tag if present, read the first
+    MPEG-1 Layer III frame header (bitrate + sample rate), and estimate
+    duration from the audio byte count at that bitrate — exact for CBR
+    files, the standard estimate for VBR without a Xing header."""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        # syncsafe 28-bit tag size
+        sz = (
+            (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        )
+        i = 10 + sz
+    while i + 4 <= len(b):
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            version = (b[i + 1] >> 3) & 0x3
+            layer = (b[i + 1] >> 1) & 0x3
+            if version == 3 and layer == 1:  # MPEG-1 Layer III
+                bitrate = _MP3_BITRATES[(b[i + 2] >> 4) & 0xF]
+                rate = _MP3_RATES[(b[i + 2] >> 2) & 0x3]
+                if bitrate and rate:
+                    audio_bytes = len(b) - i
+                    return {
+                        "codec": "mp3",
+                        "sample_rate": rate,
+                        "duration_ms": int(
+                            audio_bytes * 8 // bitrate
+                        ),
+                    }
+            i += 1
+        else:
+            i += 1
+    return {"codec": "mp3"}
 
 
 MEDIA_META_SCHEMA = (

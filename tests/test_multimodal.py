@@ -165,3 +165,59 @@ def test_extract_media_metadata_distributed(spark):
     assert got["b.jpg"].height == 64
     assert got["c.wav"].duration_ms == 1000 and got["c.wav"].channels == 2
     assert got["d.bin"].codec is None and got["d.bin"].n_bytes == 7
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def test_mp4_header_parse_real():
+    from postgresimporter_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    # mvhd v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + (600).to_bytes(4, "big") + (3000).to_bytes(4, "big")
+        + b"\x00" * 80,
+    )
+    # tkhd: 84-byte v0 body; width/height are the LAST 8 bytes (16.16)
+    tkhd_body = b"\x00" * 76 + (640 << 16).to_bytes(4, "big") + (
+        360 << 16
+    ).to_bytes(4, "big")
+    trak = _box(b"trak", _box(b"tkhd", tkhd_body))
+    moov = _box(b"moov", mvhd + trak)
+    mp4 = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    meta = parse_media_header(mp4)
+    assert meta["codec"] == "mp4"
+    assert meta["duration_ms"] == 5000  # 3000 ticks at timescale 600
+    assert meta["width"] == 640 and meta["height"] == 360
+
+
+def test_mp3_header_parse_real():
+    from postgresimporter_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    # ID3v2 tag (10 bytes header + 20-byte body), then an MPEG-1
+    # Layer III frame header: 0xFF 0xFB = MPEG-1 L3; 0x90 = 128 kbps
+    # + 44100 Hz
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    frame = b"\xff\xfb\x90\x00"
+    audio = frame + b"\x00" * (16000 - 4)  # 16000 audio bytes
+    meta = parse_media_header(id3 + audio)
+    assert meta["codec"] == "mp3"
+    assert meta["sample_rate"] == 44100
+    assert meta["duration_ms"] == 16000 * 8 // 128  # = 1000 ms
+
+
+def test_mp4_truncated_returns_codec_only():
+    from postgresimporter_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    junk = _box(b"ftyp", b"isom") + b"\x00\x00\x00\xff"  # bogus tail
+    meta = parse_media_header(junk)
+    assert meta == {"codec": "mp4"}
