@@ -138,6 +138,7 @@ def interval_join(
     end_col: str,
     granularity_s: int,
     broadcast_intervals: bool = False,
+    key_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Join each point row to every interval row whose half-open range
     ``[start, end)`` contains the point's timestamp.
@@ -152,6 +153,13 @@ def interval_join(
     ``broadcast_intervals=True`` hints the exploded interval side as a
     broadcast build (right when intervals are metadata-scale, e.g. an
     incident or maintenance-window table).
+
+    ``key_cols`` (same names on both sides) join as additional
+    equi-keys ALONGSIDE the bucket — the per-entity variant (user
+    sessions, device windows): candidates are per (key, bucket), so a
+    busy global time bucket no longer crosses entities. This is the
+    shape to use whenever the interval semantics are keyed; the keyed
+    join also spreads the shuffle across the key space.
     """
     bucket = (F.unix_micros(F.col(point_ts).cast("timestamp")) / F.lit(1_000_000)).cast(
         "long"
@@ -179,7 +187,7 @@ def interval_join(
     if broadcast_intervals:
         iv = F.broadcast(iv)
     return (
-        p.join(iv, on="_bucket")
+        p.join(iv, on=[*key_cols, "_bucket"])
         .where(
             (F.col(point_ts) >= F.col(start_col))
             & (F.col(point_ts) < F.col(end_col))

@@ -333,6 +333,69 @@ FROM customer GROUP BY c_nationkey, c_mktsegment
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q167: multi-touch (linear-credit) attribution
+# ---------------------------------------------------------------------------
+
+
+def q167_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 30 minutes
+    before a purchase shares the conversion credit equally (credit in
+    integer micro-units, 1e6 div n_touches per click — deterministic,
+    no float division). The keyed bucketed interval join
+    (``temporal.interval_join`` with ``key_cols``) generates candidates
+    per (user, 30-minute bucket), so a busy global bucket never crosses
+    users. Complements q165's last-touch report."""
+    from ..operators.temporal import interval_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    matched = interval_join(
+        clicks, purchases, point_ts="ts", start_col="w_start",
+        end_col="w_end", granularity_s=1800, key_cols=["user_id"],
+    )
+    per_purchase = matched.groupBy("event_id", "day").agg(
+        F.count("*").alias("n_touches")
+    )
+    credit = F.col("n_touches") * F.expr("1000000 div n_touches")
+    return per_purchase.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_touched"),
+        F.sum("n_touches").cast("long").alias("total_touches"),
+        F.sum(credit).cast("long").alias("total_credit_micro"),
+    )
+
+
+ORACLE_Q167 = """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.event_id, p.day, COUNT(*) AS n_touches
+  FROM p JOIN c ON p.user_id = c.user_id
+    AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+  GROUP BY 1, 2)
+SELECT day,
+  CAST(COUNT(*) AS BIGINT) AS n_touched,
+  CAST(SUM(n_touches) AS BIGINT) AS total_touches,
+  CAST(SUM(n_touches * (1000000 // n_touches)) AS BIGINT)
+    AS total_credit_micro
+FROM m GROUP BY day
+"""
+
+
 def batch26_registry() -> list[QueryDef]:
     return [
         QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
@@ -344,4 +407,6 @@ def batch26_registry() -> list[QueryDef]:
                  "last-touch conversion attribution (as-of + cutoff)"),
         QueryDef("q166_kanonymity", q166_kanonymity, ORACLE_Q166,
                  "k-anonymity / l-diversity release audit"),
+        QueryDef("q167_multitouch", q167_multitouch, ORACLE_Q167,
+                 "linear multi-touch attribution (keyed interval join)"),
     ]
