@@ -396,6 +396,56 @@ FROM m GROUP BY day
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q168: spatial radius self-join (grid-bucketed)
+# ---------------------------------------------------------------------------
+
+_R = 50
+_GRID = 1000
+
+
+def q168_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs of error events within Euclidean distance 50 on a
+    synthetic integer 1000x1000 plane (md5-derived coordinates — the
+    derivation is part of the query and mirrored in the oracle). The
+    grid-cell candidate join (``operators/spatial.py``) makes this the
+    spatial member of the bucketed-candidate family: cost tracks
+    points-per-cell density, never |points|^2."""
+    from ..operators.dedup import hash_bucket
+    from ..operators.spatial import radius_pairs
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    pts = ev.where(
+        (F.col("event_type") == "error") & (F.col("event_id") < 4000)
+    ).select(
+        "event_id",
+        hash_bucket(F.col("event_id").cast("string"), _GRID).alias("x"),
+        hash_bucket(
+            F.concat(F.lit("y:"), F.col("event_id").cast("string")), _GRID
+        ).alias("y"),
+    )
+    return radius_pairs(pts, "x", "y", "event_id", radius=_R)
+
+
+ORACLE_Q168 = f"""
+WITH pts AS (
+  SELECT event_id,
+    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+      % {_GRID} AS x,
+    ('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+      % {_GRID} AS y
+  FROM events WHERE event_type = 'error' AND event_id < 4000)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+    AS dist_sq
+FROM pts a JOIN pts b ON a.event_id < b.event_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_R * _R}
+"""
+
+
 def batch26_registry() -> list[QueryDef]:
     return [
         QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
@@ -409,4 +459,6 @@ def batch26_registry() -> list[QueryDef]:
                  "k-anonymity / l-diversity release audit"),
         QueryDef("q167_multitouch", q167_multitouch, ORACLE_Q167,
                  "linear multi-touch attribution (keyed interval join)"),
+        QueryDef("q168_radius_pairs", q168_radius_pairs, ORACLE_Q168,
+                 "spatial radius self-join via grid-cell candidates"),
     ]

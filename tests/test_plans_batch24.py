@@ -202,3 +202,41 @@ def test_char_grams_short_strings_single_gram(spark):
         ).collect()
     }
     assert out == {"a": ["a"], "ab": ["ab"], "abc": ["ab", "bc"]}
+
+
+def test_radius_pairs_boundary_and_exactly_once(spark):
+    from postgresimporter_spark.operators.spatial import radius_pairs
+
+    # pairs straddling a cell boundary (x=49 vs x=51) must be found;
+    # a co-located pair must appear exactly once despite 9 shared
+    # neighbor cells; just-outside pairs must not appear
+    df = spark.createDataFrame(
+        [
+            (1, 49, 10),
+            (2, 51, 10),     # dist 2 from id 1, adjacent cells
+            (3, 49, 10),     # co-located with 1
+            (4, 102, 10),    # dist 51 from id 2 -> excluded (r=50)
+            (5, 300, 300),   # isolated
+        ],
+        ["pid", "x", "y"],
+    )
+    rows = radius_pairs(df, "x", "y", "pid", radius=50).collect()
+    pairs = sorted((r["id_a"], r["id_b"]) for r in rows)
+    assert pairs == [(1, 2), (1, 3), (2, 3)]
+    assert len(pairs) == len(set(pairs))  # exactly once each
+
+
+def test_radius_pairs_exact_distance_cut(spark):
+    from postgresimporter_spark.operators.spatial import radius_pairs
+
+    # 3-4-5 triangle: distance exactly 50 at (30, 40) offset -> kept
+    # (<=); one unit farther -> dropped
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 30, 40), (3, 30, 41)], ["pid", "x", "y"]
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["dist_sq"]
+        for r in radius_pairs(df, "x", "y", "pid", radius=50).collect()
+    }
+    assert rows[(1, 2)] == 2500
+    assert (1, 3) not in rows
