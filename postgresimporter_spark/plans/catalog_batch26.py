@@ -446,6 +446,96 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q169: entity resolution -> golden record (composition)
+# ---------------------------------------------------------------------------
+
+
+def q169_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MDM golden-record pipeline end-to-end: fuzzy-match records
+    (q-gram-filtered Levenshtein join), cluster matches (connected
+    components), elect the minimum id per cluster as the golden
+    record. Record identities are synthesized DISTINCT (segment +
+    md5-prefix — two random prefixes are never within edit distance 2)
+    and every third record gets a one-character-typo clone, so the
+    ONLY links are the planted duplicates and the expected output is
+    exactly one 2-record cluster per clone; TPC-H's sequential names
+    would otherwise chain the whole table into one component."""
+    from ..operators.components import connected_components
+    from ..operators.linkage import edit_distance_pairs
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    sub = cust.where(F.col("c_custkey") <= 200)
+    base = sub.select(
+        F.col("c_custkey").cast("long").alias("rid"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"),
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+        ).alias("name"),
+    )
+    clones = sub.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 100000).cast("long").alias("rid"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"),
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 7),
+            F.lit("z"),
+        ).alias("name"),
+    )
+    recs = base.unionByName(clones)
+    pairs = edit_distance_pairs(
+        recs, id_col="rid", text_col="name", max_dist=2
+    )
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.min("id").alias("golden_id"),
+            F.max("id").alias("max_id"),
+        )
+        .select(
+            F.col("component").cast("long").alias("component"),
+            "cluster_size",
+            F.col("golden_id").cast("long").alias("golden_id"),
+            F.col("max_id").cast("long").alias("max_id"),
+        )
+    )
+
+
+ORACLE_Q169 = """
+WITH RECURSIVE recs AS (
+  SELECT CAST(c_custkey AS BIGINT) AS rid,
+         c_mktsegment || '#'
+           || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS name
+  FROM customer WHERE c_custkey <= 200
+  UNION ALL
+  SELECT CAST(c_custkey + 100000 AS BIGINT) AS rid,
+         c_mktsegment || '#'
+           || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 7) || 'z' AS name
+  FROM customer WHERE c_custkey <= 200 AND c_custkey % 3 = 0),
+pairs AS (
+  SELECT a.rid AS id_a, b.rid AS id_b
+  FROM recs a JOIN recs b ON a.rid < b.rid
+  WHERE levenshtein(a.name, b.name) <= 2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+labels AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(MIN(id) AS BIGINT) AS golden_id,
+       CAST(MAX(id) AS BIGINT) AS max_id
+FROM labels GROUP BY component
+"""
+
+
 def batch26_registry() -> list[QueryDef]:
     return [
         QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
@@ -461,4 +551,7 @@ def batch26_registry() -> list[QueryDef]:
                  "linear multi-touch attribution (keyed interval join)"),
         QueryDef("q168_radius_pairs", q168_radius_pairs, ORACLE_Q168,
                  "spatial radius self-join via grid-cell candidates"),
+        QueryDef("q169_entity_resolution", q169_entity_resolution,
+                 ORACLE_Q169,
+                 "fuzzy match -> components -> golden record (MDM)"),
     ]
