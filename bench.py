@@ -138,6 +138,19 @@ def _ensure_sf1(spark, base_dir: str) -> str | None:
             "documents",
         )
         write(scaled(read("embeddings"), "vec_id", 1_000_000), "embeddings")
+        # events scale on the USER axis (10x users, same per-user
+        # activity and time span — the realistic traffic scale-up)
+        write(
+            scaled(
+                read("events"),
+                "event_id",
+                10_000_000,
+                mark=lambda d, i: d.withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * 1000)
+                ),
+            ),
+            "events",
+        )
         done.touch()
         return str(out)
     except Exception as e:  # bench must still emit its JSON line
