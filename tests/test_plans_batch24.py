@@ -240,3 +240,23 @@ def test_radius_pairs_exact_distance_cut(spark):
     }
     assert rows[(1, 2)] == 2500
     assert (1, 3) not in rows
+
+
+def test_scan_details_lineage(spark):
+    from postgresimporter_spark.plans.audit import scan_details
+    from postgresimporter_spark.sources.parquet import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ["lineitem"])
+    q = (
+        t["lineitem"]
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    scans = scan_details(q)
+    assert len(scans) == 1
+    s = scans[0]
+    assert s["format"].lower() == "parquet"
+    assert "lineitem" in s["location"]
+    # projection pruning reflected: only the touched columns
+    assert set(s["columns"]) == {"l_orderkey", "l_quantity"}
+    assert any("l_quantity" in f for f in s["pushed_filters"])
