@@ -139,14 +139,16 @@ def _ensure_sf1(spark, base_dir: str) -> str | None:
         )
         write(scaled(read("embeddings"), "vec_id", 1_000_000), "embeddings")
         # events scale on the USER axis (10x users, same per-user
-        # activity and time span — the realistic traffic scale-up)
+        # activity and time span — the realistic traffic scale-up).
+        # user shift 10_000 > max(user_id): copies must NOT overlap on
+        # users, or 'same per-user activity' silently becomes false
         write(
             scaled(
                 read("events"),
                 "event_id",
                 10_000_000,
                 mark=lambda d, i: d.withColumn(
-                    "user_id", F.col("user_id") + F.lit(i * 1000)
+                    "user_id", F.col("user_id") + F.lit(i * 10_000)
                 ),
             ),
             "events",

@@ -709,6 +709,48 @@ __all__ = [
 ]
 
 
+def _ranked_prefix(
+    df: DataFrame,
+    threshold_pct: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+):
+    """Shared PPJoin prefix builder: the checkpointed (id, shingles)
+    table and its rarest-first prefix rows (id, n_sh, shingle). Both
+    ``prefix_jaccard_pairs`` and the ``prefix_candidate_count`` audit
+    hook call this, so the prefix math (ceil formula, (df_cnt,
+    shingle) canonical order) exists exactly once."""
+    # checkpoint the narrow shingle table BEFORE fan-out (invariant 7):
+    # frequency aggregate, prefix ranking, and the verify join all read
+    # it — without this, projection collapse re-runs the shingle build
+    # once per consumer
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).localCheckpoint(eager=False)
+    exploded = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    freq = exploded.groupBy("shingle").agg(
+        F.count("*").alias("df_cnt")
+    )
+    w = Window.partitionBy("id").orderBy("df_cnt", "shingle")
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"({int(threshold_pct)} * n_sh + 99) div 100")
+        + 1
+    )
+    ranked = (
+        exploded.join(F.broadcast(freq), on="shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= prefix_len)
+        .select("id", "n_sh", "shingle")
+    )
+    return sh, ranked
+
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     threshold_pct: int = 80,
@@ -745,31 +787,8 @@ def prefix_jaccard_pairs(
     Integer prefix math (engine-portable): ceil(t*len) =
     (t_pct*len + 99) div 100.
     """
-    # checkpoint the narrow shingle table BEFORE fan-out (invariant 7):
-    # frequency aggregate, prefix ranking, and the verify join all read
-    # it — without this, projection collapse re-runs the shingle build
-    # once per consumer
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).localCheckpoint(eager=False)
-    exploded = sh.select(
-        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
-    freq = exploded.groupBy("shingle").agg(
-        F.count("*").alias("df_cnt")
-    )
-    w = Window.partitionBy("id").orderBy("df_cnt", "shingle")
-    prefix_len = (
-        F.col("n_sh")
-        - F.expr(f"({int(threshold_pct)} * n_sh + 99) div 100")
-        + 1
-    )
-    ranked = (
-        exploded.join(F.broadcast(freq), on="shingle")
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= prefix_len)
-        .select("id", "n_sh", "shingle")
+    sh, ranked = _ranked_prefix(
+        _spread(df), threshold_pct, n, text_col, id_col
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     cand = (
@@ -819,26 +838,9 @@ def prefix_candidate_count(
 ) -> tuple[int, int]:
     """(prefix-filtered candidates, full-join candidates) — the
     efficiency audit for ``prefix_jaccard_pairs`` (test hook)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    )
-    exploded = sh.select(
-        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
-    freq = exploded.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
-    w = Window.partitionBy("id").orderBy("df_cnt", "shingle")
-    prefix_len = (
-        F.col("n_sh")
-        - F.expr(f"({int(threshold_pct)} * n_sh + 99) div 100")
-        + 1
-    )
-    ranked = (
-        exploded.join(F.broadcast(freq), on="shingle")
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= prefix_len)
-        .select("id", "shingle")
-    )
+    sh, ranked_full = _ranked_prefix(df, threshold_pct, n, text_col, id_col)
+    ranked = ranked_full.select("id", "shingle")
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
 
     def _pairs(e: DataFrame) -> int:
         x, y = e.alias("x"), e.alias("y")

@@ -278,8 +278,9 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     them) and shares the graph tier's Pregel-as-joins layout: per
     iteration one O(E) join of the edge list against the O(V) label
     table, a (node, label) vote count, and a deterministic argmax —
-    expressed as ``max(struct(cnt, -label))`` so it stays a hash
-    aggregate (no per-node window). ``localCheckpoint`` per round caps
+    expressed as ``min(struct(-cnt, label))`` so it stays a hash
+    aggregate (no per-node window) and works for any orderable node
+    type. ``localCheckpoint`` per round caps
     lineage (invariant 6).
 
     Returns (node, label) after ``iterations`` synchronous rounds.
@@ -288,29 +289,39 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
+    # labels keep the node's NATIVE type (string word graphs, long item
+    # graphs alike): the earlier cast('long') silently nulled every
+    # label on non-numeric ids. The argmax is min(struct(-cnt, label)):
+    # smallest -cnt = largest vote, then smallest label — orderable for
+    # any comparable label type, still a hash aggregate.
     labels = sym.select("src").distinct().select(
-        F.col("src").alias("node"),
-        F.col("src").cast("long").alias("label"),
+        F.col("src").alias("node"), F.col("src").alias("label")
     )
     for _ in range(iterations):
+        # the node's own current label votes too: pure neighbor voting
+        # oscillates on bipartite-ish structures (the classic
+        # synchronous-LPA 2-coloring flip on paths/stars); the
+        # self-vote is the standard damping that keeps the update a
+        # deterministic hash aggregate
         msgs = sym.join(
             labels, sym["src"] == labels["node"]
-        ).select(F.col("dst").alias("node"), "label")
+        ).select(F.col("dst").alias("node"), "label").unionAll(
+            labels.select("node", "label")
+        )
         votes = msgs.groupBy("node", "label").agg(
             F.count("*").alias("cnt")
         )
         labels = (
             votes.groupBy("node")
             .agg(
-                F.max(
+                F.min(
                     F.struct(
-                        F.col("cnt"), (-F.col("label")).alias("nl")
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("label").alias("l"),
                     )
                 ).alias("m")
             )
-            .select(
-                "node", (-F.col("m.nl")).cast("long").alias("label")
-            )
+            .select("node", F.col("m.l").alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels

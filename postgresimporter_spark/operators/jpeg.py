@@ -142,7 +142,18 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(content: bytes) -> np.ndarray:
     """Baseline-JPEG bytes -> uint8 array (h, w) grayscale or
-    (h, w, 3) RGB. Raises ValueError on non-baseline variants."""
+    (h, w, 3) RGB. Raises ValueError on non-baseline variants AND on
+    malformed/truncated streams: low-level Index/KeyErrors from a
+    corrupt byte layout are normalized here so the multimodal dispatch
+    boundary (catch ValueError -> deterministic stub) holds for
+    arbitrary bytes, not just well-formed-but-unsupported ones."""
+    try:
+        return _decode_jpeg_raw(content)
+    except (IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"jpeg: malformed stream ({e!r})") from e
+
+
+def _decode_jpeg_raw(content: bytes) -> np.ndarray:
     b = content or b""
     if b[:3] != JPEG_MAGIC[:3] or b[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad signature")
@@ -406,6 +417,12 @@ def encode_jpeg(
     many MCUs — together these pin the decoder's chroma-upsampling and
     restart paths, not just the 4:4:4 happy path."""
     px = np.asarray(px, dtype=np.float64)
+    if px.shape[0] < 1 or px.shape[1] < 1:
+        raise ValueError("jpeg: empty image")
+    if px.shape[0] > 65535 or px.shape[1] > 65535:
+        # SOF dimensions are 16-bit; fail as ValueError so the resize
+        # dispatch boundary (catch ValueError -> stub) holds
+        raise ValueError("jpeg: dimensions exceed 65535")
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:

@@ -237,7 +237,7 @@ def _parse_mp4_header(b: bytes) -> dict | None:
         for ityp, ilo, ihi in boxes(lo, hi):
             if ityp == b"mvhd" and ihi - ilo >= 20:
                 ver = b[ilo]
-                if ver == 1 and ihi - ilo >= 28:
+                if ver == 1 and ihi - ilo >= 32:
                     scale = int.from_bytes(b[ilo + 20 : ilo + 24], "big")
                     dur = int.from_bytes(b[ilo + 24 : ilo + 32], "big")
                 else:
@@ -269,7 +269,11 @@ def _parse_mp3_header(b: bytes) -> dict | None:
             (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
         )
         i = 10 + sz
-    while i + 4 <= len(b):
+    # bound the sync scan: a real frame header sits at the start of
+    # the audio data; scanning a whole corrupt blob would be an
+    # O(file) pure-Python loop per row inside the Arrow mapper
+    limit = min(len(b), i + 65536)
+    while i + 4 <= limit:
         if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
             version = (b[i + 1] >> 3) & 0x3
             layer = (b[i + 1] >> 1) & 0x3

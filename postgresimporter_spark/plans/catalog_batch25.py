@@ -49,22 +49,17 @@ def q160_countmin_heavy_hitters(
     """Exact top-10 corpus tokens with their count-min estimates: the
     grid is one aggregate over the token stream; probing joins the
     (row, bucket) cells (a 1024-row broadcast) and takes the min."""
+    from ..streaming.pipeline import stream_countmin
+
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
 
-    rows = F.explode(
-        F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
-    ).alias("r")
-    keyed = tok.select("token", rows).select(
-        "token",
-        "r",
-        hash_bucket(
-            F.concat(F.col("r").cast("string"), F.lit(":"), F.col("token")),
-            _CMS_WIDTH,
-        ).alias("bucket"),
-    )
-    cells = keyed.groupBy("r", "bucket").agg(
-        F.count("*").cast("long").alias("cell_cnt")
+    # the grid is the SAME operator the streaming tier maintains
+    # (stream_countmin works identically on a batch DataFrame) — one
+    # cell layout, maintained in one place, so the stream==batch test
+    # and this oracle pin the same bytes
+    cells = stream_countmin(
+        docs.select("text"), depth=_CMS_DEPTH, width=_CMS_WIDTH
     )
 
     top = (
@@ -243,10 +238,17 @@ def q162_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_q162() -> str:
     from .catalog_batch18 import _EDGES_SQL
 
+    # each round's votes = neighbor labels + the node's OWN label (the
+    # self-vote that damps synchronous-LPA oscillation; mirrors
+    # graph.label_propagation exactly)
     step = """
 v{i} AS (
-  SELECT s.dst AS node, l.label, COUNT(*) AS cnt
-  FROM sym s JOIN l{p} l ON s.src = l.node GROUP BY s.dst, l.label),
+  SELECT node, label, COUNT(*) AS cnt FROM (
+    SELECT s.dst AS node, l.label
+    FROM sym s JOIN l{p} l ON s.src = l.node
+    UNION ALL
+    SELECT node, label FROM l{p}
+  ) GROUP BY node, label),
 l{i} AS (
   SELECT node, label FROM (
     SELECT node, label,

@@ -131,3 +131,23 @@ def test_label_propagation_tie_breaks_to_smallest(spark):
         for r in label_propagation(edges, iterations=1).collect()
     }
     assert labels[2] == 1
+
+
+def test_label_propagation_string_nodes(spark):
+    from postgresimporter_spark.operators.graph import label_propagation
+
+    # string ids must keep their native labels (a cast-to-long here
+    # once nulled every label silently)
+    edges = spark.createDataFrame(
+        [("apple", "avocado"), ("avocado", "apricot"),
+         ("banana", "blueberry")],
+        ["src", "dst"],
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert None not in labels.values()
+    assert labels["apple"] == labels["avocado"] == labels["apricot"]
+    assert labels["banana"] == labels["blueberry"]
+    assert labels["apple"] != labels["banana"]
