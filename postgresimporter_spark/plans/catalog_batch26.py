@@ -536,6 +536,62 @@ FROM labels GROUP BY component
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q170: per-source score calibration (robust z-normalization)
+# ---------------------------------------------------------------------------
+
+
+def q170_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: a quality score (here doc
+    length) is only comparable across sources after per-source
+    normalization — compute each source's median and IQR (exact
+    percentiles, q100's machinery) and keep documents whose robust
+    z-score |(s - p50) / IQR| <= 1.5 under ONE global threshold. The
+    comparison runs on unrounded doubles (identical IEEE inputs both
+    engines); only the reported stats are rounded."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    scored = docs.select("doc_id", "source", F.col("n_chars").alias("s"))
+    stats = scored.groupBy("source").agg(
+        F.percentile("s", 0.25).alias("_p25"),
+        F.percentile("s", 0.5).alias("_p50"),
+        F.percentile("s", 0.75).alias("_p75"),
+    )
+    joined = scored.join(F.broadcast(stats), on="source")
+    z = (F.col("s") - F.col("_p50")) / (F.col("_p75") - F.col("_p25"))
+    keep = F.abs(z) <= 1.5
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.round(F.first("_p50"), 6).alias("p50"),
+            F.round(F.first("_p75") - F.first("_p25"), 6).alias("iqr"),
+        )
+    )
+
+
+ORACLE_Q170 = """
+WITH scored AS (
+  SELECT doc_id, source, n_chars AS s FROM documents),
+stats AS (
+  SELECT source,
+         quantile_cont(s, 0.25) AS p25,
+         quantile_cont(s, 0.5) AS p50,
+         quantile_cont(s, 0.75) AS p75
+  FROM scored GROUP BY source)
+SELECT sc.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN abs((sc.s - st.p50) / (st.p75 - st.p25)) <= 1.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  round(any_value(st.p50), 6) AS p50,
+  round(any_value(st.p75) - any_value(st.p25), 6) AS iqr
+FROM scored sc JOIN stats st USING (source)
+GROUP BY sc.source
+"""
+
+
 def batch26_registry() -> list[QueryDef]:
     return [
         QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
@@ -554,4 +610,7 @@ def batch26_registry() -> list[QueryDef]:
         QueryDef("q169_entity_resolution", q169_entity_resolution,
                  ORACLE_Q169,
                  "fuzzy match -> components -> golden record (MDM)"),
+        QueryDef("q170_score_calibration", q170_score_calibration,
+                 ORACLE_Q170,
+                 "per-source robust z-calibration (exact percentiles)"),
     ]
