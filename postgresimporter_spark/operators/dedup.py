@@ -745,7 +745,7 @@ def _ranked_prefix(
         exploded.join(F.broadcast(freq), on="shingle")
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= prefix_len)
-        .select("id", "n_sh", "shingle")
+        .select("id", "n_sh", "shingle", "_rk")
     )
     return sh, ranked
 
@@ -791,7 +791,13 @@ def prefix_jaccard_pairs(
         _spread(df), threshold_pct, n, text_col, id_col
     )
     a, b = ranked.alias("a"), ranked.alias("b")
-    cand = (
+    # positional filter (PPJoin's second lossless prune, Xiao et al.
+    # 2008): a shared prefix token at canonical positions (rk_a, rk_b)
+    # bounds the possible overlap by 1 + min(n_a - rk_a, n_b - rk_b);
+    # J >= t needs overlap >= ceil(t/(1+t) * (n_a + n_b)). Keep a pair
+    # only if its BEST shared prefix position can still reach that —
+    # all-integer ceil: (t*(na+nb) + (100+t) - 1) div (100+t).
+    matched = (
         a.join(b, on="shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .select(
@@ -799,8 +805,22 @@ def prefix_jaccard_pairs(
             F.col("b.id").alias("id_b"),
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n_sh") - F.col("a._rk"),
+                    F.col("b.n_sh") - F.col("b._rk"),
+                )
+            ).alias("_ub"),
         )
-        .distinct()
+    )
+    t = int(threshold_pct)
+    alpha = F.expr(f"({t} * (n_a + n_b) + {100 + t} - 1) div {100 + t}")
+    cand = (
+        matched.groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.max("_ub").alias("_best_ub"))
+        .where(F.col("_best_ub") >= alpha)
+        .drop("_best_ub")
     )
     # size filter: |B| >= t|A| is necessary for J >= t (cheap prune
     # before the verify join)
