@@ -107,3 +107,18 @@ def test_recipe_minhash_dedup_keeps_cluster_minimum(spark):
         ).collect()
     )
     assert out == [1, 3]  # 2 lost to 1; 3 untouched
+
+
+def test_query_cli_name_resolution(spark, capsys):
+    from postgresimporter_spark.query import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "q170" in out
+
+    assert main(["q23", "--sf", SF]) == 0
+    assert "lineitem" in capsys.readouterr().out
+
+    assert main(["q2"]) == 1  # ambiguous prefix
+    assert "ambiguous" in capsys.readouterr().err
+    assert main(["zzz"]) == 1
