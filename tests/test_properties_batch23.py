@@ -110,3 +110,36 @@ def test_token_shards_laws(spark, sizes, budget):
     for r in rows:
         assert shard_of[r["first_doc"]] == r["shard_id"]
         assert shard_of[r["last_doc"]] == r["shard_id"]
+
+
+points = st.lists(
+    st.tuples(
+        st.integers(min_value=-80, max_value=200),
+        st.integers(min_value=-80, max_value=200),
+    ),
+    min_size=2,
+    max_size=14,
+    unique=True,
+)
+
+
+@SETTINGS
+@given(points)
+def test_radius_pairs_equal_brute_force(spark, pts):
+    from postgresimporter_spark.operators.spatial import radius_pairs
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], ["pid", "x", "y"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_sq"]
+        for r in radius_pairs(df, "x", "y", "pid", radius=50).collect()
+    }
+    want = {}
+    for i, (xa, ya) in enumerate(pts):
+        for j, (xb, yb) in enumerate(pts):
+            if i < j:
+                d = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d <= 2500:
+                    want[(i, j)] = d
+    assert got == want
