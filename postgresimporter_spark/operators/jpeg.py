@@ -2,23 +2,29 @@
 without media libraries — stdlib + numpy only.
 
 Completes the library-free media-decode tier (PNG: ``png.py``, GIF:
-``gif.py``, PCM WAV: ``multimodal.audio_decode``): baseline sequential
-DCT JPEG (SOF0) is markers + Huffman entropy coding + dequantization +
-IDCT + chroma upsampling + YCbCr->RGB, all implementable directly from
-the public ITU-T T.81 spec. Supported: 8-bit baseline, grayscale or
-3-component YCbCr, any sampling factors that divide the max (4:4:4,
-4:2:0, 4:2:2, ...), restart intervals. NOT supported (raises
-ValueError -> dispatch falls back to the deterministic stub, same
-honest boundary as png.py): progressive (SOF2), arithmetic coding,
-12-bit, hierarchical.
+``gif.py``, PCM WAV: ``multimodal.audio_decode``): DCT JPEG is markers
++ Huffman entropy coding + dequantization + IDCT + chroma upsampling +
+YCbCr->RGB, all implementable directly from the public ITU-T T.81
+spec. Supported: 8-bit BASELINE (SOF0 — grayscale or 3-component
+YCbCr, any sampling factors dividing the max, restart intervals) AND
+8-bit PROGRESSIVE (SOF2, Annex G — multi-scan coefficient
+accumulation with spectral selection, successive approximation for DC
+and AC including the interleaved correction-bit model of figure G.7,
+and EOB runs). NOT supported (raises ValueError -> dispatch falls
+back to the deterministic stub): extended sequential (SOF1),
+arithmetic coding, 12-bit, hierarchical.
 
-The encoder exists so tests can build fixtures and pin a decode ->
-encode -> decode roundtrip without any external codec. It declares its
-OWN Huffman tables in the DHT segment (12 DC categories at code length
-4; all 162 AC symbols at length 8 — uniform-length canonical codes are
-valid prefix codes and keep the table an obvious, auditable literal);
-any conformant decoder, including this one, reads whatever tables the
-file declares, so nothing depends on the spec's example tables.
+TWO encoders exist so tests can build fixtures and pin roundtrips
+without any external codec: ``encode_jpeg`` (baseline) and
+``encode_jpeg_progressive`` (SOF2, DC-first/DC-refine/AC-first/
+AC-refine scan script). Both quantize identically, so progressive
+decode of the progressive stream must be BYTE-IDENTICAL to baseline
+decode of the baseline stream — the cross-codec identity the tests
+enforce on random images. The declared Huffman tables are uniform
+length (12 DC categories at length 4; all 176 AC symbols — including
+the 16 EOBn/ZRL run codes — at length 8): valid canonical prefix
+codes, auditable as literals; any conformant decoder reads whatever
+tables the file declares.
 
 Scale posture: decoding is per-row work inside the Arrow-batched
 ``mapInPandas`` media mappers (``multimodal.py``) — no shuffle, memory
@@ -149,7 +155,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     arbitrary bytes, not just well-formed-but-unsupported ones."""
     try:
         return _decode_jpeg_raw(content)
-    except (IndexError, KeyError, OverflowError) as e:
+    except (IndexError, KeyError, OverflowError, StopIteration) as e:
         raise ValueError(f"jpeg: malformed stream ({e!r})") from e
 
 
@@ -163,6 +169,8 @@ def _decode_jpeg_raw(content: bytes) -> np.ndarray:
     comps: list[dict] = []
     W = H = 0
     restart = 0
+    progressive = False
+    allocated = False
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -195,9 +203,10 @@ def _decode_jpeg_raw(content: bytes) -> np.ndarray:
                     _canonical_codes(counts, syms)
                 )
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if body[0] != 8:
-                raise ValueError("jpeg: only 8-bit baseline")
+                raise ValueError("jpeg: only 8-bit precision")
             H = int.from_bytes(body[1:3], "big")
             W = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -207,29 +216,43 @@ def _decode_jpeg_raw(content: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: non-baseline SOF unsupported")
+            raise ValueError("jpeg: unsupported SOF variant")
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS: entropy data follows
+            if not comps or W == 0 or H == 0:
+                raise ValueError("jpeg: missing SOF")
+            if not allocated:
+                _alloc_coefs(comps, W, H)
+                allocated = True
             ns = body[0]
+            scan_comps = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 for comp in comps:
                     if comp["id"] == cid:
                         comp["td"] = tabs >> 4
                         comp["ta"] = tabs & 0xF
-            return _decode_scan(
-                b, i + 2 + seg, comps, qt, huff_dc, huff_ac, W, H, restart
+                        scan_comps.append(comp)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            i = _decode_scan(
+                b, i + 2 + seg, comps, scan_comps, huff_dc, huff_ac,
+                W, H, restart, ss, se, ah, al,
             )
+            continue
         i += 2 + seg
-    raise ValueError("jpeg: no SOS marker")
+    if not allocated:
+        raise ValueError("jpeg: no SOS marker")
+    return _finish(comps, qt, W, H)
 
 
-def _decode_scan(b, pos, comps, qt, huff_dc, huff_ac, W, H, restart):
-    if not comps or W == 0 or H == 0:
-        raise ValueError("jpeg: missing SOF")
+def _alloc_coefs(comps, W, H):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcx = -(-W // (8 * hmax))
@@ -237,12 +260,51 @@ def _decode_scan(b, pos, comps, qt, huff_dc, huff_ac, W, H, restart):
     for c in comps:
         if hmax % c["h"] or vmax % c["v"]:
             raise ValueError("jpeg: non-integer sampling ratio")
-        c["coef"] = np.zeros((mcy * c["v"], mcx * c["h"], 64))
+        # int64 coefficient state: successive-approximation refinement
+        # uses two's-complement bit ops (|, arithmetic >>), which numpy
+        # int arrays implement exactly like the spec's integer model
+        c["coef"] = np.zeros((mcy * c["v"], mcx * c["h"], 64), dtype=np.int64)
+        c["pred"] = 0
+        # the component's OWN block grid (non-interleaved scans cover
+        # exactly this, NOT the MCU-padded grid)
+        c["bw"] = -(-(W * c["h"]) // (hmax * 8))
+        c["bh"] = -(-(H * c["v"]) // (vmax * 8))
+    comps[0]["_grid"] = (mcx, mcy, hmax, vmax)
+
+
+def _decode_scan(
+    b, pos, comps, scan_comps, huff_dc, huff_ac, W, H, restart,
+    ss, se, ah, al,
+):
+    """Decode ONE scan's entropy data into the persistent coefficient
+    state (T.81 Annexes F and G): sequential scans (ss=0, se=63,
+    ah=al=0), progressive DC first/refine, and progressive AC
+    first/refine with EOB runs. Returns the byte offset of the marker
+    following the scan."""
+    mcx, mcy, hmax, vmax = comps[0]["_grid"]
+    br = _BitReader(b, pos)
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcx * mcy
+    else:
+        c0 = scan_comps[0]
+        units = c0["bw"] * c0["bh"]
+    state = {"eobrun": 0}
+    for c in comps:
         c["pred"] = 0
 
-    br = _BitReader(b, pos)
-    n_mcu = mcx * mcy
-    for m in range(n_mcu):
+    def block_at(c, m):
+        if interleaved:
+            my, mx = divmod(m, mcx)
+            return [
+                (my * c["v"] + by, mx * c["h"] + bx)
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            ]
+        byy, bxx = divmod(m, c["bw"])
+        return [(byy, bxx)]
+
+    for m in range(units):
         if restart and m and m % restart == 0:
             br.align()
             if not (
@@ -254,31 +316,123 @@ def _decode_scan(b, pos, comps, qt, huff_dc, huff_ac, W, H, restart):
             br.i += 2
             for c in comps:
                 c["pred"] = 0
-        my, mx = divmod(m, mcx)
-        for c in comps:
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = np.zeros(64)
-                    s = _huff_decode(br, huff_dc[c["td"]])
-                    diff = _extend(br.bits(s), s) if s else 0
-                    c["pred"] += diff
-                    blk[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, huff_ac[c["ta"]])
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("jpeg: AC index overflow")
-                        blk[k] = _extend(br.bits(s), s)
-                        k += 1
-                    c["coef"][my * c["v"] + by, mx * c["h"] + bx] = blk
+            state["eobrun"] = 0
+        for c in scan_comps:
+            for (byy, bxx) in block_at(c, m):
+                blk = c["coef"][byy, bxx]
+                if ss == 0:
+                    _decode_dc(br, c, blk, huff_dc, ah, al)
+                if se > 0 and not interleaved:
+                    _decode_ac(
+                        br, c, blk, huff_ac, max(ss, 1), se, ah, al,
+                        state,
+                    )
+                elif se > 0 and interleaved:
+                    # sequential baseline: full-band AC inline
+                    _decode_ac(
+                        br, c, blk, huff_ac, 1, 63, 0, 0, state
+                    )
+    # skip any padding bits; position lands on the next marker
+    # (0xFF00 is stuffing, runs of 0xFF are fill bytes)
+    br.align()
+    i = br.i
+    while i + 1 < len(b) and not (
+        b[i] == 0xFF and b[i + 1] not in (0x00, 0xFF)
+    ):
+        i += 1
+    return i
 
+
+def _decode_dc(br, c, blk, huff_dc, ah, al):
+    if ah == 0:
+        s = _huff_decode(br, huff_dc[c["td"]])
+        diff = _extend(br.bits(s), s) if s else 0
+        c["pred"] += diff
+        blk[0] = c["pred"] << al
+    else:  # refinement: one bit, two's-complement OR (spec G.1.2.1)
+        if br.bit():
+            blk[0] |= 1 << al
+
+
+def _decode_ac(br, c, blk, huff_ac, ss, se, ah, al, state):
+    if ah == 0:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, huff_ac[c["ta"]])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                state["eobrun"] = eobrun - 1  # this block counts
+                return
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (G.1.2.3): newly-significant coefs interleaved
+    # with correction bits for already-nonzero ones
+    p1, m1 = 1 << al, -1 << al
+
+    def refine(k_from, k_to, skip_budget=None):
+        k = k_from
+        budget = skip_budget
+        while k <= k_to:
+            if blk[k] != 0:
+                if br.bit():
+                    if (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+            else:
+                if budget is not None:
+                    if budget == 0:
+                        return k
+                    budget -= 1
+            k += 1
+        return k
+
+    if state["eobrun"] > 0:
+        refine(ss, se)  # covered block: corrections only
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, huff_ac[c["ta"]])
+        r, s = rs >> 4, rs & 0xF
+        if s == 0 and r < 15:
+            eobrun = 1 << r
+            if r:
+                eobrun += br.bits(r)
+            refine(k, se)  # rest of this block's band
+            state["eobrun"] = eobrun - 1
+            return
+        if s == 0:  # ZRL: consumes 16 zero-history positions — the
+            # walk breaks AT the 16th zero (budget 15) and the
+            # unconditional k += 1 consumes it, mirroring F-figure G.7
+            val = 0
+            skip = 15
+        else:
+            if s != 1:
+                raise ValueError("jpeg: bad refinement magnitude")
+            val = p1 if br.bit() else m1
+            skip = r
+        k = refine(k, se, skip_budget=skip)
+        if val != 0:
+            if k > se:
+                raise ValueError("jpeg: refinement overrun")
+            blk[k] = val
+        k += 1
+
+
+def _finish(comps, qt, W, H):
+    mcx, mcy, hmax, vmax = comps[0]["_grid"]
     planes = []
     for c in comps:
         by, bx, _ = c["coef"].shape
@@ -313,11 +467,14 @@ def _decode_scan(b, pos, comps, qt, huff_dc, huff_ac, W, H, restart):
 # Minimal conformant encoder (fixture builder / roundtrip pin)
 # ---------------------------------------------------------------------------
 
-# Uniform-length canonical Huffman tables (see module docstring):
+# Uniform-length canonical Huffman tables (see module docstring).
+# The AC table carries ALL (r, 0) symbols: r=0 is the sequential EOB,
+# r=15 is ZRL, and r=1..14 are the progressive EOBn run-length codes —
+# one table serves both the baseline and progressive encoders.
 _DC_SYMS = bytes(range(12))               # categories 0..11, length 4
 _DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 _AC_SYMS = bytes(
-    [0x00, 0xF0]
+    [r << 4 for r in range(16)]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 _AC_COUNTS = [0] * 7 + [len(_AC_SYMS)] + [0] * 8
@@ -536,3 +693,245 @@ def jpeg_resize(content: bytes, width: int, height: int) -> bytes:
 
 
 __all__.append("jpeg_resize")
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture builder for the progressive decode path)
+# ---------------------------------------------------------------------------
+
+
+def _quantized_blocks(plane: np.ndarray, qtab: np.ndarray):
+    """Per-block zigzag-ordered quantized coefficients (int) for a
+    component plane already padded to 8-multiples."""
+    ph, pw = plane.shape
+    out = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _B @ blk @ _B.T
+            out[by, bx] = np.round(coef / qtab).astype(np.int64).reshape(64)[
+                _ZZ
+            ]
+    return out
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter plus the progressive EOB-run bookkeeping: correction
+    bits buffered while a run accumulates, flushed right after the
+    EOBn symbol so the decoder reads them in block order."""
+
+    def __init__(self):
+        super().__init__()
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def corrections(self, bits):
+        for x in bits:
+            self.put(x, 1)
+
+    def flush_eobrun(self):
+        if self.eobrun == 0 and not self.be:
+            return
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = _AC_ENC[r << 4]
+            self.put(code, ln)
+            if r:
+                self.put(self.eobrun - (1 << r), r)
+        self.corrections(self.be)
+        self.be = []
+        self.eobrun = 0
+
+
+def _encode_ac_first_block(bw: _ProgWriter, zz, al: int):
+    # AC point transform shifts the MAGNITUDE (truncation toward zero,
+    # T.81 G.1.2.2) — arithmetic shift would turn -1 into -1, not 0,
+    # and desync the refinement scan's significance model
+    temp = [
+        (abs(int(v)) >> al) * (1 if v >= 0 else -1) for v in zz[1:64]
+    ]
+    last = -1
+    for idx, v in enumerate(temp):
+        if v != 0:
+            last = idx
+    if last < 0:
+        bw.eobrun += 1
+        if bw.eobrun == 0x7FFF:
+            bw.flush_eobrun()
+        return
+    bw.flush_eobrun()
+    r = 0
+    for idx in range(last + 1):
+        v = temp[idx]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = _AC_ENC[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        s = _category(v)
+        code, ln = _AC_ENC[(r << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last < 62:
+        bw.eobrun += 1
+        if bw.eobrun == 0x7FFF:
+            bw.flush_eobrun()
+
+
+def _encode_ac_refine_block(bw: _ProgWriter, zz, al: int):
+    # previous scans sent v >> (al+1); this scan sends the al-th bit
+    p_hist = al + 1
+    cor: list[int] = []
+    r = 0
+    emitted = False
+
+    def flush_zrls():
+        nonlocal r, cor
+        while r > 15:
+            bw.flush_eobrun()
+            code, ln = _AC_ENC[0xF0]
+            bw.put(code, ln)
+            bw.corrections(cor)
+            cor = []
+            r -= 16
+
+    for k in range(1, 64):
+        t = int(zz[k])
+        hist = t >> p_hist if t >= 0 else -((-t) >> p_hist)
+        if hist != 0:
+            # ZRLs that precede this position must flush BEFORE its
+            # correction bit joins the buffer, or the bit would be
+            # emitted ahead of the walk that reads it (G.7 ordering)
+            flush_zrls()
+            cor.append((abs(t) >> al) & 1)
+        elif t != 0:
+            # newly significant: |t| >> al must be exactly 1
+            bw.flush_eobrun()
+            flush_zrls()
+            code, ln = _AC_ENC[(r << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if t > 0 else 0, 1)
+            bw.corrections(cor)
+            cor = []
+            r = 0
+            emitted = True
+        else:
+            r += 1
+    if r > 0 or cor:
+        bw.eobrun += 1
+        bw.be.extend(cor)
+        if bw.eobrun == 0x7FFF:
+            bw.flush_eobrun()
+    elif not emitted:
+        # fully-zero band with no corrections: still an EOB block
+        bw.eobrun += 1
+
+
+def encode_jpeg_progressive(px: np.ndarray, quant: int = 4) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> PROGRESSIVE JPEG
+    (SOF2), 4:4:4, flat quantization ``quant``. Scan script: DC first
+    (Al=1) -> DC refinement -> per-component AC first (Al=1) ->
+    per-component AC refinement — exercising spectral selection,
+    successive approximation, and EOB runs. Quantized coefficients are
+    identical to ``encode_jpeg``'s, so progressive decode of this
+    stream must be byte-identical to baseline decode of that one."""
+    px = np.asarray(px, dtype=np.float64)
+    if px.shape[0] < 1 or px.shape[1] < 1:
+        raise ValueError("jpeg: empty image")
+    if px.shape[0] > 65535 or px.shape[1] > 65535:
+        raise ValueError("jpeg: dimensions exceed 65535")
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qtab = np.full((8, 8), quant, dtype=np.float64)
+    blocks = [
+        _quantized_blocks(
+            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge"), qtab
+        )
+        for p in planes
+    ]
+    nby, nbx = ph // 8, pw // 8
+    nc = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    zzq = qtab.reshape(64)[_ZZ].astype(np.uint8)
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + bytes(zzq)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+    dht = bytes([0x00]) + bytes(_DC_COUNTS[:16]) + _DC_SYMS
+    dht += bytes([0x10]) + bytes(_AC_COUNTS[:16]) + _AC_SYMS
+    out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(nc):
+                v = int(blocks[ci][by, bx, 0]) >> 1
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _category(diff)
+                code, ln = _DC_ENC[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.out
+
+    # scan 2: DC refinement, Al=0
+    out += sos(list(range(1, nc + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(nc):
+                bw.put(int(blocks[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # per-component AC scans: first (Al=1) then refinement (Al=0)
+    for ci in range(nc):
+        out += sos([ci + 1], 1, 63, 0, 1)
+        pw_ = _ProgWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                _encode_ac_first_block(pw_, blocks[ci][by, bx], 1)
+        pw_.flush_eobrun()
+        pw_.flush()
+        out += pw_.out
+    for ci in range(nc):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        pw_ = _ProgWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                _encode_ac_refine_block(pw_, blocks[ci][by, bx], 0)
+        pw_.flush_eobrun()
+        pw_.flush()
+        out += pw_.out
+
+    return bytes(out) + b"\xff\xd9"
+
+
+__all__.append("encode_jpeg_progressive")

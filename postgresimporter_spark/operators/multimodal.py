@@ -46,10 +46,11 @@ def deterministic_fake_decode(content: bytes) -> dict:
 def image_decode(content: bytes) -> dict:
     """Image decoder: REAL pixel decode for supported PNGs
     (``operators/png.py`` — stdlib zlib + numpy), GIFs
-    (``operators/gif.py`` — pure-Python LZW), and baseline JPEGs
-    (``operators/jpeg.py`` — Huffman + IDCT in numpy); other formats /
-    unsupported variants (e.g. progressive JPEG) fall back to the
-    deterministic fake, same claim boundary as before."""
+    (``operators/gif.py`` — pure-Python LZW), and JPEGs — baseline AND
+    progressive (``operators/jpeg.py`` — Huffman + IDCT in numpy,
+    multi-scan successive approximation per T.81 Annex G); other
+    formats / unsupported variants (extended sequential, arithmetic,
+    12-bit) fall back to the deterministic fake."""
     from .gif import GIF_MAGICS, gif_decode_meta
     from .jpeg import JPEG_MAGIC, jpeg_decode_meta
     from .png import PNG_MAGIC, png_decode_meta

@@ -87,7 +87,7 @@ def test_unsupported_variants_raise():
     px = _smooth(8, 8)
     enc = bytearray(encode_jpeg(px, quant=2))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # claim progressive
+    enc[i + 1] = 0xC1  # claim extended sequential (unsupported)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
@@ -100,11 +100,11 @@ def test_meta_contract_and_dispatch():
     meta = jpeg_decode_meta(enc)
     assert meta["width"] == 30 and meta["height"] == 20
     assert meta["channels"] == 3
-    # dispatch: real decode for baseline, stub for corrupted variants
+    # dispatch: real decode for baseline, stub for unsupported variants
     assert image_decode(enc) == meta
     broken = bytearray(enc)
     i = broken.find(b"\xff\xc0")
-    broken[i + 1] = 0xC2
+    broken[i + 1] = 0xC1  # extended sequential: still stubbed
     fake = image_decode(bytes(broken))
     assert fake["width"] == (len(broken) % 640) + 1  # stub fallback
 
@@ -122,3 +122,41 @@ def test_jpeg_resize_dispatch():
     # original
     ref = px[::2, ::2]
     assert abs(float(dec.mean()) - float(ref.mean())) < 4.0
+
+
+def test_progressive_decode_byte_identical_to_baseline():
+    from postgresimporter_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        _smooth(33, 46),
+        rng.integers(0, 256, (24, 17, 3), dtype=np.uint8),
+        np.full((40, 40), 128, dtype=np.uint8),  # long EOB runs
+        ((np.mgrid[0:19, 0:29][0] * 7) % 256).astype(np.uint8),
+    ]
+    for q in (1, 2, 8):
+        for px in cases:
+            base = decode_jpeg(encode_jpeg(px, quant=q))
+            prog = decode_jpeg(encode_jpeg_progressive(px, quant=q))
+            # identical quantized coefficients -> identical pixels:
+            # the cross-codec identity that pins every progressive
+            # path (spectral scans, DC/AC successive approximation,
+            # EOB runs, the G.7 correction-bit interleave)
+            assert (base == prog).all(), (px.shape, q)
+
+
+def test_progressive_dispatch_and_meta():
+    from postgresimporter_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+        jpeg_decode_meta,
+    )
+
+    px = _smooth(20, 30)
+    enc = encode_jpeg_progressive(px, quant=2)
+    assert enc[:4] == b"\xff\xd8\xff\xdb"
+    assert b"\xff\xc2" in enc  # SOF2
+    meta = jpeg_decode_meta(enc)
+    assert meta["width"] == 30 and meta["height"] == 20
+    assert image_decode(enc) == meta  # real decode, not the stub
