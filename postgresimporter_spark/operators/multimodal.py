@@ -2,10 +2,13 @@
 with typed metadata (SURVEY §2.10).
 
 The Spark-side plumbing — schema, partition sizing, Arrow-batched UDF
-signatures — is real and tested; the actual media decoding is stubbed
-behind ``DECODERS`` because media libraries are not available in this
-environment. A deployment registers real decoders (PIL/ffmpeg/...) with
-the same (bytes) -> dict signature; nothing else changes.
+signatures — is real and tested, and so is most of the decoding:
+PNG, GIF, JPEG (baseline AND progressive), and PCM WAV decode their
+actual pixels/samples library-free (``png.py``/``gif.py``/``jpeg.py``
+and ``audio_decode``), and MP4/MP3 container metadata parses from the
+raw byte layouts. Only MP3/video SAMPLE decode remains a deterministic
+stub behind ``DECODERS``; a deployment swaps in real codecs
+(ffmpeg/...) with the same (bytes) -> dict signature.
 
 Scale posture: media rows are large — ``mapInPandas`` streams Arrow
 batches so a partition never fully materializes, and
@@ -116,9 +119,9 @@ def audio_decode(content: bytes) -> dict:
     }
 
 
-# modality -> decoder; image PNGs and PCM WAVs decode for real
-# (png.py / audio_decode), everything else remains a deterministic
-# stub until a deployment registers real codecs (PIL/ffmpeg/...) with
+# modality -> decoder; images (PNG/GIF/JPEG incl. progressive) and
+# PCM WAV decode for real; video frame decode remains a deterministic
+# stub until a deployment registers a real codec (ffmpeg/...) with
 # the same (bytes) -> dict signature.
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "image": image_decode,
