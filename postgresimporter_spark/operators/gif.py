@@ -147,3 +147,116 @@ def gif_decode_meta(content: bytes) -> dict:
 
 
 __all__ = ["decode_gif", "gif_decode_meta", "GIF_MAGICS"]
+
+
+def iter_gif_frames(content: bytes):
+    """Yield (rgb_frame, delay_ms) for every frame of a (possibly
+    animated) GIF, composited onto the logical screen: frame rects
+    paint at their (x, y) offsets, transparency (GCE flag) leaves the
+    underlying canvas visible, and disposal methods 2 (restore
+    background) and 3 (restore previous) are honored — the standard
+    compositing model, so frame N is the image a viewer actually shows
+    at that point of the animation, not just the raw sub-rect."""
+    b = content or b""
+    if b[:6] not in GIF_MAGICS or len(b) < 13:
+        raise ValueError("not a GIF")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    bg_index = b[11]
+    gct = None
+    pos = 13
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg_index] if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    delay_ms = 0
+    transparent = None
+    disposal = 0
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x21:  # extension
+            label = b[pos + 1] if pos + 1 < len(b) else 0
+            if label == 0xF9 and pos + 7 < len(b):  # Graphic Control
+                gflags = b[pos + 3]
+                delay_ms = (
+                    int.from_bytes(b[pos + 4 : pos + 6], "little") * 10
+                )
+                disposal = (gflags >> 2) & 0x7
+                transparent = b[pos + 6] if gflags & 0x01 else None
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            x = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            y = int.from_bytes(b[pos + 3 : pos + 5], "little")
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            palette = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    b[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated pixel data")
+            arr = np.array(idx, dtype=np.int32).reshape(h, w)
+            if iflags & 0x40:
+                arr = _deinterlace(arr)
+            if arr.max() >= len(palette):
+                raise ValueError("palette index out of range")
+            prev = canvas.copy() if disposal == 3 else None
+            rect = canvas[y : y + h, x : x + w]
+            rgb = palette[arr][: rect.shape[0], : rect.shape[1]]
+            if transparent is not None:
+                mask = (arr != transparent)[: rect.shape[0], : rect.shape[1]]
+                rect[mask] = rgb[mask]
+            else:
+                rect[:, :] = rgb
+            yield canvas.copy(), delay_ms
+            if disposal == 2:
+                canvas[y : y + h, x : x + w] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            delay_ms = 0
+            transparent = None
+            disposal = 0
+        elif marker == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad block marker 0x{marker:02x}")
+
+
+def gif_frames_meta(content: bytes) -> dict:
+    """Frame count and total animation duration (ms)."""
+    n = 0
+    total = 0
+    for _, delay in iter_gif_frames(content):
+        n += 1
+        total += delay
+    return {"n_frames": n, "duration_ms": total}
+
+
+__all__ += ["iter_gif_frames", "gif_frames_meta"]

@@ -424,21 +424,63 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame offset.
+def _gif_sample(content: bytes, every_ms: int) -> list[tuple[int, bytes]]:
+    """REAL frame sampling for animated GIFs: composite the timeline
+    (``gif.iter_gif_frames``), then for each sample offset emit the
+    frame visible at that instant, re-encoded as PNG bytes."""
+    from .gif import iter_gif_frames
+    from .png import encode_png
 
-    Offsets come from the decoded duration; the frame bytes themselves
-    are stubbed (real deployments call the video decoder per offset).
-    Demonstrates the row-expanding UDF shape (mapInPandas yielding more
-    rows than it receives).
+    frames = list(iter_gif_frames(content))
+    if not frames:
+        return []
+    # zero-delay (still) GIFs sample exactly once
+    total = sum(d for _, d in frames) or 1
+    out = []
+    for off in range(0, total, every_ms):
+        t = 0
+        chosen = frames[-1][0]
+        for px, d in frames:
+            if off < t + max(d, 1):
+                chosen = px
+                break
+            t += d
+        out.append((off, encode_png(chosen)))
+    return out
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling: one output row per sampled frame offset.
+
+    REAL for animated GIFs — the timeline composites via the GIF
+    decoder and each sampled row carries the visible frame re-encoded
+    as PNG bytes. Other modalities emit offset rows with null frame
+    bytes from the decoded duration (real deployments plug a video
+    codec in). Demonstrates the row-expanding UDF shape (mapInPandas
+    yielding more rows than it receives).
     """
     def _sample(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from .gif import GIF_MAGICS
 
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 content = r["content"] or b""
+                if content[:6] in GIF_MAGICS:
+                    try:
+                        for off, png in _gif_sample(content, every_ms):
+                            rows.append(
+                                {
+                                    "path": r["path"],
+                                    "frame_ms": off,
+                                    "frame": png,
+                                }
+                            )
+                        continue
+                    except ValueError:
+                        pass  # malformed GIF: fall through to offsets
                 duration = DECODERS.get(
                     r["modality"], deterministic_fake_decode
                 )(content)["duration_ms"]
@@ -469,6 +511,7 @@ def image_resize(content: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resample + re-encode for supported PNGs
     (``operators/png.py``) and baseline JPEGs (``operators/jpeg.py``);
     other image bytes keep the deterministic fake."""
+    from .gif import GIF_MAGICS
     from .jpeg import JPEG_MAGIC, jpeg_resize
     from .png import PNG_MAGIC, png_resize
 
@@ -481,6 +524,18 @@ def image_resize(content: bytes, width: int, height: int) -> bytes:
         try:
             return jpeg_resize(content, width, height)
         except (ValueError, StopIteration):
+            pass
+    if content and content[:6] in GIF_MAGICS:
+        # decode the first frame, resample, re-encode as PNG (the
+        # usual thumbnail container conversion)
+        from .gif import decode_gif
+        from .png import encode_png, resize_nearest
+
+        try:
+            return encode_png(
+                resize_nearest(decode_gif(content), width, height)
+            )
+        except ValueError:
             pass
     return deterministic_fake_resize(content, width, height)
 

@@ -11,6 +11,7 @@ from postgresimporter_spark.operators.gif import decode_gif, gif_decode_meta
 PALETTE = bytes(
     [0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255]  # black, R, G, B
 )
+PALETTE_ARR = __import__("numpy").frombuffer(PALETTE, dtype="uint8").reshape(4, 3)
 
 
 class _Bits:
@@ -139,3 +140,94 @@ def test_meta_and_dispatch():
 
     d = image_decode(data)
     assert d["width"] == 3 and d["height"] == 2
+
+
+def _animated_gif(frames, delays_cs, disposal=0, transparent=None):
+    """Multi-frame GIF builder on the independent LZW encoder:
+    ``frames`` are (x, y, index-rows) sub-rects painted in order."""
+    sw = max(x + len(rows[0]) for x, _, rows in frames)
+    sh = max(y + len(rows) for _, y, rows in frames)
+    head = b"GIF89a" + sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    head += bytes([0x81, 0, 0]) + PALETTE  # GCT, bg index 0
+    out = bytearray(head)
+    for (x, y, rows), delay in zip(frames, delays_cs):
+        gflags = (disposal & 0x7) << 2
+        tidx = 0
+        if transparent is not None:
+            gflags |= 0x01
+            tidx = transparent
+        out += bytes([0x21, 0xF9, 4, gflags])
+        out += delay.to_bytes(2, "little") + bytes([tidx, 0])
+        w, h = len(rows[0]), len(rows)
+        out += (
+            b"\x2c"
+            + x.to_bytes(2, "little")
+            + y.to_bytes(2, "little")
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + b"\x00"
+        )
+        lzw = _lzw_encode([p for row in rows for p in row])
+        out += bytes([2])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_animated_gif_frames_and_compositing():
+    from postgresimporter_spark.operators.gif import (
+        gif_frames_meta,
+        iter_gif_frames,
+    )
+
+    # frame 1: full 4x2 of color 1; frame 2: 2x1 sub-rect of color 2
+    # at (1, 1) — compositing must keep frame 1 outside the rect
+    gif = _animated_gif(
+        [(0, 0, [[1] * 4, [1] * 4]), (1, 1, [[2, 2]])],
+        delays_cs=[10, 20],
+    )
+    frames = list(iter_gif_frames(gif))
+    assert [d for _, d in frames] == [100, 200]
+    f1, f2 = frames[0][0], frames[1][0]
+    assert (f1 == PALETTE_ARR[1]).all()
+    assert (f2[1, 1] == PALETTE_ARR[2]).all()
+    assert (f2[0, 0] == PALETTE_ARR[1]).all()  # untouched area persists
+    assert gif_frames_meta(gif) == {"n_frames": 2, "duration_ms": 300}
+
+
+def test_animated_gif_transparency_and_disposal():
+    from postgresimporter_spark.operators.gif import iter_gif_frames
+
+    # transparent index 0 in frame 2 must leave frame 1 visible
+    gif = _animated_gif(
+        [(0, 0, [[1, 1], [1, 1]]), (0, 0, [[0, 2], [0, 0]])],
+        delays_cs=[5, 5],
+        transparent=0,
+    )
+    frames = [px for px, _ in iter_gif_frames(gif)]
+    assert (frames[1][0, 0] == PALETTE_ARR[1]).all()  # transparent hole
+    assert (frames[1][0, 1] == PALETTE_ARR[2]).all()  # painted pixel
+
+
+def test_sample_frames_real_gif(spark, tmp_path):
+    from postgresimporter_spark.operators.multimodal import (
+        read_media_dir,
+        sample_frames,
+    )
+    from postgresimporter_spark.operators.png import decode_png
+
+    gif = _animated_gif(
+        [(0, 0, [[1] * 4, [1] * 4]), (0, 0, [[2] * 4, [2] * 4])],
+        delays_cs=[10, 10],  # 100ms each
+    )
+    (tmp_path / "anim.gif").write_bytes(gif)
+    media = read_media_dir(spark, str(tmp_path) + "/*.gif", "image")
+    rows = sample_frames(media, every_ms=100).orderBy("frame_ms").collect()
+    assert [r["frame_ms"] for r in rows] == [0, 100]
+    first = decode_png(bytes(rows[0]["frame"]))
+    second = decode_png(bytes(rows[1]["frame"]))
+    assert (first == PALETTE_ARR[1]).all()
+    assert (second == PALETTE_ARR[2]).all()
