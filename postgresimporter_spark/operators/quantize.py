@@ -85,34 +85,85 @@ def pq_train_encode(
     is a (subspace, code) equi-join against a probe lookup table —
     see ``pq_adc_topk``.
     """
-    from functools import reduce
-
-    from .kmeans import kmeans_lloyd_full
+    from .kmeans import _sq_dist
 
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
-    parts = []
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        sliced = df.select(
-            F.col(id_col),
-            F.slice(
-                F.col(vec_col).cast("array<double>"), s * sub + 1, sub
-            ).alias("subv"),
-        )
-        assigned, cents = kmeans_lloyd_full(
-            sliced, k=k, iters=iters, id_col=id_col, vec_col="subv"
-        )
-        books.append(cents)
-        parts.append(
-            assigned.select(
-                F.col(id_col),
-                F.lit(s).cast("long").alias("subspace"),
-                F.col("cid").cast("long").alias("code"),
+    round_digits = 6
+    scale = 10**round_digits
+    # ALL subspaces in one table: explode the m slices per vector, so
+    # every Lloyd iteration is ONE job for the whole codebook instead
+    # of m independent job chains. Measured at sf0.01 the wall-clock
+    # is UNCHANGED (~4.5s — the cost there is Catalyst analysis/codegen
+    # of the distance folds, which this does not reduce); the win is
+    # structural: m-fold fewer stages/shuffles per iteration, which is
+    # what matters when each pass scans a real corpus. Arithmetic per
+    # subspace is unchanged, so assignments, centroids, and the oracle
+    # results are identical.
+    slices = F.array(
+        *[
+            F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub)
+            for s in range(m)
+        ]
+    )
+    base = df.select(
+        F.col(id_col), F.posexplode(slices).alias("s", "_raw")
+    ).select(
+        F.col(id_col),
+        "s",
+        F.transform("_raw", lambda x: F.round(x, round_digits)).alias("v"),
+    )
+    init_ids = [
+        r[0] for r in df.select(id_col).orderBy(id_col).limit(k).collect()
+    ]
+    if len(init_ids) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(init_ids)}")
+    init = base.where(F.col(id_col).isin(init_ids)).collect()
+    by_sub: dict[int, dict] = {s: {} for s in range(m)}
+    for r in init:
+        by_sub[r["s"]][r[id_col]] = list(r["v"])
+    books: list[list[list[float]]] = [
+        [by_sub[s][i] for i in sorted(init_ids)] for s in range(m)
+    ]
+
+    def assign(books_now):
+        expr = None
+        for si, cents in enumerate(books_now):
+            dists = F.array(*[_sq_dist(F.col("v"), c) for c in cents])
+            cid = (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int")
+            expr = (
+                F.when(F.col("s") == si, cid)
+                if expr is None
+                else expr.when(F.col("s") == si, cid)
             )
+        return base.withColumn("cid", expr)
+
+    for _ in range(iters):
+        stats = (
+            assign(books)
+            .select("s", "cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("s", "cid", "dim")
+            .agg(
+                F.sum(
+                    F.bround(F.col("val") * scale, 0).cast("long")
+                ).alias("acc"),
+                F.count("*").alias("n"),
+            )
+            .collect()
         )
-    codes = reduce(lambda a, b: a.unionByName(b), parts)
+        new = [[list(c) for c in bk] for bk in books]
+        for r in stats:
+            new[r["s"]][r["cid"]][r["dim"]] = r["acc"] / (scale * r["n"])
+        books = new
+
+    codes = assign(books).select(
+        F.col(id_col),
+        F.col("s").cast("long").alias("subspace"),
+        F.col("cid").cast("long").alias("code"),
+    )
     return codes, books
 
 
