@@ -76,7 +76,17 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 
 
 def decode_gif(content: bytes) -> np.ndarray:
-    """GIF bytes -> (height, width, 3) uint8 RGB of the first frame."""
+    """GIF bytes -> (height, width, 3) uint8 RGB of the first frame.
+    Malformed/truncated streams raise ValueError (low-level
+    Index/KeyErrors are normalized here so the dispatch boundary
+    'corrupt input -> stub fallback' holds — BUILD_NOTES inv. 22)."""
+    try:
+        return _decode_gif_raw(content)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"gif: malformed stream ({e!r})") from e
+
+
+def _decode_gif_raw(content: bytes) -> np.ndarray:
     b = content or b""
     if b[:6] not in GIF_MAGICS or len(b) < 13:
         raise ValueError("not a GIF")
@@ -156,7 +166,16 @@ def iter_gif_frames(content: bytes):
     underlying canvas visible, and disposal methods 2 (restore
     background) and 3 (restore previous) are honored — the standard
     compositing model, so frame N is the image a viewer actually shows
-    at that point of the animation, not just the raw sub-rect."""
+    at that point of the animation, not just the raw sub-rect.
+    Malformed streams raise ValueError mid-iteration (normalized like
+    ``decode_gif``)."""
+    try:
+        yield from _iter_gif_frames_raw(content)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"gif: malformed stream ({e!r})") from e
+
+
+def _iter_gif_frames_raw(content: bytes):
     b = content or b""
     if b[:6] not in GIF_MAGICS or len(b) < 13:
         raise ValueError("not a GIF")

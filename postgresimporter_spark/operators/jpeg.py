@@ -243,7 +243,7 @@ def _decode_jpeg_raw(content: bytes) -> np.ndarray:
                 ss, se, ah, al = 0, 63, 0, 0
             i = _decode_scan(
                 b, i + 2 + seg, comps, scan_comps, huff_dc, huff_ac,
-                W, H, restart, ss, se, ah, al,
+                W, H, restart, ss, se, ah, al, progressive,
             )
             continue
         i += 2 + seg
@@ -274,7 +274,7 @@ def _alloc_coefs(comps, W, H):
 
 def _decode_scan(
     b, pos, comps, scan_comps, huff_dc, huff_ac, W, H, restart,
-    ss, se, ah, al,
+    ss, se, ah, al, progressive,
 ):
     """Decode ONE scan's entropy data into the persistent coefficient
     state (T.81 Annexes F and G): sequential scans (ss=0, se=63,
@@ -322,15 +322,17 @@ def _decode_scan(
                 blk = c["coef"][byy, bxx]
                 if ss == 0:
                     _decode_dc(br, c, blk, huff_dc, ah, al)
-                if se > 0 and not interleaved:
+                if se > 0:
+                    # T.81 forbids interleaved AC scans in progressive
+                    # mode; sequential scans are interleaved but their
+                    # params are already forced to (0, 63, 0, 0)
+                    if interleaved and progressive:
+                        raise ValueError(
+                            "jpeg: interleaved progressive AC scan"
+                        )
                     _decode_ac(
                         br, c, blk, huff_ac, max(ss, 1), se, ah, al,
                         state,
-                    )
-                elif se > 0 and interleaved:
-                    # sequential baseline: full-band AC inline
-                    _decode_ac(
-                        br, c, blk, huff_ac, 1, 63, 0, 0, state
                     )
     # skip any padding bits; position lands on the next marker
     # (0xFF00 is stuffing, runs of 0xFF are fill bytes)

@@ -425,27 +425,28 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def _gif_sample(content: bytes, every_ms: int) -> list[tuple[int, bytes]]:
-    """REAL frame sampling for animated GIFs: composite the timeline
-    (``gif.iter_gif_frames``), then for each sample offset emit the
-    frame visible at that instant, re-encoded as PNG bytes."""
+    """REAL frame sampling for animated GIFs: one streaming pass over
+    the composited timeline (``gif.iter_gif_frames``) — O(1) frames
+    resident (a long animation never materializes whole inside the
+    Arrow mapper), each sample offset emitting the frame actually
+    visible at that instant as PNG bytes. Zero-delay frames occupy no
+    screen time and are never sampled; a wholly zero-delay (still)
+    GIF samples its final frame once at offset 0."""
     from .gif import iter_gif_frames
     from .png import encode_png
 
-    frames = list(iter_gif_frames(content))
-    if not frames:
-        return []
-    # zero-delay (still) GIFs sample exactly once
-    total = sum(d for _, d in frames) or 1
-    out = []
-    for off in range(0, total, every_ms):
-        t = 0
-        chosen = frames[-1][0]
-        for px, d in frames:
-            if off < t + max(d, 1):
-                chosen = px
-                break
-            t += d
-        out.append((off, encode_png(chosen)))
+    out: list[tuple[int, bytes]] = []
+    t = 0
+    next_off = 0
+    last_px = None
+    for px, d in iter_gif_frames(content):
+        last_px = px
+        while d > 0 and t <= next_off < t + d:
+            out.append((next_off, encode_png(px)))
+            next_off += every_ms
+        t += d
+    if not out and last_px is not None:
+        out.append((0, encode_png(last_px)))
     return out
 
 
@@ -470,7 +471,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 content = r["content"] or b""
                 if content[:6] in GIF_MAGICS:
                     try:
-                        for off, png in _gif_sample(content, every_ms):
+                        sampled = _gif_sample(content, every_ms)
+                    except ValueError:
+                        sampled = []  # malformed GIF: offset fallback
+                    if sampled:  # frameless GIFs also fall through,
+                        # preserving the >= 1 row per input contract
+                        for off, png in sampled:
                             rows.append(
                                 {
                                     "path": r["path"],
@@ -479,8 +485,6 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                                 }
                             )
                         continue
-                    except ValueError:
-                        pass  # malformed GIF: fall through to offsets
                 duration = DECODERS.get(
                     r["modality"], deterministic_fake_decode
                 )(content)["duration_ms"]

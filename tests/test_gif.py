@@ -231,3 +231,54 @@ def test_sample_frames_real_gif(spark, tmp_path):
     second = decode_png(bytes(rows[1]["frame"]))
     assert (first == PALETTE_ARR[1]).all()
     assert (second == PALETTE_ARR[2]).all()
+
+
+def test_truncated_gif_raises_valueerror_and_stubs():
+    from postgresimporter_spark.operators.gif import (
+        decode_gif,
+        iter_gif_frames,
+    )
+    from postgresimporter_spark.operators.multimodal import image_resize
+
+    bad = b"GIF89a" + b"\x00" * 7 + b"\x2c"  # truncated descriptor
+    with pytest.raises(ValueError):
+        decode_gif(bad)
+    with pytest.raises(ValueError):
+        list(iter_gif_frames(bad))
+    out = image_resize(bad, 4, 4)  # stub fallback, not a crash
+    assert out == bytes([len(bad) % 251]) * ((16 % 1024) + 1)
+
+
+def test_sample_frames_frameless_gif_keeps_row(spark, tmp_path):
+    from postgresimporter_spark.operators.multimodal import (
+        read_media_dir,
+        sample_frames,
+    )
+
+    # header + trailer, no image frame: must fall through to the
+    # offset path (>= 1 row per input), never vanish
+    (tmp_path / "empty.gif").write_bytes(
+        b"GIF89a" + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + bytes([0x81, 0, 0]) + PALETTE + b"\x3b"
+    )
+    media = read_media_dir(spark, str(tmp_path) + "/*.gif", "image")
+    rows = sample_frames(media, every_ms=100).collect()
+    assert len(rows) >= 1 and rows[0]["frame"] is None
+
+
+def test_zero_delay_frames_never_sampled():
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from postgresimporter_spark.operators.multimodal import _gif_sample
+    from postgresimporter_spark.operators.png import decode_png
+
+    # frame 1 has delay 0 (instantly replaced), frame 2 holds 100ms:
+    # the only sampled frame must be frame 2
+    gif = _animated_gif(
+        [(0, 0, [[1, 1], [1, 1]]), (0, 0, [[2, 2], [2, 2]])],
+        delays_cs=[0, 10],
+    )
+    samples = _gif_sample(gif, every_ms=50)
+    assert [off for off, _ in samples] == [0, 50]
+    for _, png in samples:
+        assert (decode_png(png) == PALETTE_ARR[2]).all()

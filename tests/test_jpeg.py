@@ -160,3 +160,29 @@ def test_progressive_dispatch_and_meta():
     meta = jpeg_decode_meta(enc)
     assert meta["width"] == 30 and meta["height"] == 20
     assert image_decode(enc) == meta  # real decode, not the stub
+
+
+def test_interleaved_progressive_ac_scan_rejected():
+    from postgresimporter_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    # forge a progressive file whose AC scan claims BOTH components
+    # (T.81 forbids interleaved AC in progressive mode): rewrite the
+    # first single-component AC SOS header (located by its byte
+    # signature — walking the container would require skipping entropy
+    # data) into a 2-component scan header
+    px = _smooth(16, 16)
+    enc = encode_jpeg_progressive(px, quant=2)
+    sig = b"\xff\xda\x00\x08\x01\x01\x00\x01\x3f"
+    i = enc.find(sig)
+    assert i > 0, "no single-component AC scan found to forge"
+    ahal = enc[i + 9 : i + 10]
+    bad = (
+        enc[:i]
+        + b"\xff\xda\x00\x0a\x02\x01\x00\x02\x00\x01\x3f"
+        + ahal
+        + enc[i + 10 :]
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
