@@ -70,6 +70,8 @@ HEADLINE = [
     "q150_line_filter",
     "q152_interpolate",
     "q158_prefix_jaccard",
+    # spatial family regression guard (grid-cell candidate join)
+    "q168_radius_pairs",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.

@@ -592,6 +592,136 @@ GROUP BY sc.source
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q171: bounded-depth graph reachability (n-hop neighborhood)
+# ---------------------------------------------------------------------------
+
+_HOPS_SEEDS = 5
+
+
+def q171_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhoods in the co-purchase graph: for the 5
+    lowest-id parts, every part reachable within 2 edges and its
+    minimal hop distance. Bounded-depth BFS as TWO self-equi-joins on
+    the symmetric edge list (never a recursive loop, never a cartesian)
+    — the 'related items, friends-of-friends' query shape. Distances
+    are exact minima: hop-1 wins over hop-2 via groupBy min."""
+    from ..operators.graph import cooccurrence_edges
+    from .catalog_batch18 import MAX_CONTAINER
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    e = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", max_container_size=MAX_CONTAINER
+    ).localCheckpoint(eager=False)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        sym.select(F.col("src").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(_HOPS_SEEDS)
+    )
+    hop1 = (
+        seeds.join(sym, seeds["seed"] == sym["src"])
+        .select("seed", F.col("dst").alias("node"))
+        .distinct()
+    )
+    hop2 = (
+        hop1.join(
+            sym.select(
+                F.col("src").alias("node"), F.col("dst").alias("node2")
+            ),
+            on="node",
+        )
+        .select("seed", F.col("node2").alias("node"))
+        .where(F.col("node") != F.col("seed"))
+        .distinct()
+    )
+    reach = hop1.select(
+        "seed", "node", F.lit(1).alias("hops")
+    ).unionAll(hop2.select("seed", "node", F.lit(2).alias("hops")))
+    return (
+        reach.groupBy("seed", "node")
+        .agg(F.min("hops").cast("long").alias("hops"))
+    )
+
+
+def _oracle_q171() -> str:
+    from .catalog_batch18 import _EDGES_SQL
+
+    return f"""
+WITH {_EDGES_SQL},
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+seeds AS (
+  SELECT DISTINCT src AS seed FROM sym ORDER BY seed LIMIT {_HOPS_SEEDS}),
+hop1 AS (
+  SELECT DISTINCT s.seed, e.dst AS node
+  FROM seeds s JOIN sym e ON s.seed = e.src),
+hop2 AS (
+  SELECT DISTINCT h.seed, e.dst AS node
+  FROM hop1 h JOIN sym e ON h.node = e.src
+  WHERE e.dst <> h.seed),
+reach AS (
+  SELECT seed, node, 1 AS hops FROM hop1
+  UNION ALL
+  SELECT seed, node, 2 AS hops FROM hop2)
+SELECT seed, node, CAST(MIN(hops) AS BIGINT) AS hops
+FROM reach GROUP BY seed, node
+"""
+
+
+# ---------------------------------------------------------------------------
+# q172: top-k WITH TIES (rank-cut semantics)
+# ---------------------------------------------------------------------------
+
+
+def q172_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2008 FETCH FIRST k ROWS WITH TIES: the top-5 order
+    priorities of each segment by order count, where rank (not
+    row_number) does the cut — tied groups all survive, so the result
+    is a deterministic SET with no arbitrary tiebreak, the semantics
+    reports actually want. Partitioned rank window; plan-hygiene
+    clean."""
+    from pyspark.sql import Window
+
+    cust = load_tables(spark, sf_dir, ["customer", "orders"])
+    joined = cust["orders"].join(
+        F.broadcast(cust["customer"].select("c_custkey", "c_mktsegment")),
+        cust["orders"]["o_custkey"] == F.col("c_custkey"),
+    )
+    counts = joined.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n_orders"))
+    return (
+        counts.withColumn("rk", F.rank().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment", "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"), "rk",
+        )
+    )
+
+
+ORACLE_Q172 = """
+WITH counts AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT c_mktsegment, o_orderpriority, n_orders,
+    CAST(rank() OVER (PARTITION BY c_mktsegment
+                      ORDER BY n_orders DESC) AS BIGINT) AS rk
+  FROM counts)
+SELECT c_mktsegment, o_orderpriority,
+       CAST(n_orders AS BIGINT) AS n_orders, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
 def batch26_registry() -> list[QueryDef]:
     return [
         QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
@@ -613,4 +743,9 @@ def batch26_registry() -> list[QueryDef]:
         QueryDef("q170_score_calibration", q170_score_calibration,
                  ORACLE_Q170,
                  "per-source robust z-calibration (exact percentiles)"),
+        QueryDef("q171_two_hop_neighborhood", q171_two_hop_neighborhood,
+                 _oracle_q171(),
+                 "bounded-depth BFS: 2-hop co-purchase neighborhoods"),
+        QueryDef("q172_topk_with_ties", q172_topk_with_ties, ORACLE_Q172,
+                 "FETCH FIRST WITH TIES via rank-cut windows"),
     ]
