@@ -722,6 +722,123 @@ FROM ranked WHERE rk <= 3
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q173: sequence-gap detection (data-quality audit)
+# ---------------------------------------------------------------------------
+
+
+def q173_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gap audit: which event_ids inside the observed
+    [min, max] range are MISSING, reported as contiguous gap islands
+    (gap_start, gap_end, gap_len). The expected-id side is a generated
+    range (metadata-scale per partition), missing ids come from an
+    anti-join, and islands merge via the id-minus-rank trick on a
+    range-partitioned row number — no unpartitioned window: islands
+    are keyed by the (id - global_row_number) constant, which the
+    window-free ``global_row_number`` machinery supplies."""
+    from ..operators.ranking import global_row_number
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    # sample a sparse id set so gaps exist: keep ids not divisible by 7
+    present = ev.select(F.col("event_id").alias("id")).where(
+        F.col("event_id") % 7 != 0
+    ).distinct()
+    bounds = present.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    )
+    expected = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("id")
+    )
+    missing = expected.join(present, on="id", how="left_anti")
+    idx = global_row_number(missing, ["id"], idx_col="rn")
+    return (
+        idx.withColumn("island", F.col("id") - F.col("rn"))
+        .groupBy("island")
+        .agg(
+            F.min("id").cast("long").alias("gap_start"),
+            F.max("id").cast("long").alias("gap_end"),
+            F.count("*").cast("long").alias("gap_len"),
+        )
+        .select("gap_start", "gap_end", "gap_len")
+    )
+
+
+ORACLE_Q173 = """
+WITH present AS (
+  SELECT DISTINCT event_id AS id FROM events WHERE event_id % 7 <> 0),
+bounds AS (SELECT MIN(id) AS lo, MAX(id) AS hi FROM present),
+expected AS (
+  SELECT unnest(generate_series(lo, hi)) AS id FROM bounds),
+missing AS (
+  SELECT e.id FROM expected e LEFT JOIN present p ON e.id = p.id
+  WHERE p.id IS NULL),
+islands AS (
+  SELECT id, id - row_number() OVER (ORDER BY id) AS island
+  FROM missing)
+SELECT CAST(MIN(id) AS BIGINT) AS gap_start,
+       CAST(MAX(id) AS BIGINT) AS gap_end,
+       CAST(COUNT(*) AS BIGINT) AS gap_len
+FROM islands GROUP BY island
+"""
+
+
+# ---------------------------------------------------------------------------
+# q174: unpivot / melt (long-format reshape)
+# ---------------------------------------------------------------------------
+
+
+def q174_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshape (the inverse of q71's pivot): lineitem's
+    four measure columns melt into (measure, value) rows via the
+    ``stack`` expression — one scan, a 4x row expansion executor-side,
+    no shuffle until the summary aggregate. Values align on
+    DECIMAL(15,4) so the four measures share one exact type."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    melted = li.where(F.col("l_orderkey") <= 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(4, 'quantity', CAST(l_quantity AS DECIMAL(15,4)), "
+            "'extendedprice', CAST(l_extendedprice AS DECIMAL(15,4)), "
+            "'discount', CAST(l_discount AS DECIMAL(15,4)), "
+            "'tax', CAST(l_tax AS DECIMAL(15,4))) AS (measure, value)"
+        ),
+    )
+    return melted.groupBy("measure").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("value").cast("double").alias("total"),
+        F.min("value").cast("double").alias("vmin"),
+        F.max("value").cast("double").alias("vmax"),
+    )
+
+
+ORACLE_Q174 = """
+WITH melted AS (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+         CAST(l_quantity AS DECIMAL(15,4)) AS value
+  FROM lineitem WHERE l_orderkey <= 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice',
+         CAST(l_extendedprice AS DECIMAL(15,4))
+  FROM lineitem WHERE l_orderkey <= 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount',
+         CAST(l_discount AS DECIMAL(15,4))
+  FROM lineitem WHERE l_orderkey <= 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax',
+         CAST(l_tax AS DECIMAL(15,4))
+  FROM lineitem WHERE l_orderkey <= 200)
+SELECT measure, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(value) AS DOUBLE) AS total,
+       CAST(MIN(value) AS DOUBLE) AS vmin,
+       CAST(MAX(value) AS DOUBLE) AS vmax
+FROM melted GROUP BY measure
+"""
+
+
 def batch26_registry() -> list[QueryDef]:
     return [
         QueryDef("q163_rag_retrieval_eval", q163_rag_retrieval_eval,
@@ -748,4 +865,8 @@ def batch26_registry() -> list[QueryDef]:
                  "bounded-depth BFS: 2-hop co-purchase neighborhoods"),
         QueryDef("q172_topk_with_ties", q172_topk_with_ties, ORACLE_Q172,
                  "FETCH FIRST WITH TIES via rank-cut windows"),
+        QueryDef("q173_sequence_gaps", q173_sequence_gaps, ORACLE_Q173,
+                 "sequence-gap islands (anti-join + window-free ranks)"),
+        QueryDef("q174_unpivot", q174_unpivot, ORACLE_Q174,
+                 "wide -> long unpivot via stack (inverse of pivot)"),
     ]
