@@ -858,6 +858,23 @@ _DRIVER_GREEN = {
     "q43_null_handling", "q44_region_nation_matrix", "q45_activity_overlap",
     "q46_similarity_ivf", "q47_label_centroids", "q48_salted_agg",
     "q49_pandas_tokenize", "q50_volume_shipping",
+    # Green in CORRECTNESS_r03.json (round-3 driver window).
+    "q51_market_share", "q52_returned_top_customers", "q53_big_orders",
+    "q54_disjunctive_filter", "q55_prospect_segments", "q56_window_suite",
+    "q57_daily_new_users", "q58_set_ops_all", "q60_price_percentiles",
+    "q61_tfidf_top_terms", "q62_quantize_embeddings", "q63_dedup_clusters",
+    "q64_udtf_tokenize", "q65_pandas_grouped_mean", "q66_funnel",
+    "q67_retention", "q68_sole_late_supplier", "q69_sliding_windows",
+    "q70_cube_grouping_id", "q71_pivot_status", "q72_array_functions",
+    "q73_datetime_functions", "q74_deterministic_sample",
+    "q75_stratified_sample", "q76_dedup_survivors", "q77_hybrid_retrieval",
+    "q78_rolling_7day_totals", "q79_regexp_functions", "q80_fuzzy_name_links",
+    "q82_asof_join", "q83_interval_join", "q84_gapfill_rollup",
+    "q85_embedding_neardup", "q86_simhash_hamming", "q87_decontaminate",
+    "q88_repetition_ratio", "q89_mixture_upsample", "q90_merge_upsert",
+    "q91_kmeans_assign", "q92_pack_sequences", "q93_chunk_documents",
+    "q94_pii_redact", "q95_dup_ngram_fraction", "q96_quality_gates",
+    "q97_ann_recall", "q98_zorder_key", "q99_vocabulary",
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
