@@ -190,13 +190,14 @@ def pagerank(
     exact and engine-portable), one shuffle to sum contributions per
     destination, then ``rank' = (1-d)·S div N + d·Σcontrib div 100``.
     Dangling nodes cannot occur on an undirected graph (degree ≥ 1).
-    The per-node state (degree ⋈ rank) is O(V) — joined without a
-    broadcast hint so AQE broadcasts it only when it actually fits (a
-    web-scale V can exceed the broadcast cap); the per-iteration
-    shuffle is O(E), and each iteration makes exactly ONE pass over the
-    edge table (state is pre-joined V-with-V, not two E-joins).
-    ``localCheckpoint`` caps lineage (invariant 6); at 1000 executors
-    this is the standard Pregel-as-joins layout.
+    The source degree is folded into the symmetric edge table ONCE
+    before the loop, so each iteration is exactly one O(E)⋈O(V) join
+    (edges ⋈ ranks) plus the contribution shuffle — no per-iteration
+    state rebuild. The rank table is O(V) — joined without a broadcast
+    hint so AQE broadcasts it only when it actually fits (a web-scale
+    V can exceed the broadcast cap). ``localCheckpoint`` caps lineage
+    (invariant 6); at 1000 executors this is the standard
+    Pregel-as-joins layout.
 
     Returns (node, rank_scaled BIGINT, rank DOUBLE); empty edges give
     an empty result rather than a division-by-zero.
@@ -224,14 +225,18 @@ def pagerank(
         )
     base = ((100 - damping_pct) * RANK_SCALE) // (100 * n_nodes)
     init = RANK_SCALE // n_nodes
-    # per-node state: (node, degree, rank_scaled) — the V⋈V pre-join
-    # keeps each iteration at a single join against the O(E) table
-    state = deg.select(
-        "node", "degree", F.lit(init).cast("long").alias("rank_scaled")
+    # fold the SOURCE degree into the edge table once: degree is
+    # iteration-invariant, so paying an 8-byte wider edge row saves a
+    # deg⋈ranks state-rebuild join every iteration
+    sym_d = sym.join(
+        deg.withColumnRenamed("node", "src"), on="src"
+    ).localCheckpoint(eager=False)
+    ranks = deg.select(
+        "node", F.lit(init).cast("long").alias("rank_scaled")
     )
     for _ in range(iterations):
-        contrib = sym.join(
-            state.withColumnRenamed("node", "src"), on="src"
+        contrib = sym_d.join(
+            ranks.withColumnRenamed("node", "src"), on="src"
         ).select(
             F.col("dst").alias("node"),
             F.expr("rank_scaled div degree").alias("c"),
@@ -243,9 +248,7 @@ def pagerank(
                 F.lit(base)
                 + F.expr(f"(sc * {damping_pct}) div 100")
             ).cast("long").alias("rank_scaled"),
-        )
-        state = deg.join(ranks, on="node").localCheckpoint(eager=False)
-    ranks = state.select("node", "rank_scaled")
+        ).localCheckpoint(eager=False)
     return ranks.select(
         "node",
         "rank_scaled",
