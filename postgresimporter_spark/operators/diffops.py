@@ -242,3 +242,70 @@ def check_constraints(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     if not parts:
         return spark.createDataFrame([], "rule string, violations long")
     return reduce(DataFrame.unionByName, parts)
+
+
+def bucket_fingerprints(
+    df: DataFrame,
+    key_col: str,
+    payload_cols: Sequence[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Merkle-style bucket summary of a table: hash-partition rows by
+    primary key into ``n_buckets`` buckets and reduce each bucket to
+    (row count, XOR of a 60-bit md5 row hash). XOR is commutative /
+    associative / self-inverse, so the fingerprint is independent of
+    row order and partitioning, and two snapshots can be compared
+    bucket-by-bucket with O(n_buckets) rows — the anti-entropy
+    handshake replication systems use (Merkle 1987; Dynamo's sync
+    trees): at 100 TB you ship 64 tiny rows, not the table, and only
+    buckets whose (count, xor) differ need a row-level diff
+    (``snapshot_diff`` scoped to that bucket's key range).
+
+    The row hash covers key + payload separated by ':' so column
+    drift changes the fingerprint; both legs are engine-replayable
+    md5 math.
+    """
+    from .dedup import _md5_long, hash_bucket
+
+    key = F.col(key_col).cast("string")
+    row = F.concat_ws(
+        ":", key, *[F.col(c).cast("string") for c in payload_cols]
+    )
+    return (
+        df.select(
+            hash_bucket(key, n_buckets).alias("bucket"),
+            _md5_long(row, 0).alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(_h)").cast("long").alias("xor_fp"),
+        )
+    )
+
+
+def bucket_diff(base: DataFrame, new: DataFrame) -> DataFrame:
+    """Compare two ``bucket_fingerprints`` summaries: the buckets whose
+    fingerprints disagree (changed / added / removed rows live there).
+    Full outer join on O(n_buckets) rows — metadata-scale."""
+    b = base.select(
+        "bucket",
+        F.col("n_rows").alias("n_base"),
+        F.col("xor_fp").alias("fp_base"),
+    )
+    n = new.select(
+        "bucket",
+        F.col("n_rows").alias("n_new"),
+        F.col("xor_fp").alias("fp_new"),
+    )
+    j = b.join(n, on="bucket", how="full_outer")
+    changed = (
+        F.coalesce(F.col("n_base"), F.lit(-1))
+        != F.coalesce(F.col("n_new"), F.lit(-1))
+    ) | (
+        F.coalesce(F.col("fp_base"), F.lit(0))
+        != F.coalesce(F.col("fp_new"), F.lit(0))
+    )
+    return j.where(changed).select(
+        "bucket", "n_base", "n_new", "fp_base", "fp_new"
+    )

@@ -328,3 +328,35 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling over a canonical undirected edge
+    list: each round drops every node of degree < ``k`` and the edges
+    touching it, the standard iterative decomposition (Seidman 1983)
+    with a BOUNDED round count so the operator is deterministic and
+    oracle-replayable regardless of convergence (the same fixed-point
+    discipline as ``pagerank``; run more rounds for a converged core).
+
+    Each round costs one degree aggregation (O(E), map-side partials)
+    plus two semi-joins of the edge list against the O(V) survivor
+    set — no broadcast hint, AQE broadcasts survivors when they fit.
+    ``localCheckpoint`` per round caps lineage (invariant 6).
+
+    Returns (node, degree) of the nodes surviving all rounds, with
+    their degree in the FINAL peeled subgraph.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    for _ in range(rounds):
+        keep = (
+            degrees(e)
+            .where(F.col("degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), on="src")
+            .join(keep.withColumnRenamed("node", "dst"), on="dst")
+            .localCheckpoint(eager=False)
+        )
+    return degrees(e)

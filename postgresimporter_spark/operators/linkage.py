@@ -236,3 +236,47 @@ __all__ = [
     "edit_distance_pairs",
     "sorted_neighborhood_pairs",
 ]
+
+
+def deletion_neighborhood_pairs(
+    terms: DataFrame,
+    term_col: str = "term",
+) -> DataFrame:
+    """Edit-distance-1 term pairs via the SymSpell deletion
+    neighborhood (Garbe's symmetric delete algorithm — public): each
+    term generates itself plus its |term| single-character deletions,
+    and two distinct terms are within edit distance 1 **iff** they
+    share a neighborhood entry (substitution ⇒ both delete the
+    differing position; insertion/deletion ⇒ the longer term's
+    deletion IS the shorter term). Candidates therefore come from an
+    equi-join on the variant string — |terms| × (len+1) keys, linear,
+    never an all-pairs scan — and the Levenshtein verify merely
+    confirms (the candidate set is exact, same lossless-filter
+    contract as the q-gram join above).
+
+    Returns (term_a < term_b, dist) with dist ∈ {1}.
+    """
+    t = F.col(term_col)
+    variants = F.concat(
+        F.array(t),
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.concat(
+                F.substring(t, F.lit(1), i - 1),
+                t.substr(i + 1, F.length(t)),
+            ),
+        ),
+    )
+    e = terms.select(t.alias("_t"), F.explode(variants).alias("_v"))
+    a = e.select(F.col("_t").alias("term_a"), "_v")
+    b = e.select(F.col("_t").alias("term_b"), "_v")
+    cand = (
+        a.join(b, on="_v")
+        .where(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .dropDuplicates(["term_a", "term_b"])
+    )
+    dist = F.levenshtein(F.col("term_a"), F.col("term_b"))
+    return cand.where(dist <= 1).select(
+        "term_a", "term_b", dist.cast("long").alias("dist")
+    )

@@ -10,9 +10,13 @@ sketches — no rescan, no re-shuffle of raw data. The binary is the
 standard DataSketches format, so other engines (Druid, Hive, BigQuery)
 can merge the same bytes.
 
-No DuckDB oracle applies (approximate, engine-specific estimates), so
-these ship as operators with property tests (estimate within the HLL
-error envelope of exact; merged == global) rather than catalog queries.
+No DuckDB oracle applies to the DataSketches binaries (approximate,
+engine-specific estimates), so those ship as operators with property
+tests (estimate within the HLL error envelope of exact; merged ==
+global) rather than catalog queries. ``hll_portable`` below is the
+oracle-checkable counterpart: the registers themselves are md5-derived
+and the accumulator is exact integer arithmetic, so ANY engine
+replays the sketch bit-for-bit (q175).
 """
 
 from __future__ import annotations
@@ -75,4 +79,142 @@ def approx_distinct(
     return df.groupBy(*key_cols).agg(agg) if key_cols else df.agg(agg)
 
 
-__all__ = ["distinct_sketch", "rollup_sketches", "approx_distinct", "DEFAULT_LG_K"]
+# --------------------------------------------------------------------------
+# Portable (engine-replayable) HyperLogLog — Flajolet et al. 2007
+# --------------------------------------------------------------------------
+
+# alpha_m bias constant for m = 64 registers (the m >= 64 formula
+# 0.7213 / (1 + 1.079 / m) applies from m = 128; the published m = 64
+# constant is 0.709).
+HLL_ALPHA_64 = 0.709
+HLL_M = 64  # register count (p = 6 index bits)
+_RHO_SCALE = 56  # unit 2^(56 - rho): max Z = 64 * 2^56 = 2^62 fits BIGINT
+
+
+def _hll_rho(tail_hex: Column) -> Column:
+    """HLL rank of a 13-nibble (52-bit) hex suffix: leading zero BITS
+    + 1, computed from hex nibbles so both engines agree exactly —
+    zero nibbles count via a ``^0*`` regex, the first non-zero nibble
+    contributes its own 0-3 leading zero bits via a 4-way CASE. An
+    all-zero suffix gets the maximal rank 53. No float log anywhere.
+    """
+    zn = F.length(F.regexp_extract(tail_hex, "^0*", 0))
+    first = F.conv(
+        F.substr(tail_hex, zn + 1, F.lit(1)), 16, 10
+    ).cast("int")
+    extra = (
+        F.when(first >= 8, 0)
+        .when(first >= 4, 1)
+        .when(first >= 2, 2)
+        .otherwise(3)
+    )
+    return F.when(zn >= 13, F.lit(53)).otherwise(zn * 4 + extra + 1)
+
+
+def hll_portable(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    estimate_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-group HyperLogLog with engine-replayable determinism: the
+    register index is the first md5 byte mod 64, the rank is the
+    leading-zero count of the next 52 bits, and the harmonic-mean
+    accumulator Z = Σ 2^-M_j runs as Σ 2^(56-M_j) in exact BIGINT
+    (max 64·2^56 = 2^62, inside signed-64) — so a SQL oracle
+    reproduces the registers AND the
+    accumulator bit-for-bit, and the one double division at the end is
+    deterministic (identical IEEE inputs both engines).
+
+    Shape: two bounded shuffles — (key, register) max-rank with
+    map-side partials, then a 64-rows-per-key rollup. Register state
+    is O(|keys| x 64) regardless of input size: the 100 TB
+    count-distinct answer. No small-range (linear counting) correction
+    is applied — callers in the n >> m regime (the intended one) don't
+    need it, and the raw estimate keeps the oracle formula exact.
+
+    Returns key_cols + (hit_registers, z_scaled BIGINT,
+    ``estimate_col`` DOUBLE rounded to 4).
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
+    rho = _hll_rho(F.substring(h, 3, 13))
+    regs = (
+        df.select(*key_cols, reg.alias("_reg"), rho.alias("_rho"))
+        .groupBy(*key_cols, "_reg")
+        .agg(F.max("_rho").alias("_mrho"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_SCALE} - _mrho)")
+    per_key = regs.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("hit_registers"),
+        F.sum(term).cast("long").alias("_zhit"),
+    )
+    empties = (F.lit(HLL_M) - F.col("hit_registers")).cast("long") * F.lit(
+        1 << _RHO_SCALE
+    ).cast("long")
+    z = (F.col("_zhit") + empties).cast("long")
+    # alpha * m^2 * 2^56 folded to ONE Python double literal; a single
+    # division by the exactly-reconstructed Z keeps the double math to
+    # one deterministic operation
+    numer = HLL_ALPHA_64 * HLL_M * HLL_M * float(1 << _RHO_SCALE)
+    return per_key.select(
+        *key_cols,
+        "hit_registers",
+        z.alias("z_scaled"),
+        F.round(F.lit(numer) / z.cast("double"), 4).alias(estimate_col),
+    )
+
+
+def hll_portable_sql(
+    table_expr: str, key_sql: str, value_sql: str, estimate_col: str = "est_distinct"
+) -> str:
+    """The DuckDB replay of ``hll_portable`` — kept beside the operator
+    so query oracles can't drift from the Spark constants."""
+    numer = HLL_ALPHA_64 * HLL_M * HLL_M * float(1 << _RHO_SCALE)
+    return f"""
+hashed AS (
+  SELECT {key_sql} AS k, md5(CAST({value_sql} AS VARCHAR)) AS h
+  FROM {table_expr}),
+ranked AS (
+  SELECT k,
+    ('0x' || substr(h, 1, 2))::BIGINT % {HLL_M} AS reg,
+    CASE WHEN length(regexp_extract(substr(h, 3, 13), '^0*')) >= 13
+         THEN 53
+         ELSE length(regexp_extract(substr(h, 3, 13), '^0*')) * 4
+              + (CASE
+                   WHEN ('0x' || substr(substr(h, 3, 13),
+                     length(regexp_extract(substr(h, 3, 13), '^0*')) + 1,
+                     1))::BIGINT >= 8 THEN 0
+                   WHEN ('0x' || substr(substr(h, 3, 13),
+                     length(regexp_extract(substr(h, 3, 13), '^0*')) + 1,
+                     1))::BIGINT >= 4 THEN 1
+                   WHEN ('0x' || substr(substr(h, 3, 13),
+                     length(regexp_extract(substr(h, 3, 13), '^0*')) + 1,
+                     1))::BIGINT >= 2 THEN 2
+                   ELSE 3 END) + 1 END AS rho
+  FROM hashed),
+regs AS (
+  SELECT k, reg, MAX(rho) AS mrho FROM ranked GROUP BY k, reg),
+perkey AS (
+  SELECT k,
+    CAST(COUNT(*) AS BIGINT) AS hit_registers,
+    CAST(SUM(1::BIGINT << ({_RHO_SCALE} - mrho))
+         + ({HLL_M} - COUNT(*)) * (1::BIGINT << {_RHO_SCALE})
+         AS BIGINT) AS z_scaled
+  FROM regs GROUP BY k)
+SELECT k, hit_registers, z_scaled,
+       round({numer!r} / CAST(z_scaled AS DOUBLE), 4) AS {estimate_col}
+FROM perkey
+"""
+
+
+__all__ = [
+    "distinct_sketch",
+    "rollup_sketches",
+    "approx_distinct",
+    "hll_portable",
+    "hll_portable_sql",
+    "DEFAULT_LG_K",
+    "HLL_ALPHA_64",
+    "HLL_M",
+]

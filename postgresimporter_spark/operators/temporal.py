@@ -372,3 +372,110 @@ def ewma(
         "n_events",
         F.round(folded, round_digits).alias("ewma"),
     )
+
+
+def cusum_scaled(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series CUSUM deviation curve in exact scaled integers.
+
+    CUSUM against the series mean is S_i = sum_{j<=i}(x_j - mean); the
+    mean is rational, so everything is scaled by n (the series length):
+    ``s_scaled_i = n * cumsum_i - i * total`` — pure BIGINT arithmetic,
+    bit-identical across engines and partition orders. The changepoint
+    candidate is argmax |S| (Page 1954's decision statistic at its
+    simplest: one pass, no tuning parameters).
+
+    Shape: one groupBy for (n, total) per key, joined back (O(|keys|)
+    rows — AQE broadcasts when it fits), then a per-key ordered window
+    for the cumulative sum — partitioned by the series key, never
+    global. Returns the input + (n_points, s_scaled).
+    """
+    keys = list(key_cols)
+    stats = series.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col(value_col)).cast("long").alias("_total"),
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    joined = series.join(stats, on=keys)
+    cum = F.sum(F.col(value_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    idx = F.row_number().over(w)
+    return joined.select(
+        *keys,
+        order_col,
+        F.col(value_col),
+        F.col("_n").alias("n_points"),
+        (F.col("_n") * cum - idx * F.col("_total"))
+        .cast("long")
+        .alias("s_scaled"),
+    )
+
+
+def lag_autocorr(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-series autocorrelation at lags 1..``max_lag`` with an
+    integer-exact numerator/denominator.
+
+    With y_i = n*x_i - total (the mean-centered value scaled by n —
+    BIGINT, no float), r_k = Σ y_i·y_{i+k} / Σ y_i² exactly (the n²
+    scale cancels). One ordered window per series supplies the lagged
+    columns; the single double division happens once per (key, lag).
+
+    Returns key_cols + (lag, num, den, acf DOUBLE rounded 6). The
+    series is the OBSERVED ordered sequence — callers gap-fill first
+    if calendar-lag semantics are needed (``time_bucket_gapfill``).
+    """
+    keys = list(key_cols)
+    stats = series.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col(value_col)).cast("long").alias("_total"),
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    y = (F.col("_n") * F.col(value_col) - F.col("_total")).cast("long")
+    base = series.join(stats, on=keys).select(
+        *keys, F.col(order_col), y.alias("_y"),
+        *[
+            F.lead(y, k).over(w).alias(f"_y{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = base.select(
+        *keys,
+        "_y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"_y{k}").alias("yl"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_l"),
+    )
+    per = stacked.groupBy(*keys, F.col("_l.lag").alias("lag")).agg(
+        F.sum(F.when(F.col("_l.yl").isNotNull(), F.col("_y") * F.col("_l.yl")))
+        .cast("long")
+        .alias("num"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("den"),
+    )
+    return per.select(
+        *keys,
+        "lag",
+        "num",
+        "den",
+        F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6).alias(
+            "acf"
+        ),
+    )

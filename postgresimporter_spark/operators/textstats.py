@@ -239,3 +239,52 @@ def oov_rate(
 
 
 __all__.append("oov_rate")
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, then
+    from each window of ``w`` consecutive gram hashes select the
+    minimum (rightmost occurrence on ties) and keep the distinct
+    (position, hash) selections. Guarantees at least one shared
+    fingerprint for any match of length >= w + k - 1 tokens, with
+    density 2/(w+1) — the provenance/plagiarism sketch a corpus
+    pipeline stores per document.
+
+    Shape: gram hashing is scan-local (zip-of-shifted-slices n-grams,
+    one md5 per gram); selection is a per-document window (partitioned
+    by ``id_col`` — never global) using min over a (hash, -pos) struct
+    so the rightmost-tie rule needs no second pass. Documents with
+    fewer than ``w`` grams yield no fingerprints (the standard
+    boundary: no full window exists).
+    """
+    from .curation import raw_ngrams
+    from .dedup import _md5_long
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(raw_ngrams(F.col(text_col), k)).alias("pos", "_g"),
+    ).select(
+        "doc_id", "pos", _md5_long(F.col("_g"), 0).alias("h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = grams.select(
+        "doc_id",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win).alias("_s"),
+        F.count("*").over(win).alias("_c"),
+    ).where(F.col("_c") == w)
+    return sel.select(
+        "doc_id",
+        (-F.col("_s.np")).cast("long").alias("pos"),
+        F.col("_s.h").alias("fp"),
+    ).distinct()
+
+
+__all__.append("winnowing_fingerprints")

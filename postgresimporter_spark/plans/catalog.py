@@ -831,6 +831,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch26_registry():
         out[q.name] = q
+    from .catalog_batch27 import batch27_registry
+
+    for q in batch27_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -1,0 +1,207 @@
+"""Edge-case tests for the batch-27 operators (portable HLL,
+winnowing, CUSUM/ACF, SymSpell, k-core, bucket fingerprints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgresimporter_spark.operators.diffops import (
+    bucket_diff,
+    bucket_fingerprints,
+)
+from postgresimporter_spark.operators.graph import kcore
+from postgresimporter_spark.operators.linkage import (
+    deletion_neighborhood_pairs,
+)
+from postgresimporter_spark.operators.sketches import (
+    HLL_M,
+    hll_portable,
+)
+from postgresimporter_spark.operators.temporal import (
+    cusum_scaled,
+    lag_autocorr,
+)
+from postgresimporter_spark.operators.textstats import (
+    winnowing_fingerprints,
+)
+
+# -- portable HLL -----------------------------------------------------------
+
+def test_hll_portable_state_and_envelope(spark):
+    n = 2000
+    df = spark.range(n).select(
+        F.lit("g").alias("k"), F.col("id").alias("v")
+    )
+    out = hll_portable(df, ["k"], "v").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert 0 < row.hit_registers <= HLL_M
+    # standard error for m=64 is ~13%; allow 4 sigma
+    assert abs(row.est_distinct - n) / n < 0.52
+    # determinism: a different row order gives the identical sketch
+    df2 = df.orderBy(F.desc("v"))
+    row2 = hll_portable(df2, ["k"], "v").collect()[0]
+    assert (row2.hit_registers, row2.z_scaled, row2.est_distinct) == (
+        row.hit_registers, row.z_scaled, row.est_distinct
+    )
+
+def test_hll_portable_duplicates_dont_move_estimate(spark):
+    base = spark.range(500).select(
+        F.lit("g").alias("k"), F.col("id").alias("v")
+    )
+    duped = base.unionAll(base).unionAll(base)
+    a = hll_portable(base, ["k"], "v").collect()[0]
+    b = hll_portable(duped, ["k"], "v").collect()[0]
+    assert a.z_scaled == b.z_scaled and a.est_distinct == b.est_distinct
+
+# -- winnowing --------------------------------------------------------------
+
+def test_winnowing_short_doc_yields_nothing(spark):
+    # 5 tokens -> 2 4-grams -> fewer than w=4 windows: no fingerprints
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    assert winnowing_fingerprints(df, k=4, w=4).count() == 0
+
+def test_winnowing_shared_passage_shares_fingerprint(spark):
+    # MOSS guarantee: a common substring of >= w + k - 1 = 7 tokens
+    # must share at least one selected fingerprint
+    common = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    df = spark.createDataFrame(
+        [
+            (1, "p q r " + common + " s t"),
+            (2, common + " u v w z1 z2 z3"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, k=4, w=4)
+    shared = (
+        fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("n"))
+        .where(F.col("n") == 2)
+    )
+    assert shared.count() >= 1
+
+def test_winnowing_density(spark):
+    text = " ".join(f"t{i}" for i in range(104))  # 101 grams, 98 windows
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n = winnowing_fingerprints(df, k=4, w=4).count()
+    # expected density 2/(w+1) = 0.4 of 98 windows ~ 39; generous band
+    assert 15 <= n <= 75
+
+# -- CUSUM / autocorrelation ------------------------------------------------
+
+def test_cusum_scaled_hand_example(spark):
+    # series 1, 1, 4 (n=3, total=6): s_scaled = 3*cum - i*6
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 4)], "k string, t int, x int"
+    )
+    rows = {
+        r.t: r.s_scaled
+        for r in cusum_scaled(df, ["k"], "t", "x").collect()
+    }
+    assert rows == {1: 3 * 1 - 6, 2: 3 * 2 - 12, 3: 3 * 6 - 18}
+    assert rows[3] == 0  # CUSUM always returns to zero at the end
+
+def test_lag_autocorr_alternating_series(spark):
+    # x = +1/-1 alternating, n=6: y = 6x - 0; r1 = -1, r2 = +1 (edge
+    # terms shrink the numerator: r1 = -5/6, r2 = 4/6 exactly)
+    data = [("a", i, 1 if i % 2 == 0 else -1) for i in range(6)]
+    df = spark.createDataFrame(data, "k string, t int, x int")
+    out = {
+        r.lag: (r.num, r.den)
+        for r in lag_autocorr(df, ["k"], "t", "x", max_lag=2).collect()
+    }
+    assert out[1] == (-5 * 36, 6 * 36)
+    assert out[2] == (4 * 36, 6 * 36)
+
+# -- SymSpell ---------------------------------------------------------------
+
+def test_deletion_neighborhood_exact_candidates(spark):
+    terms = ["abc", "abd", "abcd", "ab", "xyz", "azc"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        (r.term_a, r.term_b)
+        for r in deletion_neighborhood_pairs(df).collect()
+    }
+    # substitution, insertion, deletion all found; nothing at dist 2
+    assert got == {
+        ("ab", "abc"),        # deletion
+        ("ab", "abd"),        # deletion
+        ("abc", "abd"),       # substitution
+        ("abc", "abcd"),      # insertion
+        ("abc", "azc"),       # substitution
+        ("abcd", "abd"),      # insertion ('abcd' < 'abd' lexically)
+    }
+
+def _lev(a: str, b: str) -> int:
+
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+def test_deletion_neighborhood_matches_brute_force(spark):
+    # brute-force parity on a mixed vocabulary
+    terms = [
+        "spark", "spork", "sprk", "sparks", "stark", "shark",
+        "quartz", "quart", "quarts", "zebra",
+    ]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        (r.term_a, r.term_b)
+        for r in deletion_neighborhood_pairs(df).collect()
+    }
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(terms))
+        for b in sorted(terms)[i + 1 :]
+        if _lev(a, b) <= 1
+    }
+    assert got == want
+
+# -- k-core -----------------------------------------------------------------
+
+def test_kcore_peels_pendant_keeps_clique(spark):
+    # triangle 1-2-3 plus pendant 3-4: 2-core = the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src int, dst int"
+    )
+    out = {r.node: r.degree for r in kcore(edges, k=2, rounds=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+def test_kcore_cascade(spark):
+    # path 1-2-3-4-5: k=2 peels endpoints each round; 2 rounds leave 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    r1 = set(r.node for r in kcore(edges, k=2, rounds=1).collect())
+    assert r1 == {2, 3, 4}  # endpoints peeled; middle chain survives
+    # next round peels the new degree-1 endpoints; the path fully erodes
+    assert kcore(edges, k=2, rounds=2).count() == 0
+
+# -- bucket fingerprints ----------------------------------------------------
+
+def test_bucket_diff_empty_on_identical(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    fp = bucket_fingerprints(df, "k", ["v"], n_buckets=8)
+    assert bucket_diff(fp, fp).count() == 0
+
+def test_bucket_diff_flags_only_touched_buckets(spark):
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    new = base.withColumn(
+        "v", F.when(F.col("k") == 42, F.lit(-1)).otherwise(F.col("v"))
+    )
+    fb = bucket_fingerprints(base, "k", ["v"], n_buckets=8)
+    fn = bucket_fingerprints(new, "k", ["v"], n_buckets=8)
+    d = bucket_diff(fb, fn).collect()
+    assert len(d) == 1
+    # counts agree (no row added/removed), xor differs
+    assert d[0].n_base == d[0].n_new and d[0].fp_base != d[0].fp_new

@@ -29,6 +29,10 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
         "rank window runs AFTER .limit(20): input is exactly the 20 "
         "surviving rows (TakeOrderedAndProject does the heavy top-k)"
     ),
+    "q182_rrf_fusion": (
+        "rank window runs over bm25_topk's top-50 (TakeOrderedAndProject "
+        "does the heavy cut); fusion input is two <=50-row lists"
+    ),
 }
 
 
