@@ -88,4 +88,87 @@ def radius_pairs(
     )
 
 
-__all__ = ["radius_pairs"]
+def point_in_polygon(
+    points: DataFrame,
+    polygons: list[tuple[int, list[tuple[int, int]]]],
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Which points fall inside which polygons — the even-odd
+    (ray-casting) containment test in PURE INTEGER arithmetic, so both
+    engines agree bit-for-bit with no epsilon policy.
+
+    ``polygons`` is a driver-side list of (poly_id, [(x, y), ...])
+    simple polygons in integer coordinates (project/scale geographic
+    input first, as in ``radius_pairs``). Polygons become broadcast
+    literals: per (point, polygon) the edges fold scan-local — no
+    shuffle at all until the caller aggregates. A point crosses edge
+    (x1,y1)-(x2,y2) iff exactly one endpoint lies strictly above it
+    (the half-open [min_y, max_y) rule — vertices never double-count)
+    and the rightward ray passes strictly left of the edge's
+    intersection, decided by the sign of the exact integer cross
+    product — points exactly ON an edge are counted outside (strict
+    inequality), a deterministic and documented boundary rule.
+
+    Shape at scale: |polygons| is assumed dictionary-sized (regions,
+    geofences). For millions of polygons, bucket both sides by a
+    coarse grid cell first (the ``radius_pairs`` layout) and apply
+    this test per candidate; the per-pair fold is unchanged.
+    """
+    px, py = F.col(x_col), F.col(y_col)
+    hits = []
+    for pid, verts in polygons:
+        edges = list(zip(verts, verts[1:] + verts[:1]))
+        crossings = None
+        min_x = min(v[0] for v in verts)
+        max_x = max(v[0] for v in verts)
+        min_y = min(v[1] for v in verts)
+        max_y = max(v[1] for v in verts)
+        for (x1, y1), (x2, y2) in edges:
+            spans = (F.lit(y1) > py) != (F.lit(y2) > py)
+            cross = F.lit(x2 - x1) * (py - F.lit(y1)) - (
+                px - F.lit(x1)
+            ) * F.lit(y2 - y1)
+            leftward = (
+                (cross > 0) if y2 > y1 else (cross < 0)
+                if y2 < y1
+                else F.lit(False)
+            )
+            c = (spans & leftward).cast("int")
+            crossings = c if crossings is None else crossings + c
+        bbox = (
+            (px >= min_x) & (px <= max_x) & (py >= min_y) & (py <= max_y)
+        )
+        inside = F.when(bbox, crossings % 2 == 1).otherwise(F.lit(False))
+        hits.append(
+            F.struct(
+                F.lit(pid).cast("long").alias("poly_id"),
+                inside.alias("inside"),
+            )
+        )
+    # ONE scan for all polygons: fold every containment test into an
+    # array, explode, keep hits — |polygons| stays a per-row literal
+    return (
+        points.select(
+            F.col(id_col), px.alias(x_col), py.alias(y_col),
+            F.explode(F.array(*hits)).alias("_hit"),
+        )
+        .where(F.col("_hit.inside"))
+        .select("_hit.poly_id", id_col, x_col, y_col)
+    )
+
+
+def polygon_edges_values_sql(
+    polygons: list[tuple[int, list[tuple[int, int]]]],
+) -> str:
+    """The same polygons as a SQL VALUES edge table
+    (poly_id, x1, y1, x2, y2) — single source of truth for oracles."""
+    rows = []
+    for pid, verts in polygons:
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            rows.append(f"({pid}, {x1}, {y1}, {x2}, {y2})")
+    return ", ".join(rows)
+
+
+__all__ = ["radius_pairs", "point_in_polygon", "polygon_edges_values_sql"]

@@ -835,6 +835,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch27_registry():
         out[q.name] = q
+    from .catalog_batch28 import batch28_registry
+
+    for q in batch28_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -205,3 +205,40 @@ def test_bucket_diff_flags_only_touched_buckets(spark):
     assert len(d) == 1
     # counts agree (no row added/removed), xor differs
     assert d[0].n_base == d[0].n_new and d[0].fp_base != d[0].fp_new
+
+# -- point in polygon -------------------------------------------------------
+
+def test_point_in_polygon_matches_shoelace_bruteforce(spark):
+    import random
+
+    from postgresimporter_spark.operators.spatial import point_in_polygon
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 500), rng.randrange(0, 500))
+           for i in range(300)]
+    polys = [
+        (1, [(50, 50), (200, 60), (120, 190)]),
+        (2, [(250, 250), (450, 260), (440, 450), (260, 430)]),
+    ]
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    got = {
+        (r.poly_id, r.pid)
+        for r in point_in_polygon(df, polys, "x", "y", "pid").collect()
+    }
+
+    def inside(px, py, verts):
+        c = 0
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            if (y1 > py) != (y2 > py):
+                cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+                if (cross > 0) == (y2 > y1):
+                    c += 1
+        return c % 2 == 1
+
+    want = {
+        (pid_p, i)
+        for pid_p, verts in polys
+        for i, px, py in pts
+        if inside(px, py, verts)
+    }
+    assert got == want and len(want) > 10
