@@ -839,6 +839,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch28_registry():
         out[q.name] = q
+    from .catalog_batch29 import batch29_registry
+
+    for q in batch29_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

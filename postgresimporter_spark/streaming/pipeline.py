@@ -514,6 +514,38 @@ def stream_countmin(
     )
 
 
+def stream_hll(
+    records: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Continuously-maintained portable HyperLogLog registers — the
+    streaming face of q175's oracle-checked sketch
+    (``operators.sketches.hll_portable``).
+
+    State is the (key, register) -> max-rank table: BOUNDED BY
+    CONSTRUCTION at |keys| x 64 groups however long the stream runs
+    (like ``stream_countmin``'s grid, no watermark needed), and MAX is
+    monotone so complete-mode microbatch re-emission is cheap. The
+    register table is the mergeable artifact: union streams = max
+    their registers; the estimate is derived from the final registers
+    with ``sketches``' exact-integer Z formula.
+
+    Pure transformations — identical on a batch DataFrame, so
+    stream==batch equality is directly testable register-for-register.
+    """
+    from ..operators.sketches import _hll_rho, HLL_M
+
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
+    rho = _hll_rho(F.substring(h, 3, 13))
+    return (
+        records.select(*key_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*key_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

@@ -597,3 +597,32 @@ def test_stream_attribution_matches_batch(spark):
         (r["event_id"], r["click_ts"]) for r in reduced.collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_hll_matches_batch(spark):
+    """HLL registers are max-monotone, so the streamed register table
+    must equal the batch one register-for-register; state is bounded
+    by construction (|keys| x 64 groups)."""
+    from postgresimporter_spark.streaming.pipeline import stream_hll
+
+    ev = load_tables(spark, SF, ["events"])["events"]
+    batch = {
+        (r.event_type, r.reg): r.max_rho
+        for r in stream_hll(ev, ["event_type"], "event_id").collect()
+    }
+
+    path = "/tmp/stream_hll_parquet"
+    ev.select("event_type", "event_id").write.mode("overwrite").parquet(path)
+    stream_src = spark.readStream.schema(
+        "event_type string, event_id long"
+    ).parquet(path)
+    run_to_memory(
+        stream_hll(stream_src, ["event_type"], "event_id"),
+        "hll_stream",
+        output_mode="complete",
+    )
+    got = {
+        (r.event_type, r.reg): r.max_rho
+        for r in spark.table("hll_stream").collect()
+    }
+    assert got == batch and len(got) > 0
