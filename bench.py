@@ -72,6 +72,14 @@ HEADLINE = [
     "q158_prefix_jaccard",
     # spatial family regression guard (grid-cell candidate join)
     "q168_radius_pairs",
+    # round-4 tiers: portable-HLL sketch, winnowing fingerprints,
+    # k-core peeling (3 iterative join rounds), integer ray-cast
+    # containment, and the Markov transition windows
+    "q175_hll_distinct",
+    "q176_winnowing",
+    "q180_kcore",
+    "q183_point_in_polygon",
+    "q186_markov_transitions",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.

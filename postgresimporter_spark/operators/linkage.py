@@ -257,6 +257,10 @@ def deletion_neighborhood_pairs(
     Returns (term_a < term_b, dist) with dist ∈ {1}.
     """
     t = F.col(term_col)
+    # empty/NULL terms are dropped up front: Spark's sequence(1, 0)
+    # DESCENDS ([1, 0]) rather than yielding [], which would fabricate
+    # variants for the empty string
+    terms = terms.where(F.length(t) > 0)
     variants = F.concat(
         F.array(t),
         F.transform(

@@ -843,6 +843,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch29_registry():
         out[q.name] = q
+    from .catalog_batch30 import batch30_registry
+
+    for q in batch30_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
