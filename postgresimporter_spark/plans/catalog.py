@@ -847,6 +847,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch30_registry():
         out[q.name] = q
+    from .catalog_batch31 import batch31_registry
+
+    for q in batch31_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

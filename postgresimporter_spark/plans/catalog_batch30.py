@@ -125,7 +125,7 @@ exact AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect
   FROM a JOIN b USING (v)),
 est AS (
-  SELECT CAST(CAST({_JK - 1} AS DECIMAL(38,0)) * {_JM} // h_k AS BIGINT)
+  SELECT CAST(CAST({_JK - 1} AS HUGEINT) * {_JM} // h_k AS BIGINT)
            AS est_union
   FROM kth)
 SELECT CAST({_JK} AS BIGINT) AS k, n_both, est_union,
