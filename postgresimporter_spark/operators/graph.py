@@ -181,7 +181,10 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 3, damping_pct: int = 85
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank on an undirected canonical edge list,
     in exact fixed-point arithmetic (rank × 10^12 stored as BIGINT).
@@ -199,6 +202,13 @@ def pagerank(
     (invariant 6); at 1000 executors this is the standard
     Pregel-as-joins layout.
 
+    With ``weight_col`` set, edges carry an integer weight (e.g. the
+    co-purchase strength ``n_shared``): the out-"degree" becomes the
+    node's total strength and each contribution is
+    ``(rank · w) div strength`` — still exact integer arithmetic
+    (rank ≤ 10^12 and integer weights keep the product inside
+    signed-64 for weights up to ~9·10^6).
+
     Returns (node, rank_scaled BIGINT, rank DOUBLE); empty edges give
     an empty result rather than a division-by-zero.
     """
@@ -206,13 +216,19 @@ def pagerank(
     # degree aggregation read it, and without this the upstream edge
     # build (a co-occurrence self-join in the q119 caller) would run
     # once per consumer instead of once total
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    w_cols = [weight_col] if weight_col else []
+    e = edges.select("src", "dst", *w_cols).localCheckpoint(eager=False)
     sym = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), *w_cols
+        )
+    )
+    deg_agg = (
+        F.sum(weight_col) if weight_col else F.count("*")
     )
     deg = (
         sym.groupBy("src")
-        .agg(F.count("*").cast("long").alias("degree"))
+        .agg(deg_agg.cast("long").alias("degree"))
         .withColumnRenamed("src", "node")
         .localCheckpoint(eager=False)
     )
@@ -235,11 +251,16 @@ def pagerank(
         "node", F.lit(init).cast("long").alias("rank_scaled")
     )
     for _ in range(iterations):
+        contrib_expr = (
+            f"(rank_scaled * {weight_col}) div degree"
+            if weight_col
+            else "rank_scaled div degree"
+        )
         contrib = sym_d.join(
             ranks.withColumnRenamed("node", "src"), on="src"
         ).select(
             F.col("dst").alias("node"),
-            F.expr("rank_scaled div degree").alias("c"),
+            F.expr(contrib_expr).alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("sc"))
         ranks = summed.select(

@@ -851,6 +851,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch31_registry():
         out[q.name] = q
+    from .catalog_batch32 import batch32_registry
+
+    for q in batch32_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
