@@ -855,6 +855,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch32_registry():
         out[q.name] = q
+    from .catalog_batch33 import batch33_registry
+
+    for q in batch33_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
