@@ -152,6 +152,69 @@ def global_running_sum(
     )
 
 
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    idx_col: str = "row_idx",
+    rmax_col: str = "running_max",
+    num_partitions: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Append a 1-based global row number AND the running MAX of
+    ``value_col`` over a TOTAL order — the sweep-line primitive
+    (skyline/Pareto, envelope curves) — with no unpartitioned window.
+
+    Same layout as ``global_running_sum``: range-partition on the
+    order columns, local cumulative max per partition, then combine
+    with the max of all EARLIER partitions from the broadcast offset
+    table (max is associative, so prefix-max decomposes exactly like
+    prefix-sum). ``inclusive=False`` gives the max over STRICTLY
+    earlier rows (NULL for the global first row) — the strict-
+    dominance form a skyline sweep needs; ``greatest`` skips the NULL
+    partial on partition boundaries either way.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_part = _num_partitions(df, num_partitions)
+
+    ranged = (
+        df.repartitionByRange(n_part, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = ranged.withColumn(
+        "_local_rn", F.row_number().over(w)
+    ).withColumn(
+        "_local_max",
+        F.max(value_col).over(
+            w.rowsBetween(
+                Window.unboundedPreceding,
+                Window.currentRow if inclusive else -1,
+            )
+        ),
+    )
+
+    stats = ranged.groupBy("_pid").agg(
+        F.count("*").alias("_cnt"), F.max(value_col).alias("_vmax")
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"),
+            F.max("b._vmax").alias("_vprev"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(idx_col, (F.col("_off") + F.col("_local_rn")).cast("long"))
+        .withColumn(rmax_col, F.greatest("_local_max", "_vprev"))
+        .drop("_pid", "_local_rn", "_local_max", "_off", "_vprev")
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -859,6 +859,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch33_registry():
         out[q.name] = q
+    from .catalog_batch34 import batch34_registry
+
+    for q in batch34_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -242,3 +242,36 @@ def test_point_in_polygon_matches_shoelace_bruteforce(spark):
         if inside(px, py, verts)
     }
     assert got == want and len(want) > 10
+
+# -- global running max (batch 34 machinery) --------------------------------
+
+def test_global_running_max_matches_naive(spark):
+    import random
+
+    from postgresimporter_spark.operators.ranking import global_running_max
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = {
+        r.k: (r.row_idx, r.running_max)
+        for r in global_running_max(
+            df, [F.asc("k")], "v", num_partitions=7
+        ).collect()
+    }
+    run = None
+    for i, (k, v) in enumerate(sorted(rows), 1):
+        run = v if run is None else max(run, v)
+        assert out[k] == (i, run)
+
+    # exclusive mode: strictly-earlier max, NULL for the first row
+    ex = {
+        r.k: r.running_max
+        for r in global_running_max(
+            df, [F.asc("k")], "v", num_partitions=7, inclusive=False
+        ).collect()
+    }
+    prev = None
+    for k, v in sorted(rows):
+        assert ex[k] == prev
+        prev = v if prev is None else max(prev, v)
