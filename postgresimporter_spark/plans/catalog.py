@@ -863,6 +863,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch34_registry():
         out[q.name] = q
+    from .catalog_batch35 import batch35_registry
+
+    for q in batch35_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
