@@ -867,6 +867,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch35_registry():
         out[q.name] = q
+    from .catalog_batch36 import batch36_registry
+
+    for q in batch36_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
