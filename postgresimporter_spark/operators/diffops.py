@@ -268,9 +268,20 @@ def bucket_fingerprints(
     from .dedup import _md5_long, hash_bucket
 
     key = F.col(key_col).cast("string")
-    row = F.concat_ws(
-        ":", key, *[F.col(c).cast("string") for c in payload_cols]
-    )
+    # NULL-safe payload encoding: concat_ws silently DROPS nulls (and
+    # their separator), which would both hide cross-column value swaps
+    # and diverge from the SQL replay (NULL || x = NULL there). Each
+    # column encodes as 'v:<value>' or the literal 'null', so NULLs are
+    # positional and replayable: COALESCE('v:' || p, 'null') in SQL.
+    # (String payloads containing ':' should be pre-escaped by the
+    # caller if cross-column ambiguity matters.)
+    enc = [
+        F.coalesce(
+            F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("null")
+        )
+        for c in payload_cols
+    ]
+    row = F.concat_ws(":", key, *enc)
     return (
         df.select(
             hash_bucket(key, n_buckets).alias("bucket"),

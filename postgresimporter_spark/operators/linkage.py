@@ -235,6 +235,7 @@ __all__ = [
     "edit_distance_candidates",
     "edit_distance_pairs",
     "sorted_neighborhood_pairs",
+    "deletion_neighborhood_pairs",
 ]
 
 

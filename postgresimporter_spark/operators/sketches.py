@@ -111,6 +111,19 @@ def _hll_rho(tail_hex: Column) -> Column:
     return F.when(zn >= 13, F.lit(53)).otherwise(zn * 4 + extra + 1)
 
 
+def hll_register_rho(value_col: str) -> tuple[Column, Column]:
+    """The (register index, rank) column pair every portable-HLL face
+    derives from one md5: first byte mod 64 indexes the register, the
+    next 52 bits' leading-zero count + 1 is the rank. Shared by the
+    batch operator (``hll_portable``) and the streaming register
+    maintainer (``streaming.pipeline.stream_hll``) so the two can
+    never drift — their register tables are comparable by contract."""
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
+    rho = _hll_rho(F.substring(h, 3, 13))
+    return reg, rho
+
+
 def hll_portable(
     df: DataFrame,
     key_cols: list[str],
@@ -136,9 +149,7 @@ def hll_portable(
     Returns key_cols + (hit_registers, z_scaled BIGINT,
     ``estimate_col`` DOUBLE rounded to 4).
     """
-    h = F.md5(F.col(value_col).cast("string"))
-    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
-    rho = _hll_rho(F.substring(h, 3, 13))
+    reg, rho = hll_register_rho(value_col)
     regs = (
         df.select(*key_cols, reg.alias("_reg"), rho.alias("_rho"))
         .groupBy(*key_cols, "_reg")
@@ -214,6 +225,7 @@ __all__ = [
     "approx_distinct",
     "hll_portable",
     "hll_portable_sql",
+    "hll_register_rho",
     "DEFAULT_LG_K",
     "HLL_ALPHA_64",
     "HLL_M",

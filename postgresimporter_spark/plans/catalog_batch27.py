@@ -42,7 +42,7 @@ from .catalog import QueryDef
 
 def q175_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct event_ids per event_type via the engine-replayable
-    HLL (64 md5-derived registers, exact DECIMAL accumulator), with
+    HLL (64 md5-derived registers, exact BIGINT accumulator), with
     the exact distinct count beside it — the sketch grades itself the
     same way q97 grades ANN recall. The register state is O(types x
     64) no matter the input size; the exact column is the part that
@@ -362,13 +362,13 @@ def q181_bucket_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q181 = f"""
 WITH base AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS k,
-         CAST(o_totalprice AS VARCHAR) AS p
+         COALESCE('v:' || CAST(o_totalprice AS VARCHAR), 'null') AS p
   FROM orders),
 neww AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS k,
-         CAST(CASE WHEN o_orderkey % {_UPD_MOD} = 0
+         COALESCE('v:' || CAST(CASE WHEN o_orderkey % {_UPD_MOD} = 0
                    THEN o_totalprice + 1
-                   ELSE o_totalprice END AS VARCHAR) AS p
+                   ELSE o_totalprice END AS VARCHAR), 'null') AS p
   FROM orders WHERE o_orderkey % {_DEL_MOD} <> 0),
 fb AS (
   SELECT ('0x' || substr(md5(k), 1, 15))::BIGINT % {_SYNC_BUCKETS}

@@ -56,8 +56,11 @@ def q194_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("supp")
     )
     n_baskets = cok.agg(F.count("*").cast("long").alias("_n"))
+    # feed the already-checkpointed distinct (container, item) table
+    # back in: ONE lineitem scan total, and supports/pairs provably
+    # derive from the identical basket set
     pairs = cooccurrence_edges(
-        li, "l_orderkey", "l_partkey",
+        ci, "c", "item",
         max_container_size=MAX_CONTAINER, count_pairs=True,
     )
     sym = pairs.select(

@@ -47,8 +47,7 @@ def q200_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("price_cents"),
     )
     asm = parts.where(F.col("p_partkey") < _ASM).select(
-        F.col("p_partkey").alias("asm"),
-        F.col("price_cents").alias("asm_cents"),
+        F.col("p_partkey").alias("asm")
     )
     child_edges = asm.select(
         "asm",

@@ -219,20 +219,24 @@ def q207_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(colsum, on="dow")
         .crossJoin(F.broadcast(n))
     )
-    num = F.col("_n") * F.col("obs") - F.col("_row") * F.col("_col")
+    # the deviation is exact in BIGINT; cast BEFORE squaring so the
+    # square lives in IEEE doubles on both engines (a raw long square
+    # wraps silently on Spark and errors on DuckDB past ~3e9 —
+    # invariant 23's divergent-failure class)
+    num_d = (
+        F.col("_n") * F.col("obs") - F.col("_row") * F.col("_col")
+    ).cast("double")
     contrib = (
-        (num * num).cast("double")
+        num_d * num_d
         / (F.col("_n") * F.col("_row") * F.col("_col")).cast("double")
         / F.col("_n").cast("double")
     )
     return j.select(
         "event_type", "dow", "obs",
-        F.expr("(1000000 * _row * _col) div (_n * 1)")
-        .cast("long").alias("_exp_times_n_micro"),
         F.expr("((1000000 * _row * _col) div _n) div _n")
         .cast("long").alias("expected_micro"),
         F.round(contrib, 6).alias("chi2_contrib"),
-    ).drop("_exp_times_n_micro")
+    )
 
 
 ORACLE_Q207 = """
@@ -248,7 +252,7 @@ tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
 SELECT cells.event_type, cells.dow, cells.obs,
   CAST(((1000000 * r * c) // n) // n AS BIGINT) AS expected_micro,
   round(
-    CAST((n * obs - r * c) * (n * obs - r * c) AS DOUBLE)
+    CAST(n * obs - r * c AS DOUBLE) * CAST(n * obs - r * c AS DOUBLE)
     / CAST(n * r * c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS chi2_contrib
 FROM cells
 JOIN rws USING (event_type)

@@ -534,11 +534,9 @@ def stream_hll(
     Pure transformations — identical on a batch DataFrame, so
     stream==batch equality is directly testable register-for-register.
     """
-    from ..operators.sketches import _hll_rho, HLL_M
+    from ..operators.sketches import hll_register_rho
 
-    h = F.md5(F.col(value_col).cast("string"))
-    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
-    rho = _hll_rho(F.substring(h, 3, 13))
+    reg, rho = hll_register_rho(value_col)
     return (
         records.select(*key_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*key_cols, "reg")
