@@ -871,6 +871,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch36_registry():
         out[q.name] = q
+    from .catalog_batch37 import batch37_registry
+
+    for q in batch37_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
