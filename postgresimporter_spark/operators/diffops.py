@@ -244,6 +244,36 @@ def check_constraints(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     return reduce(DataFrame.unionByName, parts)
 
 
+def bucket_row_hash(
+    key_col: str, payload_cols: Sequence[str], raw: bool = False
+):
+    """The NULL-safe md5 row hash shared by the batch
+    (``bucket_fingerprints``) and streaming
+    (``streaming.pipeline.stream_bucket_fingerprints``) faces, so the
+    two produce comparable fingerprints by contract.
+
+    concat_ws silently DROPS nulls (and their separator), which would
+    both hide cross-column value swaps and diverge from the SQL
+    replay (NULL || x = NULL there). Each payload column therefore
+    encodes as 'v:<value>' or the literal 'null' — positional and
+    replayable as COALESCE('v:' || p, 'null') in SQL. (String
+    payloads containing ':' should be pre-escaped by the caller if
+    cross-column ambiguity matters.) ``raw=True`` returns the encoded
+    string instead of the 60-bit hash.
+    """
+    from .dedup import _md5_long
+
+    key = F.col(key_col).cast("string")
+    enc = [
+        F.coalesce(
+            F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("null")
+        )
+        for c in payload_cols
+    ]
+    row = F.concat_ws(":", key, *enc)
+    return row if raw else _md5_long(row, 0)
+
+
 def bucket_fingerprints(
     df: DataFrame,
     key_col: str,
@@ -268,20 +298,7 @@ def bucket_fingerprints(
     from .dedup import _md5_long, hash_bucket
 
     key = F.col(key_col).cast("string")
-    # NULL-safe payload encoding: concat_ws silently DROPS nulls (and
-    # their separator), which would both hide cross-column value swaps
-    # and diverge from the SQL replay (NULL || x = NULL there). Each
-    # column encodes as 'v:<value>' or the literal 'null', so NULLs are
-    # positional and replayable: COALESCE('v:' || p, 'null') in SQL.
-    # (String payloads containing ':' should be pre-escaped by the
-    # caller if cross-column ambiguity matters.)
-    enc = [
-        F.coalesce(
-            F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("null")
-        )
-        for c in payload_cols
-    ]
-    row = F.concat_ws(":", key, *enc)
+    row = bucket_row_hash(key_col, payload_cols, raw=True)
     return (
         df.select(
             hash_bucket(key, n_buckets).alias("bucket"),

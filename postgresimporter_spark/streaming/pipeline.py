@@ -544,6 +544,46 @@ def stream_hll(
     )
 
 
+def stream_bucket_fingerprints(
+    records: DataFrame,
+    key_col: str,
+    payload_cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Continuously-maintained Merkle bucket fingerprints — the
+    streaming face of q181's anti-entropy summary
+    (``operators.diffops.bucket_fingerprints``).
+
+    COUNT is additive and XOR is commutative/associative/self-inverse,
+    so both reduce per microbatch with bounded state (n_buckets
+    groups, like the CMS grid and the HLL registers — the third
+    member of the bounded-state streaming summary family). An
+    append-only stream keeps the running table fingerprint current;
+    replicas compare O(n_buckets) rows whenever they sync
+    (``bucket_diff``).
+
+    Pure transformations — identical on a batch DataFrame, so
+    stream==batch equality is testable bucket-for-bucket. Uses the
+    SAME NULL-safe v:-encoding as the batch operator (shared helper)
+    so batch and stream fingerprints are comparable by contract.
+    """
+    from ..operators.diffops import bucket_row_hash
+    from ..operators.dedup import hash_bucket
+
+    key = F.col(key_col).cast("string")
+    return (
+        records.select(
+            hash_bucket(key, n_buckets).alias("bucket"),
+            bucket_row_hash(key_col, payload_cols).alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(_h)").cast("long").alias("xor_fp"),
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

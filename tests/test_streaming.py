@@ -626,3 +626,50 @@ def test_stream_hll_matches_batch(spark):
         for r in spark.table("hll_stream").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_bucket_fingerprints_matches_batch(spark):
+    """COUNT is additive and XOR self-inverse, so the streamed bucket
+    fingerprints must equal the batch summary bucket-for-bucket;
+    state is bounded by construction (n_buckets groups)."""
+    from postgresimporter_spark.operators.diffops import (
+        bucket_fingerprints,
+    )
+    from postgresimporter_spark.streaming.pipeline import (
+        stream_bucket_fingerprints,
+    )
+
+    o = load_tables(spark, SF, ["orders"])["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    batch = {
+        r.bucket: (r.n_rows, r.xor_fp)
+        for r in bucket_fingerprints(
+            o, "o_orderkey", ["o_totalprice"], n_buckets=16
+        ).collect()
+    }
+    stream_view = {
+        r.bucket: (r.n_rows, r.xor_fp)
+        for r in stream_bucket_fingerprints(
+            o, "o_orderkey", ["o_totalprice"], n_buckets=16
+        ).collect()
+    }
+    assert stream_view == batch and len(batch) > 0
+
+    path = "/tmp/stream_bfp_parquet"
+    o.write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(
+        "o_orderkey long, o_totalprice double"
+    ).parquet(path)
+    run_to_memory(
+        stream_bucket_fingerprints(
+            src, "o_orderkey", ["o_totalprice"], n_buckets=16
+        ),
+        "bfp_stream",
+        output_mode="complete",
+    )
+    got = {
+        r.bucket: (r.n_rows, r.xor_fp)
+        for r in spark.table("bfp_stream").collect()
+    }
+    assert got == batch
