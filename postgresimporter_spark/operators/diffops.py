@@ -244,9 +244,7 @@ def check_constraints(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     return reduce(DataFrame.unionByName, parts)
 
 
-def bucket_row_hash(
-    key_col: str, payload_cols: Sequence[str], raw: bool = False
-):
+def bucket_row_hash(key_col: str, payload_cols: Sequence[str]):
     """The NULL-safe md5 row hash shared by the batch
     (``bucket_fingerprints``) and streaming
     (``streaming.pipeline.stream_bucket_fingerprints``) faces, so the
@@ -258,8 +256,7 @@ def bucket_row_hash(
     encodes as 'v:<value>' or the literal 'null' — positional and
     replayable as COALESCE('v:' || p, 'null') in SQL. (String
     payloads containing ':' should be pre-escaped by the caller if
-    cross-column ambiguity matters.) ``raw=True`` returns the encoded
-    string instead of the 60-bit hash.
+    cross-column ambiguity matters.)
     """
     from .dedup import _md5_long
 
@@ -270,8 +267,7 @@ def bucket_row_hash(
         )
         for c in payload_cols
     ]
-    row = F.concat_ws(":", key, *enc)
-    return row if raw else _md5_long(row, 0)
+    return _md5_long(F.concat_ws(":", key, *enc), 0)
 
 
 def bucket_fingerprints(
@@ -295,14 +291,13 @@ def bucket_fingerprints(
     drift changes the fingerprint; both legs are engine-replayable
     md5 math.
     """
-    from .dedup import _md5_long, hash_bucket
+    from .dedup import hash_bucket
 
     key = F.col(key_col).cast("string")
-    row = bucket_row_hash(key_col, payload_cols, raw=True)
     return (
         df.select(
             hash_bucket(key, n_buckets).alias("bucket"),
-            _md5_long(row, 0).alias("_h"),
+            bucket_row_hash(key_col, payload_cols).alias("_h"),
         )
         .groupBy("bucket")
         .agg(

@@ -226,15 +226,21 @@ def q207_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_d = (
         F.col("_n") * F.col("obs") - F.col("_row") * F.col("_col")
     ).cast("double")
-    contrib = (
-        num_d * num_d
-        / (F.col("_n") * F.col("_row") * F.col("_col")).cast("double")
-        / F.col("_n").cast("double")
+    # the denominator factors widen to double BEFORE multiplying —
+    # n·r·c in raw BIGINT is the same invariant-23 hazard as the
+    # numerator square (wraps on Spark, errors on DuckDB at ~7M rows)
+    den = (
+        F.col("_n").cast("double")
+        * F.col("_row").cast("double")
+        * F.col("_col").cast("double")
     )
+    contrib = num_d * num_d / den / F.col("_n").cast("double")
     return j.select(
         "event_type", "dow", "obs",
-        F.expr("((1000000 * _row * _col) div _n) div _n")
-        .cast("long").alias("expected_micro"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * _row * _col)"
+            " div _n div _n AS BIGINT)"
+        ).alias("expected_micro"),
         F.round(contrib, 6).alias("chi2_contrib"),
     )
 
@@ -250,10 +256,12 @@ cls AS (
   SELECT dow, CAST(SUM(obs) AS BIGINT) AS c FROM cells GROUP BY 1),
 tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
 SELECT cells.event_type, cells.dow, cells.obs,
-  CAST(((1000000 * r * c) // n) // n AS BIGINT) AS expected_micro,
+  CAST(((CAST(1000000 AS HUGEINT) * r * c) // n) // n AS BIGINT)
+    AS expected_micro,
   round(
     CAST(n * obs - r * c AS DOUBLE) * CAST(n * obs - r * c AS DOUBLE)
-    / CAST(n * r * c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS chi2_contrib
+    / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+    / CAST(n AS DOUBLE), 6) AS chi2_contrib
 FROM cells
 JOIN rws USING (event_type)
 JOIN cls USING (dow)

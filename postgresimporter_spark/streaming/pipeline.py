@@ -567,21 +567,11 @@ def stream_bucket_fingerprints(
     SAME NULL-safe v:-encoding as the batch operator (shared helper)
     so batch and stream fingerprints are comparable by contract.
     """
-    from ..operators.diffops import bucket_row_hash
-    from ..operators.dedup import hash_bucket
+    from ..operators.diffops import bucket_fingerprints
 
-    key = F.col(key_col).cast("string")
-    return (
-        records.select(
-            hash_bucket(key, n_buckets).alias("bucket"),
-            bucket_row_hash(key_col, payload_cols).alias("_h"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.expr("bit_xor(_h)").cast("long").alias("xor_fp"),
-        )
-    )
+    # the batch operator IS pure transformations — delegating keeps the
+    # batch==stream fingerprint contract enforceable at one call site
+    return bucket_fingerprints(records, key_col, payload_cols, n_buckets)
 
 
 def run_to_memory(
