@@ -875,6 +875,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch37_registry():
         out[q.name] = q
+    from .catalog_batch38 import batch38_registry
+
+    for q in batch38_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
