@@ -879,6 +879,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch38_registry():
         out[q.name] = q
+    from .catalog_batch39 import batch39_registry
+
+    for q in batch39_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
