@@ -883,6 +883,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch39_registry():
         out[q.name] = q
+    from .catalog_batch40 import batch40_registry
+
+    for q in batch40_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
