@@ -193,12 +193,21 @@ def pagerank(
     exact and engine-portable), one shuffle to sum contributions per
     destination, then ``rank' = (1-d)·S div N + d·Σcontrib div 100``.
     Dangling nodes cannot occur on an undirected graph (degree ≥ 1).
-    The source degree is folded into the symmetric edge table ONCE
-    before the loop, so each iteration is exactly one O(E)⋈O(V) join
-    (edges ⋈ ranks) plus the contribution shuffle — no per-iteration
-    state rebuild. The rank table is O(V) — joined without a broadcast
-    hint so AQE broadcasts it only when it actually fits (a web-scale
-    V can exceed the broadcast cap). ``localCheckpoint`` caps lineage
+    Iteration layout: the per-node state (node, degree, rank) is
+    rebuilt each round with an O(V)⋈O(V) join (deg ⋈ new ranks) and
+    the edge table stays NARROW (src, dst[, w]); each iteration makes
+    one pass over the O(E) table against the small state. The
+    alternative — folding degree into the edge table once before the
+    loop — was benched head-to-head at sf1 on the q119 co-purchase
+    graph (3 iterations, min-of-3, local[32]): folded-edge 7.10s vs
+    state-rebuild 6.11s, identical results. The folded layout
+    checkpoints an 8-byte-wider O(E) table up front and carries it
+    through every iteration's join, which costs more than the three
+    O(V) state-rebuild joins it saves; it also regressed the round-4
+    external bench 47% (7.08s → 10.41s), so the state-rebuild layout
+    is pinned here. State is joined without a broadcast hint so AQE
+    broadcasts it only when it actually fits (a web-scale V can
+    exceed the broadcast cap). ``localCheckpoint`` caps lineage
     (invariant 6); at 1000 executors this is the standard
     Pregel-as-joins layout.
 
@@ -241,23 +250,21 @@ def pagerank(
         )
     base = ((100 - damping_pct) * RANK_SCALE) // (100 * n_nodes)
     init = RANK_SCALE // n_nodes
-    # fold the SOURCE degree into the edge table once: degree is
-    # iteration-invariant, so paying an 8-byte wider edge row saves a
-    # deg⋈ranks state-rebuild join every iteration
-    sym_d = sym.join(
-        deg.withColumnRenamed("node", "src"), on="src"
-    ).localCheckpoint(eager=False)
-    ranks = deg.select(
-        "node", F.lit(init).cast("long").alias("rank_scaled")
+    # keep the O(E) table narrow; degree rides in the O(V) state and
+    # is re-joined after each round (measured faster than folding it
+    # into the edges — see the layout note in the docstring)
+    sym = sym.localCheckpoint(eager=False)
+    contrib_expr = (
+        f"(rank_scaled * {weight_col}) div degree"
+        if weight_col
+        else "rank_scaled div degree"
+    )
+    state = deg.select(
+        "node", "degree", F.lit(init).cast("long").alias("rank_scaled")
     )
     for _ in range(iterations):
-        contrib_expr = (
-            f"(rank_scaled * {weight_col}) div degree"
-            if weight_col
-            else "rank_scaled div degree"
-        )
-        contrib = sym_d.join(
-            ranks.withColumnRenamed("node", "src"), on="src"
+        contrib = sym.join(
+            state.withColumnRenamed("node", "src"), on="src"
         ).select(
             F.col("dst").alias("node"),
             F.expr(contrib_expr).alias("c"),
@@ -269,7 +276,9 @@ def pagerank(
                 F.lit(base)
                 + F.expr(f"(sc * {damping_pct}) div 100")
             ).cast("long").alias("rank_scaled"),
-        ).localCheckpoint(eager=False)
+        )
+        state = deg.join(ranks, on="node").localCheckpoint(eager=False)
+    ranks = state.select("node", "rank_scaled")
     return ranks.select(
         "node",
         "rank_scaled",

@@ -931,14 +931,59 @@ _DRIVER_GREEN = {
     "q91_kmeans_assign", "q92_pack_sequences", "q93_chunk_documents",
     "q94_pii_redact", "q95_dup_ngram_fraction", "q96_quality_gates",
     "q97_ann_recall", "q98_zorder_key", "q99_vocabulary",
+    # Green in CORRECTNESS_r04.json (round-4 driver window, q100-q146).
+    # q101_trend_slope is deliberately NOT listed: its r4 row was a hash
+    # mismatch (negative-zero formatting); it stays in the head window
+    # until the driver re-verifies the +0.0 normalization fix.
+    "q100_robust_outliers", "q102_sql_subqueries", "q103_global_row_ids",
+    "q104_equidepth_histogram", "q105_weighted_sample", "q106_inverted_index",
+    "q107_bm25_topk", "q108_frequent_tokens", "q109_bloom_semi_join",
+    "q110_variant_props", "q111_scd2_intervals", "q112_incremental_agg",
+    "q113_group_split", "q114_snapshot_diff", "q115_profile_table",
+    "q116_check_constraints", "q117_degree_histogram", "q118_triangle_nodes",
+    "q119_pagerank", "q120_containment_pairs", "q121_unigram_logprob",
+    "q122_pmi_bigrams", "q123_hard_negatives", "q124_cdc_chunks",
+    "q125_lsh_recall", "q126_bigram_perplexity", "q127_temperature_mix",
+    "q128_random_projection", "q129_incremental_minhash", "q130_span_dedup",
+    "q131_retrieval_metrics", "q132_source_overlap", "q133_source_quota",
+    "q134_oov_rate", "q135_semdedup", "q136_incremental_topk",
+    "q137_phrase_search", "q138_corpus_build", "q139_ewma",
+    "q140_url_canonicalize", "q141_domain_quota", "q142_bpe_merges",
+    "q143_dsir_select", "q144_bpe_encode", "q145_duplicate_spans",
+    "q146_pq_encode",
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
 _SENTINELS = ["q01_pricing_summary", "q19_strip", "q23_table_counts"]
 
+# Round counter for the re-verification slice below.  Bumped once per
+# round alongside the _DRIVER_GREEN additions.
+_ROUND = 5
+
+# How many previously-green queries to rotate back into the head window
+# each round, so old greens keep getting re-sampled by the external gate
+# rather than being permanently parked behind it (advisor round-4 ask).
+_REVERIFY_SLICE = 8
+
 
 def _rotate_for_verification(out: dict[str, QueryDef]) -> dict[str, QueryDef]:
-    """Order: sentinels -> never-driver-checked -> previously-green."""
+    """Order: sentinels -> never-driver-checked -> rotating re-verify
+    slice of previously-green queries -> remaining previously-green.
+
+    The external correctness gate samples a fixed-size window from the
+    head of registry order.  Leading with never-checked queries converts
+    local-only evidence into driver-green rows fastest; the rotating
+    slice (offset advances by _REVERIFY_SLICE each round, wrapping) makes
+    sure queries that went green in an earlier round are periodically
+    re-verified externally, so a regression in shared operators cannot
+    hide behind registry order indefinitely.
+    """
     unchecked = [n for n in out if n not in _DRIVER_GREEN and n not in _SENTINELS]
     checked = [n for n in out if n in _DRIVER_GREEN and n not in _SENTINELS]
-    return {n: out[n] for n in [*_SENTINELS, *unchecked, *checked]}
+    if checked:
+        start = (_ROUND * _REVERIFY_SLICE) % len(checked)
+        rotated = checked[start:] + checked[:start]
+        reverify, rest = rotated[:_REVERIFY_SLICE], rotated[_REVERIFY_SLICE:]
+    else:
+        reverify, rest = [], []
+    return {n: out[n] for n in [*_SENTINELS, *unchecked, *reverify, *rest]}

@@ -137,11 +137,15 @@ def q101_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = (
         F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
     ) / F.col("_n").cast("double")
+    # ``+ 0.0`` normalizes IEEE negative zero: round() can emit -0.0 in
+    # one engine and +0.0 in the other for a slope that rounds to zero
+    # (values compare equal, formatted hashes differ).  -0.0 + 0.0 is
+    # +0.0 under IEEE 754, so both engines land on the same bit pattern.
     return agg.select(
         "user_id",
         F.col("_n").cast("long").alias("n_events"),
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
     )
 
 
@@ -167,9 +171,9 @@ d AS (
   FROM agg)
 SELECT user_id, n_events,
        round((n_d * sxy_d - sx_d * sy_d) /
-             (n_d * sxx_d - sx_d * sx_d), 6) AS slope,
+             (n_d * sxx_d - sx_d * sx_d), 6) + 0.0 AS slope,
        round((sy_d - (n_d * sxy_d - sx_d * sy_d) /
-                     (n_d * sxx_d - sx_d * sx_d) * sx_d) / n_d, 6)
+                     (n_d * sxx_d - sx_d * sx_d) * sx_d) / n_d, 6) + 0.0
          AS intercept
 FROM d
 """
