@@ -252,22 +252,24 @@ def bucket_row_hash(key_col: str, payload_cols: Sequence[str]):
 
     concat_ws silently DROPS nulls (and their separator), which would
     both hide cross-column value swaps and diverge from the SQL
-    replay (NULL || x = NULL there). Each payload column therefore
-    encodes as 'v:<value>' or the literal 'null' — positional and
-    replayable as COALESCE('v:' || p, 'null') in SQL. (String
-    payloads containing ':' should be pre-escaped by the caller if
-    cross-column ambiguity matters.)
+    replay (NULL || x = NULL there). Every column INCLUDING the key
+    therefore encodes as 'v:<value>' or the literal 'null' —
+    positional and replayable as COALESCE('v:' || x, 'null') in SQL.
+    (A NULL key previously fell through concat_ws's null-dropping and
+    hashed as if the key column didn't exist, diverging from the SQL
+    replay where '0:' || NULL is NULL; encoding the key closes that.)
+    (String payloads containing ':' should be pre-escaped by the
+    caller if cross-column ambiguity matters.)
     """
     from .dedup import _md5_long
 
-    key = F.col(key_col).cast("string")
     enc = [
         F.coalesce(
             F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("null")
         )
-        for c in payload_cols
+        for c in (key_col, *payload_cols)
     ]
-    return _md5_long(F.concat_ws(":", key, *enc), 0)
+    return _md5_long(F.concat_ws(":", *enc), 0)
 
 
 def bucket_fingerprints(
@@ -289,11 +291,15 @@ def bucket_fingerprints(
 
     The row hash covers key + payload separated by ':' so column
     drift changes the fingerprint; both legs are engine-replayable
-    md5 math.
+    md5 math. The bucket is derived from the null-encoded key
+    ('v:<key>' / 'null') so NULL-keyed rows land in a real bucket
+    instead of propagating a NULL bucket.
     """
     from .dedup import hash_bucket
 
-    key = F.col(key_col).cast("string")
+    key = F.coalesce(
+        F.concat(F.lit("v:"), F.col(key_col).cast("string")), F.lit("null")
+    )
     return (
         df.select(
             hash_bucket(key, n_buckets).alias("bucket"),

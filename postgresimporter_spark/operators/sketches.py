@@ -148,10 +148,16 @@ def hll_portable(
 
     Returns key_cols + (hit_registers, z_scaled BIGINT,
     ``estimate_col`` DOUBLE rounded to 4).
+
+    NULL values are excluded before hashing (COUNT DISTINCT
+    semantics): md5(NULL) would otherwise emit a NULL register row
+    per key, inflating hit_registers (even past HLL_M) and dropping
+    one genuinely-empty register's 2^56 term from Z.
     """
     reg, rho = hll_register_rho(value_col)
     regs = (
-        df.select(*key_cols, reg.alias("_reg"), rho.alias("_rho"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*key_cols, reg.alias("_reg"), rho.alias("_rho"))
         .groupBy(*key_cols, "_reg")
         .agg(F.max("_rho").alias("_mrho"))
     )
@@ -185,7 +191,7 @@ def hll_portable_sql(
     return f"""
 hashed AS (
   SELECT {key_sql} AS k, md5(CAST({value_sql} AS VARCHAR)) AS h
-  FROM {table_expr}),
+  FROM {table_expr} WHERE {value_sql} IS NOT NULL),
 ranked AS (
   SELECT k,
     ('0x' || substr(h, 1, 2))::BIGINT % {HLL_M} AS reg,

@@ -361,11 +361,11 @@ def q181_bucket_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q181 = f"""
 WITH base AS (
-  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+  SELECT COALESCE('v:' || CAST(o_orderkey AS VARCHAR), 'null') AS k,
          COALESCE('v:' || CAST(o_totalprice AS VARCHAR), 'null') AS p
   FROM orders),
 neww AS (
-  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+  SELECT COALESCE('v:' || CAST(o_orderkey AS VARCHAR), 'null') AS k,
          COALESCE('v:' || CAST(CASE WHEN o_orderkey % {_UPD_MOD} = 0
                    THEN o_totalprice + 1
                    ELSE o_totalprice END AS VARCHAR), 'null') AS p

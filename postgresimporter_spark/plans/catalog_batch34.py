@@ -12,8 +12,9 @@ window-free distributed form of ORDER-BY-all running aggregates:
   all-pairs comparison anywhere.
 - q204 two-sample Kolmogorov–Smirnov drift statistic, exactly: both
   samples' CDFs advance through ONE prefix pass (the two per-level
-  counts packed into a single 2^31-base integer so one running sum
-  carries both), and D = max |n_b·F_a − n_a·F_b| is an integer — the
+  counts packed into a single base-10^18 DECIMAL(38,0) so one running
+  sum carries both, overflow-free for any physically reachable count),
+  and D = max |n_b·F_a − n_a·F_b| is an integer — the
   distribution-drift test with zero float hazard.
 """
 
@@ -88,17 +89,24 @@ WHERE NOT EXISTS (
 
 _KS_YEAR_A = 1995
 _KS_YEAR_B = 1996
-_PACK = 1 << 31  # packs (count_a, count_b) into one running-sum integer
+# Packs (count_a, count_b) into one DECIMAL(38,0) running sum: the B
+# lane holds counts < 10^18 and the A lane < 10^20 before precision-38
+# arithmetic overflows (ANSI mode then fails loudly rather than
+# wrapping). 10^18 rows is ~10^6 PB of orders — physically out of
+# reach — so carry bleed between the lanes cannot occur, unlike the
+# earlier base-2^31 long packing which silently corrupted at 2.1 G
+# rows per sample.
+_PACK = 10**18
 
 
 def q204_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Did the order-price distribution move between 1995 and 1996?
     The exact KS statistic: per distinct price, both samples' counts
-    pack into one base-2^31 integer, ONE distributed prefix sum
-    yields both empirical CDFs, and D_scaled = max |n_b·cum_a −
-    n_a·cum_b| is pure integer arithmetic (argmax price as the
-    deterministic tiebreak). d_micro = 1e6·D_scaled div (n_a·n_b) is
-    the classical D in micro-units."""
+    pack into one base-10^18 DECIMAL(38,0) integer, ONE distributed
+    prefix sum yields both empirical CDFs, and D_scaled = max
+    |n_b·cum_a − n_a·cum_b| is pure integer arithmetic (argmax price
+    as the deterministic tiebreak). d_micro = 1e6·D_scaled div
+    (n_a·n_b) is the classical D in micro-units."""
     from ..operators.ranking import global_running_sum
 
     o = load_tables(spark, sf_dir, ["orders"])["orders"].withColumn(
@@ -109,7 +117,10 @@ def q204_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("_y") == _KS_YEAR_A).cast("long")).alias("_na"),
         F.sum((F.col("_y") == _KS_YEAR_B).cast("long")).alias("_nb"),
     ).select(
-        "v", (F.col("_na") * _PACK + F.col("_nb")).alias("enc")
+        "v",
+        (
+            F.col("_na").cast("decimal(38,0)") * F.lit(_PACK) + F.col("_nb")
+        ).alias("enc"),
     )
     cs = global_running_sum(
         levels, [F.asc("v")], "enc", rsum_col="rs", total_col="tot"
@@ -117,9 +128,9 @@ def q204_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = cs.select(
         "v",
         F.expr(f"rs div {_PACK}").alias("cum_a"),
-        (F.col("rs") % _PACK).alias("cum_b"),
+        (F.col("rs") % _PACK).cast("long").alias("cum_b"),
         F.expr(f"tot div {_PACK}").alias("na"),
-        (F.col("tot") % _PACK).alias("nb"),
+        (F.col("tot") % _PACK).cast("long").alias("nb"),
     ).select(
         "v", "na", "nb",
         F.abs(

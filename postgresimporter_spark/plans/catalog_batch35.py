@@ -96,7 +96,11 @@ FROM runs GROUP BY priority
 
 _MW_YEAR_A = 1995
 _MW_YEAR_B = 1996
-_PACK = 1 << 31
+# Base-10^18 DECIMAL(38,0) lane packing (see catalog_batch34._PACK):
+# carry bleed is impossible below 10^18 rows per sample, and ANSI
+# decimal arithmetic fails loudly past precision 38 instead of
+# silently wrapping like the earlier base-2^31 long packing.
+_PACK = 10**18
 
 
 def q206_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +122,10 @@ def q206_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("_y") == _MW_YEAR_B).cast("long")).alias("nb_v"),
     ).select(
         "v", "na_v", "nb_v",
-        (F.col("na_v") * _PACK + F.col("nb_v")).alias("enc"),
+        (
+            F.col("na_v").cast("decimal(38,0)") * F.lit(_PACK)
+            + F.col("nb_v")
+        ).alias("enc"),
     )
     cs = global_running_sum(
         levels, [F.asc("v")], "enc", rsum_col="rs", total_col="tot"
@@ -129,9 +136,9 @@ def q206_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = cs.select(
         "na_v", "nb_v",
         F.expr(f"rs div {_PACK}").alias("_ca"),
-        (F.col("rs") % _PACK).alias("_cb"),
+        (F.col("rs") % _PACK).cast("long").alias("_cb"),
         F.expr(f"tot div {_PACK}").alias("na"),
-        (F.col("tot") % _PACK).alias("nb"),
+        (F.col("tot") % _PACK).cast("long").alias("nb"),
     ).withColumn(
         "_end", F.col("_ca") + F.col("_cb")
     ).withColumn(

@@ -538,7 +538,11 @@ def stream_hll(
 
     reg, rho = hll_register_rho(value_col)
     return (
-        records.select(*key_cols, reg.alias("reg"), rho.alias("rho"))
+        # NULL values are excluded before hashing, matching
+        # hll_portable's COUNT DISTINCT semantics (a NULL would emit
+        # a NULL register row and corrupt the register table).
+        records.where(F.col(value_col).isNotNull())
+        .select(*key_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*key_cols, "reg")
         .agg(F.max("rho").alias("max_rho"))
     )
