@@ -91,11 +91,17 @@ SF1_HEADLINE = [
     "q46_similarity_ivf",
     # r3: the two heaviest non-output-bound new-tier queries — both
     # scale ~linearly sf0.1 -> sf1 (3.4s -> 14.9s, 3.7s -> 19.5s).
-    # q86 is excluded: the 31-token synthetic vocabulary makes its TRUE
-    # pair count quadratic at sf1 (14.5M result rows) — output-bound,
-    # not operator-bound.
     "q95_dup_ngram_fraction",
     "q119_pagerank",
+    # r5 (VERDICT r04 #7): the two most expensive non-PageRank headline
+    # entries, so iterative-graph peeling and banded-dedup regressions
+    # are visible at data-dominated scale. Caveat for reading q86's
+    # number: the 31-token synthetic vocabulary makes its TRUE pair
+    # count quadratic at sf1 (14.5M result rows, ~35s), so its time is
+    # dominated by verified-pair materialization, not the banding —
+    # treat it as a throughput number, not a candidate-pruning one.
+    "q180_kcore",
+    "q86_simhash_hamming",
 ]
 SF1_COPIES = 10
 

@@ -211,9 +211,15 @@ def q207_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, ONE double division per cell, identical expression both
     engines."""
     ev = load_tables(spark, sf_dir, ["events"])["events"]
+    # checkpoint the contingency cells: they feed FOUR consumers (row
+    # totals, column totals, grand total, the join base) and without
+    # materialization each consumer would re-run the full events scan
+    # + groupBy — 4x IO at 100 TB for a |types|x7-row table
     cells = ev.groupBy(
         "event_type", F.weekday("ts").cast("long").alias("dow")
-    ).agg(F.count("*").cast("long").alias("obs"))
+    ).agg(F.count("*").cast("long").alias("obs")).localCheckpoint(
+        eager=False
+    )
     rows = cells.groupBy("event_type").agg(
         F.sum("obs").cast("long").alias("_row")
     )

@@ -51,8 +51,16 @@ def q208_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     states = binned.groupBy("source", "bin").agg(
         F.count("*").cast("long").alias("cnt")
     )
-    # merge states -> global histogram (64 rows)
-    hist = states.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    # merge states -> global histogram (64 rows). Checkpointed: the
+    # cumulative self-join reads it twice and every quantile row
+    # filters the cumulative table, so without materialization each
+    # of the three quantiles would re-run the full documents scan +
+    # two groupBys (10 scans total at plan level; 2 after).
+    hist = (
+        states.groupBy("bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     tot = hist.agg(F.sum("cnt").cast("long").alias("_n"))
     # cumulative over <=64 rows via tiny self-join (no window)
     cum = (
