@@ -2,12 +2,14 @@
 with typed metadata (SURVEY §2.10).
 
 The Spark-side plumbing — schema, partition sizing, Arrow-batched UDF
-signatures — is real and tested, and so is most of the decoding:
-PNG, GIF, JPEG (baseline AND progressive), and PCM WAV decode their
-actual pixels/samples library-free (``png.py``/``gif.py``/``jpeg.py``
-and ``audio_decode``), and MP4/MP3 container metadata parses from the
-raw byte layouts. Only MP3/video SAMPLE decode remains a deterministic
-stub behind ``DECODERS``; a deployment swaps in real codecs
+signatures — is real and tested, and so is the decoding: PNG, GIF,
+JPEG (baseline AND progressive), PCM WAV, and MJPEG video (AVI
+container or raw concatenated-JPEG stream, ``mjpeg.py``) decode their
+actual pixels/samples library-free; MP4/MP3 container metadata parses
+from the raw byte layouts. The remaining boundary is explicit, not
+faked: MP4/MOV pixel decode (inter-frame codecs) returns container
+metadata with ``pixels_decoded: False``, and MP3 sample decode
+reports header metadata only; a deployment swaps in real codecs
 (ffmpeg/...) with the same (bytes) -> dict signature.
 
 Scale posture: media rows are large — ``mapInPandas`` streams Arrow
@@ -119,14 +121,43 @@ def audio_decode(content: bytes) -> dict:
     }
 
 
-# modality -> decoder; images (PNG/GIF/JPEG incl. progressive) and
-# PCM WAV decode for real; video frame decode remains a deterministic
-# stub until a deployment registers a real codec (ffmpeg/...) with
-# the same (bytes) -> dict signature.
+def video_decode(content: bytes) -> dict:
+    """Video decoder: REAL frame decode for Motion-JPEG — AVI
+    container (header timing + first-frame pixels + true frame count,
+    ``operators/mjpeg.py``) and raw concatenated-JPEG streams — via
+    the from-scratch JPEG codec. MP4/MOV returns real CONTAINER
+    metadata (moov duration + presentation dims) with
+    ``pixels_decoded: False`` — inter-frame codecs (H.264/VP9) need an
+    entropy/motion pipeline out of scope here, and that boundary is
+    explicit rather than faked. Unrecognized bytes raise ValueError
+    (extract_features' log-and-continue surfaces them as nulls)."""
+    from .jpeg import JPEG_MAGIC
+    from .mjpeg import avi_mjpeg_meta, is_avi, mjpeg_stream_meta
+
+    b = content or b""
+    if is_avi(b):
+        return avi_mjpeg_meta(b)
+    if b.startswith(JPEG_MAGIC):
+        return mjpeg_stream_meta(b)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        meta = _parse_mp4_header(b) or {}
+        meta["pixels_decoded"] = False
+        return meta
+    raise ValueError(
+        "unsupported video codec: MJPEG (AVI or raw stream) decodes "
+        "for real, MP4/MOV is container-metadata only"
+    )
+
+
+# modality -> decoder; images (PNG/GIF/JPEG incl. progressive),
+# PCM WAV, and MJPEG video decode for real; MP4 yields container
+# metadata with an explicit pixels_decoded=False. A deployment can
+# still swap in a full codec (ffmpeg/...) with the same
+# (bytes) -> dict signature.
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "image": image_decode,
     "audio": audio_decode,
-    "video": deterministic_fake_decode,
+    "video": video_decode,
 }
 
 
@@ -450,45 +481,85 @@ def _gif_sample(content: bytes, every_ms: int) -> list[tuple[int, bytes]]:
     return out
 
 
+def _mjpeg_sample(content: bytes, every_ms: int) -> list[tuple[int, bytes]]:
+    """REAL frame sampling for MJPEG AVIs: stream the movi chunks
+    (one frame resident at a time), decode ONLY the frames that land
+    on a sample offset, and emit them as PNG bytes — the same
+    timeline discipline as ``_gif_sample``. A zero-timing AVI samples
+    its final frame once at offset 0."""
+    from .jpeg import decode_jpeg
+    from .mjpeg import iter_avi_mjpeg_frames, parse_avi_header
+    from .png import encode_png
+
+    hdr = parse_avi_header(content)
+    d = (hdr["usec_per_frame"] // 1000) if hdr else 0
+    out: list[tuple[int, bytes]] = []
+    t = 0
+    next_off = 0
+    last = None
+    for fr in iter_avi_mjpeg_frames(content):
+        last = fr
+        while d > 0 and t <= next_off < t + d:
+            out.append((next_off, encode_png(decode_jpeg(fr))))
+            next_off += every_ms
+        t += d
+    if not out and last is not None:
+        out.append((0, encode_png(decode_jpeg(last))))
+    return out
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling: one output row per sampled frame offset.
 
-    REAL for animated GIFs — the timeline composites via the GIF
-    decoder and each sampled row carries the visible frame re-encoded
-    as PNG bytes. Other modalities emit offset rows with null frame
-    bytes from the decoded duration (real deployments plug a video
-    codec in). Demonstrates the row-expanding UDF shape (mapInPandas
-    yielding more rows than it receives).
+    REAL for animated GIFs and MJPEG AVIs — the timeline advances via
+    the respective decoder and each sampled row carries the frame
+    actually visible at that offset, re-encoded as PNG bytes. Other
+    modalities emit offset rows with null frame bytes from the decoded
+    duration; rows whose bytes no decoder accepts (or that decode with
+    unknown timing, e.g. raw MJPEG streams) emit one offset-0 row with
+    a null frame, preserving the >=1-row-per-input contract.
+    Demonstrates the row-expanding UDF shape (mapInPandas yielding
+    more rows than it receives).
     """
     def _sample(batches: Iterator) -> Iterator:
         import pandas as pd
 
         from .gif import GIF_MAGICS
+        from .mjpeg import is_avi
 
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 content = r["content"] or b""
+                sampled: list[tuple[int, bytes]] = []
                 if content[:6] in GIF_MAGICS:
                     try:
                         sampled = _gif_sample(content, every_ms)
                     except ValueError:
                         sampled = []  # malformed GIF: offset fallback
-                    if sampled:  # frameless GIFs also fall through,
-                        # preserving the >= 1 row per input contract
-                        for off, png in sampled:
-                            rows.append(
-                                {
-                                    "path": r["path"],
-                                    "frame_ms": off,
-                                    "frame": png,
-                                }
-                            )
-                        continue
-                duration = DECODERS.get(
-                    r["modality"], deterministic_fake_decode
-                )(content)["duration_ms"]
-                for off in range(0, max(duration, 1), every_ms):
+                elif is_avi(content):
+                    try:
+                        sampled = _mjpeg_sample(content, every_ms)
+                    except ValueError:
+                        sampled = []  # malformed AVI: offset fallback
+                if sampled:  # frameless media falls through,
+                    # preserving the >= 1 row per input contract
+                    for off, png in sampled:
+                        rows.append(
+                            {
+                                "path": r["path"],
+                                "frame_ms": off,
+                                "frame": png,
+                            }
+                        )
+                    continue
+                try:
+                    duration = DECODERS.get(
+                        r["modality"], deterministic_fake_decode
+                    )(content).get("duration_ms")
+                except Exception:  # noqa: BLE001 - log-and-continue
+                    duration = None
+                for off in range(0, max(duration or 1, 1), every_ms):
                     rows.append(
                         {"path": r["path"], "frame_ms": off, "frame": None}
                     )
@@ -544,8 +615,47 @@ def image_resize(content: bytes, width: int, height: int) -> bytes:
     return deterministic_fake_resize(content, width, height)
 
 
+def video_resize(content: bytes, width: int, height: int) -> bytes:
+    """REAL video resize for MJPEG AVIs: every frame decodes, resamples
+    (nearest-neighbor) and re-encodes through the JPEG codec, and the
+    container is rebuilt with the original frame timing. Raw MJPEG
+    streams re-emit as concatenated resized JPEGs. Inter-frame codecs
+    raise ValueError — the explicit out-of-scope boundary, same policy
+    as ``video_decode``."""
+    from .jpeg import JPEG_MAGIC, jpeg_resize
+    from .mjpeg import (
+        build_avi_mjpeg,
+        is_avi,
+        iter_avi_mjpeg_frames,
+        parse_avi_header,
+        split_mjpeg_stream,
+    )
+
+    b = content or b""
+    if is_avi(b):
+        hdr = parse_avi_header(b) or {}
+        usec = hdr.get("usec_per_frame") or 0
+        fps_milli = int(1_000_000_000 // usec) if usec else 30_000
+        frames = [
+            jpeg_resize(fr, width, height) for fr in iter_avi_mjpeg_frames(b)
+        ]
+        if not frames:
+            raise ValueError("AVI carries no MJPEG frames to resize")
+        return build_avi_mjpeg(
+            frames, fps_milli=fps_milli, width=width, height=height
+        )
+    if b.startswith(JPEG_MAGIC):
+        out = b"".join(
+            jpeg_resize(fr, width, height) for fr in split_mjpeg_stream(b)
+        )
+        if out:
+            return out
+    raise ValueError("video resize supports MJPEG (AVI or raw stream) only")
+
+
 RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {
     "image": image_resize,
+    "video": video_resize,
 }
 
 
@@ -602,6 +712,8 @@ __all__ = [
     "extract_media_metadata",
     "DECODERS",
     "RESIZERS",
+    "video_decode",
+    "video_resize",
     "deterministic_fake_decode",
     "deterministic_fake_resize",
     "read_media_dir",

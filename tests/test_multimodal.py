@@ -51,8 +51,20 @@ def test_unknown_modality_yields_nulls_not_failures(spark, tmp_path):
 
 
 def test_sample_frames_expands_rows(spark, tmp_path):
+    # a real MJPEG AVI: 7 frames at 2 fps = 3500ms timeline; sampling
+    # every 1000ms lands at 0/1000/2000/3000 (real frames attached —
+    # pixel-level assertions live in test_mjpeg.py)
+    import numpy as np
+
+    from postgresimporter_spark.operators.jpeg import encode_jpeg
+    from postgresimporter_spark.operators.mjpeg import build_avi_mjpeg
+
+    frames_jpeg = [
+        encode_jpeg(np.full((8, 8), 40 + 8 * i, dtype=np.uint8))
+        for i in range(7)
+    ]
     p = tmp_path / "clip.bin"
-    p.write_bytes(b"x" * 3500)  # fake duration 3500ms
+    p.write_bytes(build_avi_mjpeg(frames_jpeg, fps_milli=2_000))
     media = read_media_dir(spark, str(tmp_path / "*.bin"), "video")
     frames = sample_frames(media, every_ms=1000).collect()
     assert [f.frame_ms for f in sorted(frames, key=lambda r: r.frame_ms)] == [
@@ -61,6 +73,7 @@ def test_sample_frames_expands_rows(spark, tmp_path):
         2000,
         3000,
     ]
+    assert all(f.frame is not None for f in frames)
 
 
 def test_resize_media_transforms_per_row(spark, tmp_path):
@@ -87,9 +100,14 @@ def test_resize_media_unsupported_modality_raises(spark, tmp_path):
     from postgresimporter_spark.operators.multimodal import resize_media
 
     (tmp_path / "a.bin").write_bytes(b"x")
-    media = read_media_dir(spark, str(tmp_path / "*.bin"), "video")
+    media = read_media_dir(spark, str(tmp_path / "*.bin"), "hologram")
     with pytest.raises(PySparkException, match="no resizer"):
         resize_media(media, 64, 48).collect()
+    # video now HAS a resizer (MJPEG), but non-MJPEG video bytes hit
+    # the explicit codec boundary instead of a silent fake
+    media_v = read_media_dir(spark, str(tmp_path / "*.bin"), "video")
+    with pytest.raises(PySparkException, match="MJPEG"):
+        resize_media(media_v, 64, 48).collect()
 
 
 def _tiny_png(w, h):
