@@ -876,3 +876,93 @@ def prefix_candidate_count(
 
 
 __all__ += ["prefix_jaccard_pairs", "prefix_candidate_count"]
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    threshold_micro: int = 300_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_ratio: float | None = None,
+) -> DataFrame:
+    """Exact weighted (multiset) Jaccard near-dup pairs:
+    ``Σ_t min(c_a, c_b) / Σ_t max(c_a, c_b)`` over per-document token
+    COUNTS — the repetition-aware refinement of set Jaccard (two docs
+    that repeat the same boilerplate 50x vs 1x are NOT near-dups under
+    this measure, but are under the set version).
+
+    Scale shape, in three bounded stages:
+
+    1. token counts per doc (one shuffle), checkpointed — three
+       consumers (candidate lists, per-doc totals, the min-sum
+       rebuild) must not re-scan the corpus;
+    2. candidates from a DISTINCT-token equi-join with the optional
+       hot-token cap (``max_doc_ratio``, same stop-word skew guard as
+       ``ngram_jaccard_pairs``) — the cap prunes CANDIDATES only;
+    3. the min-sum is rebuilt EXACTLY over ALL shared tokens by
+       routing the bounded pair list through both docs' count lists
+       (pairs ⋈ counts_a on id, then ⋈ counts_b on (id, token) —
+       |pairs| x tokens-per-doc rows, never corpus x corpus), so the
+       score is cap-independent. Σmax falls out as
+       ``tot_a + tot_b − Σmin`` without a second pass.
+
+    The score is integer micro-units (1e6·Σmin div Σmax) — exact,
+    hash-stable across engines. Returns (id_a < id_b, min_sum, tot_a,
+    tot_b, wjacc_micro >= threshold_micro).
+    """
+    from .textstats import tokens as _tok
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tok(F.col(text_col))).alias("tok"),
+    )
+    counts = (
+        toks.groupBy("id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tots = counts.groupBy("id").agg(F.sum("c").cast("long").alias("tot"))
+    dist = counts.select("id", "tok")
+    if max_doc_ratio is not None:
+        n_docs = df.agg(F.count("*").cast("double").alias("_n_docs"))
+        rare = (
+            dist.groupBy("tok")
+            .agg(F.count("*").alias("_df"))
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("_df") <= F.lit(max_doc_ratio) * F.col("_n_docs"))
+            .select("tok")
+        )
+        dist = dist.join(rare, on="tok")
+    a, b = dist.alias("a"), dist.alias("b")
+    cand = (
+        a.join(b, on="tok")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ca = counts.select(F.col("id").alias("id_a"), "tok", F.col("c").alias("c_a"))
+    cb = counts.select(F.col("id").alias("id_b"), "tok", F.col("c").alias("c_b"))
+    mins = (
+        cand.join(ca, on="id_a")
+        .join(cb, on=["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("c_a", "c_b")).cast("long").alias("min_sum"))
+    )
+    ta = tots.select(F.col("id").alias("id_a"), F.col("tot").alias("tot_a"))
+    tb = tots.select(F.col("id").alias("id_b"), F.col("tot").alias("tot_b"))
+    scored = (
+        mins.join(ta, on="id_a")
+        .join(tb, on="id_b")
+        .withColumn(
+            "wjacc_micro",
+            F.expr(
+                "(1000000 * min_sum) div (tot_a + tot_b - min_sum)"
+            ).cast("long"),
+        )
+    )
+    return scored.where(
+        F.col("wjacc_micro") >= threshold_micro
+    ).select("id_a", "id_b", "min_sum", "tot_a", "tot_b", "wjacc_micro")
+
+
+__all__ += ["weighted_jaccard_pairs"]

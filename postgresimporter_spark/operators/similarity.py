@@ -556,6 +556,75 @@ def retrieval_metrics(
     )
 
 
+def mutual_topk_pairs(
+    df: DataFrame,
+    k: int = 3,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_bucket_ratio: float | None = None,
+) -> DataFrame:
+    """Reciprocal (mutual) k-nearest-neighbor pairs: keep (a, b) only
+    when b ranks in a's top-k AND a ranks in b's top-k among the LSH
+    candidate neighbors. The standard precision filter for embedding
+    near-dup clustering — one-sided neighbors (a hub vector that is
+    'near' everything) generate false merges, and mutuality removes
+    exactly those.
+
+    Shape: candidates + exact cosines come from
+    ``signband_neardup_pairs`` (threshold −1 keeps every verified
+    candidate), checkpointed ONCE because both rank directions read
+    it; ranking is a per-source window (partitioned — never global);
+    mutuality is a self equi-join of the two bounded top-k lists
+    (≤ k·N rows each). At scale the candidate volume is controlled
+    the same way as q85: more ``bits_per_band`` → smaller buckets,
+    ``max_bucket_ratio`` caps hot buckets.
+
+    Returns (id_a < id_b, cosine, rank_ab, rank_ba).
+    """
+    pairs = signband_neardup_pairs(
+        df,
+        threshold=-1.0,
+        bands=bands,
+        bits_per_band=bits_per_band,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        max_bucket_ratio=max_bucket_ratio,
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    ranked = (
+        directed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .localCheckpoint(eager=False)  # both mutuality sides read it
+    )
+    rev = ranked.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        ranked.join(rev, on=["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            "cosine",
+            F.col("rank").alias("rank_ab"),
+            F.col("rank_ba").alias("rank_ba"),
+        )
+    )
+
+
 __all__ = [
     "cosine",
     "brute_force_topk",
@@ -564,6 +633,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "signband_neardup_pairs",
+    "mutual_topk_pairs",
     "semdedup",
     "merge_topk",
     "retrieval_metrics",

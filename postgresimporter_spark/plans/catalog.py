@@ -887,6 +887,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch40_registry():
         out[q.name] = q
+    from .catalog_batch41 import batch41_registry
+
+    for q in batch41_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
