@@ -891,6 +891,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch41_registry():
         out[q.name] = q
+    from .catalog_batch42 import batch42_registry
+
+    for q in batch42_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
