@@ -895,6 +895,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch42_registry():
         out[q.name] = q
+    from .catalog_batch43 import batch43_registry
+
+    for q in batch43_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
