@@ -899,6 +899,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch43_registry():
         out[q.name] = q
+    from .catalog_batch44 import batch44_registry
+
+    for q in batch44_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
@@ -963,6 +967,25 @@ _DRIVER_GREEN = {
     "q140_url_canonicalize", "q141_domain_quota", "q142_bpe_merges",
     "q143_dsir_select", "q144_bpe_encode", "q145_duplicate_spans",
     "q146_pq_encode",
+    # Green in CORRECTNESS_r05.json (round-5 driver window): the q101
+    # negative-zero fix verified, plus the whole q147-q192 tier.
+    "q101_trend_slope", "q147_pq_adc_topk", "q148_pq_recall",
+    "q149_psi_drift", "q150_line_filter", "q151_html_strip",
+    "q152_interpolate", "q153_token_shards", "q154_weighted_topk_sample",
+    "q155_textrank_keywords", "q156_window_cooccurrence",
+    "q157_skew_planner", "q158_prefix_jaccard", "q159_sorted_neighborhood",
+    "q160_countmin_heavy_hitters", "q161_kmv_distinct",
+    "q162_label_propagation", "q163_rag_retrieval_eval", "q164_item2item",
+    "q165_attribution", "q166_kanonymity", "q167_multitouch",
+    "q168_radius_pairs", "q169_entity_resolution", "q170_score_calibration",
+    "q171_two_hop_neighborhood", "q172_topk_with_ties", "q173_sequence_gaps",
+    "q174_unpivot", "q175_hll_distinct", "q176_winnowing",
+    "q177_cusum_changepoint", "q178_autocorrelation", "q179_symspell",
+    "q180_kcore", "q181_bucket_sync", "q182_rrf_fusion",
+    "q183_point_in_polygon", "q184_theilsen", "q185_rollup_reuse",
+    "q186_markov_transitions", "q187_seasonality", "q188_rendezvous",
+    "q189_ab_readout", "q190_benford", "q191_kmv_join_estimate",
+    "q192_largest_remainder",
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
@@ -970,7 +993,7 @@ _SENTINELS = ["q01_pricing_summary", "q19_strip", "q23_table_counts"]
 
 # Round counter for the re-verification slice below.  Bumped once per
 # round alongside the _DRIVER_GREEN additions.
-_ROUND = 5
+_ROUND = 6
 
 # How many previously-green queries to rotate back into the head window
 # each round, so old greens keep getting re-sampled by the external gate
