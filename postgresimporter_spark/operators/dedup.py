@@ -592,6 +592,7 @@ def simhash_hamming_pairs(
     id_col: str = "id",
     hash_col: str = "simhash",
     combo_size: int | None = None,
+    max_band_ratio: float | None = None,
 ) -> DataFrame:
     """All pairs of fingerprints within ``max_hamming`` bit flips,
     found WITHOUT an all-pairs comparison.
@@ -619,8 +620,104 @@ def simhash_hamming_pairs(
     Input: a DataFrame of (id, simhash) — compose with ``simhash()``.
     At 100 TB the only shuffle is the combo-key join; hot key values
     (correlated fingerprints from near-identical docs) behave like hot
-    shingles — cap them with a frequency filter if skew shows up.
+    shingles. ``max_band_ratio`` is the built-in skew guard matching
+    Jaccard's ``max_doc_ratio``: band keys carried by more than that
+    fraction of fingerprints are dropped BEFORE the self-join (a
+    pre-join frequency aggregate, so the hot key never shuffles into a
+    quadratic bucket). The trade is explicit, never silent: with the
+    cap on, a pair whose EVERY agreeing chunk-combination is hot is
+    missed — exactness holds over the surviving band space — and
+    ``hot_bands()`` returns exactly the dropped keys with their
+    frequencies so the run can report them. Exact duplicates
+    (hamming 0) are the usual hot-band cause; route those through
+    ``exact_dedup`` first (a plain groupBy — no pair expansion), then
+    hamming-join the distinct fingerprints.
     """
+    fps, keyed = _combo_keyed(
+        fingerprints, bits, chunks, max_hamming, id_col, hash_col, combo_size
+    )
+    if max_band_ratio is not None:
+        cold = _band_freqs(keyed, fps).where(
+            F.col("_freq") <= F.lit(max_band_ratio) * F.col("_n_fps")
+        ).select("chunk", "val")
+        keyed = keyed.join(cold, on=["chunk", "val"])
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, on=["chunk", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(
+        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def hot_bands(
+    fingerprints: DataFrame,
+    max_band_ratio: float,
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+    combo_size: int | None = None,
+) -> DataFrame:
+    """The combo-band keys that ``simhash_hamming_pairs`` with the same
+    parameters and ``max_band_ratio`` would DROP, as (chunk, val,
+    n_fingerprints) rows — the no-silent-caps audit: a capped dedup run
+    should count/log these next to its pair output, and an index build
+    should persist them so later probe batches exclude exactly the same
+    keys (mirrors ``hot_shingles`` for the Jaccard path)."""
+    fps, keyed = _combo_keyed(
+        fingerprints, bits, chunks, max_hamming, id_col, hash_col, combo_size
+    )
+    return (
+        _band_freqs(keyed, fps)
+        .where(F.col("_freq") > F.lit(max_band_ratio) * F.col("_n_fps"))
+        .select(
+            "chunk", "val", F.col("_freq").alias("n_fingerprints")
+        )
+    )
+
+
+def _band_freqs(keyed: DataFrame, fps: DataFrame) -> DataFrame:
+    """Per combo-band-key fingerprint counts with the corpus size
+    attached as a broadcast 1-row aggregate (no eager ``count()`` —
+    plan construction must not launch a job). This is the pre-join
+    aggregate both the cap and the ``hot_bands`` audit filter on."""
+    n_fps = fps.agg(F.count("*").cast("double").alias("_n_fps"))
+    return (
+        keyed.groupBy("chunk", "val")
+        .agg(F.count("*").cast("long").alias("_freq"))
+        .crossJoin(F.broadcast(n_fps))
+    )
+
+
+def _combo_keyed(
+    fingerprints: DataFrame,
+    bits: int,
+    chunks: int,
+    max_hamming: int,
+    id_col: str,
+    hash_col: str,
+    combo_size: int | None,
+):
+    """Shared combo-key builder: the checkpointed (id, fp) table and its
+    exploded (id, fp, chunk, val) band rows. ``simhash_hamming_pairs``
+    and the ``hot_bands`` audit both call this, so the pigeonhole
+    combo math exists exactly once."""
     if bits % chunks:
         raise ValueError("bits must divide evenly into chunks")
     width = bits // chunks
@@ -670,27 +767,7 @@ def simhash_hamming_pairs(
     keyed = fps.select(
         "id", "fp", F.explode(entries).alias("e")
     ).select("id", "fp", "e.chunk", "e.val")
-
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(b, on=["chunk", "val"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(
-        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return fps, keyed
 
 
 __all__ = [
@@ -706,6 +783,7 @@ __all__ = [
     "cross_source_overlap",
     "simhash",
     "simhash_hamming_pairs",
+    "hot_bands",
 ]
 
 

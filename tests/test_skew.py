@@ -103,3 +103,79 @@ def test_salted_topk_per_key_equals_plain_under_hot_key(spark):
     from postgresimporter_spark.operators.bucketing import physical_plan
 
     assert physical_plan(salted).count("Window [") >= 2
+
+
+def test_hot_band_cap_bounds_simhash_candidates(spark):
+    """Identical fingerprints put the whole corpus in every combo band
+    (the correlated-fingerprint skew shape at 100 TB). Uncapped: all
+    pairs meet (hamming 0) -> C(n,2). Capped at 50%: every band is hot,
+    dropped pre-join -> 0 pairs, and hot_bands() reports exactly the
+    dropped keys with the full corpus count."""
+    from postgresimporter_spark.operators.dedup import (
+        hot_bands,
+        simhash_hamming_pairs,
+    )
+
+    n = 60
+    fps = spark.createDataFrame(
+        [(i, 0x5A5A5A5A) for i in range(n)], "id long, simhash long"
+    )
+    uncapped = simhash_hamming_pairs(fps)
+    assert uncapped.count() == n * (n - 1) // 2
+    capped = simhash_hamming_pairs(fps, max_band_ratio=0.5)
+    assert capped.count() == 0
+    dropped = hot_bands(fps, max_band_ratio=0.5).collect()
+    assert dropped and all(r.n_fingerprints == n for r in dropped)
+
+
+def test_hot_band_cap_keeps_rare_band_pairs(spark):
+    """A near-dup pair whose agreement combos are RARE keys must
+    survive the cap while the degenerate identical mass is dropped."""
+    from postgresimporter_spark.operators.dedup import simhash_hamming_pairs
+
+    n = 40
+    rows = [(i, 0x5A5A5A5A) for i in range(n)]
+    # pair (100, 101): a distinct fingerprint family, 1 bit apart
+    rows += [(100, 0x0F0F1234), (101, 0x0F0F1235)]
+    fps = spark.createDataFrame(rows, "id long, simhash long")
+    capped = simhash_hamming_pairs(fps, max_band_ratio=0.5)
+    got = {(r.id_a, r.id_b, r.hamming) for r in capped.collect()}
+    assert got == {(100, 101, 1)}
+
+
+def test_hot_band_cap_ratio_one_is_identity(spark):
+    """max_band_ratio=1.0 can never drop a key (freq <= n always), so
+    the capped result must equal the uncapped result exactly."""
+    from postgresimporter_spark.operators.dedup import simhash_hamming_pairs
+
+    rows = [(i, (i * 2654435761) % (1 << 32)) for i in range(50)]
+    rows += [(200, 0x12345678), (201, 0x12345679)]
+    fps = spark.createDataFrame(rows, "id long, simhash long")
+    a = {tuple(r) for r in simhash_hamming_pairs(fps).collect()}
+    b = {
+        tuple(r)
+        for r in simhash_hamming_pairs(fps, max_band_ratio=1.0).collect()
+    }
+    assert a == b and (200, 201, 1) in a
+
+
+def test_hot_band_cap_is_prejoin_aggregate(spark):
+    """The cap must be a frequency aggregate BELOW the pair self-join
+    (filtering keyed rows before they shuffle into quadratic buckets),
+    not a filter over the join output: the capped plan carries the
+    (chunk, val) count aggregate as an extra join input, and the
+    self-join's direct children are the band-key joins, not a raw
+    explode."""
+    from postgresimporter_spark.operators.bucketing import physical_plan
+    from postgresimporter_spark.operators.dedup import simhash_hamming_pairs
+
+    fps = spark.createDataFrame(
+        [(i, i * 97) for i in range(20)], "id long, simhash long"
+    )
+    plain = physical_plan(simhash_hamming_pairs(fps))
+    capped = physical_plan(simhash_hamming_pairs(fps, max_band_ratio=0.5))
+    n_joins = lambda p: sum(p.count(j) for j in (
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    # cold-key filter joins once under EACH side of the self-join
+    assert n_joins(capped) >= n_joins(plain) + 2
+    assert capped.count("HashAggregate") > plain.count("HashAggregate")
