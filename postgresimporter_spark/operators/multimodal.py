@@ -7,10 +7,14 @@ JPEG (baseline AND progressive), PCM WAV, and MJPEG video (AVI
 container or raw concatenated-JPEG stream, ``mjpeg.py``) decode their
 actual pixels/samples library-free; MP4/MP3 container metadata parses
 from the raw byte layouts. The remaining boundary is explicit, not
-faked: MP4/MOV pixel decode (inter-frame codecs) returns container
-metadata with ``pixels_decoded: False``, and MP3 sample decode
-reports header metadata only; a deployment swaps in real codecs
-(ffmpeg/...) with the same (bytes) -> dict signature.
+faked: MP4/MOV pixel decode (inter-frame codecs), exotic image
+variants (extended sequential / arithmetic / 12-bit JPEG), and
+non-PCM audio (IEEE-float WAV, MP3, MP4) return their REAL
+container-header metadata with an explicit ``pixels_decoded`` /
+``samples_decoded: False``; fully unrecognized bytes raise (surfaced
+as nulls by extract_features' log-and-continue). No fallback path
+fabricates values. A deployment swaps in real codecs (ffmpeg/...)
+with the same (bytes) -> dict signature.
 
 Scale posture: media rows are large — ``mapInPandas`` streams Arrow
 batches so a partition never fully materializes, and
@@ -37,25 +41,17 @@ FEATURE_SCHEMA = (
 )
 
 
-def deterministic_fake_decode(content: bytes) -> dict:
-    """Deterministic stand-in for a real media decoder: derives fake
-    dimensions from the byte content so tests have stable expectations."""
-    n = len(content or b"")
-    return {
-        "width": (n % 640) + 1,
-        "height": (n % 480) + 1,
-        "duration_ms": n,
-    }
-
-
 def image_decode(content: bytes) -> dict:
     """Image decoder: REAL pixel decode for supported PNGs
     (``operators/png.py`` — stdlib zlib + numpy), GIFs
     (``operators/gif.py`` — pure-Python LZW), and JPEGs — baseline AND
     progressive (``operators/jpeg.py`` — Huffman + IDCT in numpy,
-    multi-scan successive approximation per T.81 Annex G); other
-    formats / unsupported variants (extended sequential, arithmetic,
-    12-bit) fall back to the deterministic fake."""
+    multi-scan successive approximation per T.81 Annex G).
+    Unsupported variants (extended sequential, arithmetic, 12-bit)
+    return their REAL container-header metadata with an explicit
+    ``pixels_decoded: False`` — the same honesty boundary as MP4 video;
+    nothing is faked. Unrecognized bytes raise ValueError
+    (extract_features' log-and-continue surfaces them as nulls)."""
     from .gif import GIF_MAGICS, gif_decode_meta
     from .jpeg import JPEG_MAGIC, jpeg_decode_meta
     from .png import PNG_MAGIC, png_decode_meta
@@ -75,17 +71,28 @@ def image_decode(content: bytes) -> dict:
             return jpeg_decode_meta(content)
         except (ValueError, StopIteration):
             pass
-    return deterministic_fake_decode(content)
+    meta = parse_media_header(content)
+    if meta is not None and meta.get("codec") in ("png", "gif", "jpeg"):
+        meta["pixels_decoded"] = False
+        return meta
+    raise ValueError(
+        "unsupported image codec: PNG/GIF/JPEG decode for real; other "
+        "recognized variants return header metadata only"
+    )
 
 
 def audio_decode(content: bytes) -> dict:
     """Audio decoder: REAL sample decode for PCM WAV (8/16-bit) — the
     data chunk is raw little-endian PCM, readable with numpy alone.
-    Returns true duration plus RMS/peak sample stats; non-WAV or
-    compressed codecs fall back to the deterministic fake."""
+    Returns true duration plus RMS/peak sample stats. Non-PCM WAV,
+    MP3, and MP4 audio return their REAL container-header metadata
+    (codec, rate, channels, duration where the header carries it) with
+    an explicit ``samples_decoded: False`` — the same honesty boundary
+    as MP4 video; nothing is faked. Unrecognized bytes raise
+    ValueError (extract_features surfaces them as nulls)."""
     b = content or b""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-        return deterministic_fake_decode(content)
+        return _audio_header_only(content)
     import numpy as np
 
     i, rate, channels, bits, fmt, data = 12, None, None, None, None, None
@@ -101,7 +108,7 @@ def audio_decode(content: bytes) -> dict:
             data = b[i + 8 : i + 8 + clen]
         i += 8 + clen + (clen % 2)
     if fmt != 1 or not (rate and channels) or bits not in (8, 16) or data is None:
-        return deterministic_fake_decode(content)  # non-PCM: stubbed
+        return _audio_header_only(content)  # non-PCM: header-only
     if bits == 16:
         samples = np.frombuffer(
             data[: len(data) - (len(data) % 2)], dtype="<i2"
@@ -119,6 +126,20 @@ def audio_decode(content: bytes) -> dict:
         "rms": rms,
         "peak": float(np.max(np.abs(samples))) if len(samples) else 0.0,
     }
+
+
+def _audio_header_only(content: bytes) -> dict:
+    """The not-decoded audio boundary: real container-header metadata
+    (non-PCM WAV fmt chunk, MP3 frame header, MP4 moov) with an
+    explicit ``samples_decoded: False``; unrecognized bytes raise."""
+    meta = parse_media_header(content)
+    if meta is not None:
+        meta["samples_decoded"] = False
+        return meta
+    raise ValueError(
+        "unsupported audio codec: PCM WAV decodes for real; non-PCM "
+        "WAV/MP3/MP4 return header metadata only"
+    )
 
 
 def video_decode(content: bytes) -> dict:
@@ -554,10 +575,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         )
                     continue
                 try:
-                    duration = DECODERS.get(
-                        r["modality"], deterministic_fake_decode
-                    )(content).get("duration_ms")
-                except Exception:  # noqa: BLE001 - log-and-continue
+                    duration = DECODERS[r["modality"]](content).get(
+                        "duration_ms"
+                    )
+                except Exception:  # noqa: BLE001 - log-and-continue:
+                    # unknown modality or undecodable bytes -> one
+                    # frameless row, never a task failure
                     duration = None
                 for off in range(0, max(duration or 1, 1), every_ms):
                     rows.append(
@@ -714,7 +737,6 @@ __all__ = [
     "RESIZERS",
     "video_decode",
     "video_resize",
-    "deterministic_fake_decode",
     "deterministic_fake_resize",
     "read_media_dir",
     "extract_features",

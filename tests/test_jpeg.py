@@ -100,13 +100,15 @@ def test_meta_contract_and_dispatch():
     meta = jpeg_decode_meta(enc)
     assert meta["width"] == 30 and meta["height"] == 20
     assert meta["channels"] == 3
-    # dispatch: real decode for baseline, stub for unsupported variants
+    # dispatch: real decode for baseline; unsupported variants return
+    # REAL header dims with the explicit not-decoded flag
     assert image_decode(enc) == meta
     broken = bytearray(enc)
     i = broken.find(b"\xff\xc0")
-    broken[i + 1] = 0xC1  # extended sequential: still stubbed
-    fake = image_decode(bytes(broken))
-    assert fake["width"] == (len(broken) % 640) + 1  # stub fallback
+    broken[i + 1] = 0xC1  # extended sequential: header-metadata only
+    hdr = image_decode(bytes(broken))
+    assert hdr["pixels_decoded"] is False
+    assert (hdr["width"], hdr["height"]) == (30, 20)  # true SOF dims
 
 
 def test_jpeg_resize_dispatch():

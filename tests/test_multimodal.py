@@ -7,7 +7,6 @@ import hashlib
 
 from postgresimporter_spark.operators.multimodal import (
     MEDIA_SCHEMA,
-    deterministic_fake_decode,
     extract_features,
     read_media_dir,
     sample_frames,
@@ -25,6 +24,9 @@ def _write_media(tmp_path, n=3):
 
 
 def test_extract_features(spark, tmp_path):
+    # undecodable bytes: byte-level features (size, hash) are real,
+    # decode-level columns are nulls — never fabricated, never a task
+    # failure (the explicit honesty boundary)
     files = _write_media(tmp_path)
     media = read_media_dir(spark, str(tmp_path / "*.bin"), "image")
     feats = {r.path: r for r in extract_features(media).collect()}
@@ -33,12 +35,7 @@ def test_extract_features(spark, tmp_path):
         r = feats[path]
         assert r.n_bytes == len(content)
         assert r.sha256 == hashlib.sha256(content).hexdigest()
-        expected = deterministic_fake_decode(content)
-        assert (r.width, r.height, r.duration_ms) == (
-            expected["width"],
-            expected["height"],
-            expected["duration_ms"],
-        )
+        assert (r.width, r.height, r.duration_ms) == (None, None, None)
 
 
 def test_unknown_modality_yields_nulls_not_failures(spark, tmp_path):

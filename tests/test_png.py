@@ -115,8 +115,8 @@ def test_resize_nearest_and_full_pipeline():
 
 
 def test_multimodal_image_decode_dispatch(spark, tmp_path):
-    """extract_features reports TRUE dimensions for a real PNG and the
-    deterministic fake for non-PNG image bytes."""
+    """extract_features reports TRUE dimensions for a real PNG and
+    nulls (never fabricated values) for unrecognized image bytes."""
     from postgresimporter_spark.operators.multimodal import extract_features
 
     png_bytes = encode_png(_rng((13, 29, 3)))
@@ -129,13 +129,13 @@ def test_multimodal_image_decode_dispatch(spark, tmp_path):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.path: r for r in extract_features(df).collect()}
     assert got["real.png"].width == 29 and got["real.png"].height == 13
-    # fake decoder: width = (n % 640) + 1 over 3 bytes
-    assert got["junk.bin"].width == 4
+    assert got["junk.bin"].width is None  # undecodable -> null, not fake
+    assert got["junk.bin"].n_bytes == 3  # byte-level features still real
 
 
 def test_audio_decode_real_pcm_wav():
     """audio_decode returns true duration/RMS for PCM WAV; non-PCM
-    falls back to the fake."""
+    returns real header metadata with samples_decoded=False."""
     import struct
 
     from postgresimporter_spark.operators.multimodal import audio_decode
@@ -161,7 +161,8 @@ def test_audio_decode_real_pcm_wav():
     assert d["peak"] == 1000.0
     assert abs(d["rms"] - 707.1068) < 0.01
 
-    # non-PCM (format tag 3 = IEEE float): falls back to fake
+    # non-PCM (format tag 3 = IEEE float): real header metadata with
+    # the explicit not-decoded flag, no fabricated sample stats
     fmt3 = struct.pack("<HHIIHH", 3, channels, rate, rate * 2, 2, 16)
     wav3 = (
         b"RIFF" + struct.pack("<I", 36) + b"WAVE"
@@ -169,4 +170,13 @@ def test_audio_decode_real_pcm_wav():
         + b"data" + struct.pack("<I", 0)
     )
     f = audio_decode(wav3)
-    assert "rms" not in f  # the fake's dict, not real stats
+    assert f["samples_decoded"] is False
+    assert f["codec"] == "wav" and f["sample_rate"] == rate
+    assert "rms" not in f  # no fabricated stats
+
+    # fully unrecognized audio bytes raise (surfaced as nulls by
+    # extract_features), never return fabricated values
+    import pytest
+
+    with pytest.raises(ValueError):
+        audio_decode(b"\x00\x01\x02\x03garbage")
