@@ -80,6 +80,8 @@ HEADLINE = [
     "q180_kcore",
     "q183_point_in_polygon",
     "q186_markov_transitions",
+    # round-6: candidate-bound SimHash audit (see SF1 note on q86)
+    "q231_simhash_strict",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.
@@ -102,6 +104,12 @@ SF1_HEADLINE = [
     # treat it as a throughput number, not a candidate-pruning one.
     "q180_kcore",
     "q86_simhash_hamming",
+    # r6 (VERDICT r05 #6): the candidate-bound companion to q86 — same
+    # fingerprints, Hamming<=1, one-row summary output. Its sf1 time
+    # tracks banding selectivity (candidate generation + verify), so
+    # candidate-pruning regressions are visible even while q86's raw
+    # entry stays output-bound.
+    "q231_simhash_strict",
 ]
 SF1_COPIES = 10
 

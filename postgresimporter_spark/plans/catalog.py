@@ -903,6 +903,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch44_registry():
         out[q.name] = q
+    from .catalog_batch45 import batch45_registry
+
+    for q in batch45_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
@@ -998,7 +1002,12 @@ _ROUND = 6
 # How many previously-green queries to rotate back into the head window
 # each round, so old greens keep getting re-sampled by the external gate
 # rather than being permanently parked behind it (advisor round-4 ask).
-_REVERIFY_SLICE = 8
+# Raised 8 -> 40 for round 6+ (VERDICT r05 #5): once the unchecked
+# backlog drains (r6 head window = 3 sentinels + q193-q231), the slice
+# fills the window's remainder so the ~230 greens re-sample on a
+# ~6-round cycle instead of ~28. Unchecked queries always precede the
+# slice, so a large slice never delays converting new queries.
+_REVERIFY_SLICE = 40
 
 
 def _rotate_for_verification(out: dict[str, QueryDef]) -> dict[str, QueryDef]:
