@@ -92,20 +92,67 @@ def iter_avi_mjpeg_frames(content: bytes) -> Iterator[bytes]:
                 yield b[l2:h2]
 
 
+def _jpeg_frame_end(b: bytes, start: int) -> int:
+    """Offset just past the EOI of the JPEG frame starting at ``start``,
+    or -1 if the frame is truncated/corrupt. Walks marker segments —
+    APPn/COM payloads are skipped by their 2-byte lengths — so an
+    embedded EXIF/JFIF thumbnail (a complete inner JPEG, own EOI,
+    inside an APP1 payload) cannot truncate the frame; only inside
+    entropy-coded data is a scan for a non-stuffed FFD9 used (where
+    zero-stuffing makes a bare FFD9 a true frame end)."""
+    n = len(b)
+    i = start + 2  # past SOI
+    in_entropy = False
+    while i + 1 < n:
+        if not in_entropy:
+            if b[i] != 0xFF:
+                return -1
+            m = b[i + 1]
+            if m == 0xFF:  # fill byte
+                i += 1
+                continue
+            if m == 0xD9:  # EOI
+                return i + 2
+            if m == 0x01 or 0xD0 <= m <= 0xD8:  # standalone markers
+                i += 2
+                continue
+            if i + 3 >= n:
+                return -1
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+            if m == 0xDA:  # SOS: entropy-coded data follows
+                in_entropy = True
+        else:
+            j = b.find(b"\xff", i)
+            if j < 0 or j + 1 >= n:
+                return -1
+            m = b[j + 1]
+            if m == 0x00 or 0xD0 <= m <= 0xD7:  # stuffed / RST
+                i = j + 2
+            elif m == 0xFF:  # fill
+                i = j + 1
+            elif m == 0xD9:  # EOI
+                return j + 2
+            else:  # next real marker (progressive: another SOS/DHT)
+                in_entropy = False
+                i = j
+    return -1
+
+
 def split_mjpeg_stream(content: bytes) -> Iterator[bytes]:
-    """Split a raw MJPEG stream (concatenated JPEGs) into frames at
-    EOI (FFD9) boundaries. Safe: entropy-coded JPEG data zero-stuffs
-    every 0xFF, so a bare FFD9 genuinely ends a frame."""
+    """Split a raw MJPEG stream (concatenated JPEGs) into frames by a
+    marker-segment walk (``_jpeg_frame_end``): segment payloads skip by
+    declared length, entropy data scans for the non-stuffed EOI — so
+    frames carrying an embedded EXIF thumbnail (an inner JPEG with its
+    own EOI inside APP1) split at the TRUE frame boundary, not the
+    thumbnail's."""
     b = content or b""
     start = 0
-    while True:
-        if b[start : start + 3] != _JPEG_SOI:
+    while b[start : start + 3] == _JPEG_SOI:
+        end = _jpeg_frame_end(b, start)
+        if end < 0:
             return
-        eoi = b.find(b"\xff\xd9", start + 3)
-        if eoi < 0:
-            return
-        yield b[start : eoi + 2]
-        start = eoi + 2
+        yield b[start:end]
+        start = end
 
 
 def avi_mjpeg_meta(content: bytes) -> dict:

@@ -148,3 +148,29 @@ def test_sample_frames_undecodable_video_single_row(spark, tmp_path):
     rows = sample_frames(media, every_ms=1000).collect()
     assert len(rows) == 1
     assert rows[0].frame_ms == 0 and rows[0].frame is None
+
+
+def _with_exif_thumbnail(jpeg: bytes, thumb: bytes) -> bytes:
+    """Insert an APP1 segment whose payload embeds a COMPLETE inner
+    JPEG (own SOI+EOI) right after the outer SOI — the EXIF-thumbnail
+    layout that breaks naive find-first-FFD9 splitting."""
+    payload = b"Exif\x00\x00" + thumb
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def test_split_survives_embedded_exif_thumbnail():
+    frames = _frames(3)
+    thumb = encode_jpeg(np.full((8, 8), 200, dtype=np.uint8))
+    frames[0] = _with_exif_thumbnail(frames[0], thumb)
+    frames[2] = _with_exif_thumbnail(frames[2], thumb)
+    stream = b"".join(frames)
+    got = list(split_mjpeg_stream(stream))
+    assert got == frames  # true frame ends, not the thumbnail's EOI
+    # every split frame still decodes to the outer image
+    for i, fr in enumerate(got):
+        px = decode_jpeg(fr)
+        assert px.shape[:2] == (8, 16)
+        assert abs(float(px.mean()) - (32 + 64 * i)) < 2.0
+    meta = mjpeg_stream_meta(stream)
+    assert meta["n_frames"] == 3
