@@ -907,6 +907,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch45_registry():
         out[q.name] = q
+    from .catalog_batch46 import batch46_registry
+
+    for q in batch46_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
