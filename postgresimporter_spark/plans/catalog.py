@@ -911,6 +911,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch46_registry():
         out[q.name] = q
+    from .catalog_batch47 import batch47_registry
+
+    for q in batch47_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
