@@ -915,6 +915,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch47_registry():
         out[q.name] = q
+    from .catalog_batch48 import batch48_registry
+
+    for q in batch48_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -285,15 +285,12 @@ FROM means, overall
 _KM_K = 8
 
 
-def q238_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One exact Lloyd step: nearest-of-8-seeds assignment (seeds =
-    vec_id 0..7, broadcast; squared L2 as a left fold over the array —
-    fixed order, so the double is bit-identical on both engines;
-    seed-id tiebreak), then per-dimension centroid means from MICRO
-    integer sums (round(x·1e6) longs — addition-order-proof). Output
-    is the (cluster, dim) centroid table with assignment counts.
-    At scale this is the k-means inner loop: one broadcast, one
-    assignment groupBy shuffle per iteration."""
+def _nearest_seed_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, cluster): each embedding assigned to
+    the nearest of the 8 broadcast seed centroids (vec_id 0..7) by a
+    fixed-order left-fold squared L2 (bit-identical doubles on both
+    engines), seed-id tiebreak. Shared by q238 (Lloyd step) and q240
+    (clustering agreement)."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     seeds = emb.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("s_emb")
@@ -308,22 +305,37 @@ def q238_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    assigned = (
+    return (
         emb.crossJoin(F.broadcast(seeds))
         .select(
             "vec_id",
+            "label",
             "embedding",
             F.struct(dist.alias("d"), F.col("seed_id").alias("c")).alias("dc"),
         )
         .groupBy("vec_id")
         .agg(
             F.min("dc").alias("best"),
+            F.first("label").alias("label"),
             F.first("embedding").alias("embedding"),
         )
         .select(
-            F.col("best.c").alias("cluster"),
-            F.posexplode("embedding").alias("dim", "x"),
+            "vec_id", "label", "embedding", F.col("best.c").alias("cluster")
         )
+    )
+
+
+def q238_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd step: nearest-of-8-seeds assignment (seeds =
+    vec_id 0..7, broadcast; squared L2 as a left fold over the array —
+    fixed order, so the double is bit-identical on both engines;
+    seed-id tiebreak), then per-dimension centroid means from MICRO
+    integer sums (round(x·1e6) longs — addition-order-proof). Output
+    is the (cluster, dim) centroid table with assignment counts.
+    At scale this is the k-means inner loop: one broadcast, one
+    assignment groupBy shuffle per iteration."""
+    assigned = _nearest_seed_assignment(spark, sf_dir).select(
+        "cluster", F.posexplode("embedding").alias("dim", "x")
     )
     micro = F.round(F.col("x").cast("double") * 1e6, 0).cast("long")
     cent = (
@@ -349,12 +361,11 @@ def q238_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster", "dim")
 
 
-ORACLE_Q238 = f"""
-WITH seeds AS (
+_ASSIGN_SQL = f"""seeds AS (
   SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
   WHERE vec_id < {_KM_K}),
 dists AS (
-  SELECT e.vec_id, e.embedding, s.seed_id,
+  SELECT e.vec_id, e.label, e.embedding, s.seed_id,
          list_reduce(
            list_prepend(0.0, list_transform(
              list_zip(e.embedding, s.s_emb),
@@ -363,12 +374,16 @@ dists AS (
            (a, x) -> a + x) AS d
   FROM embeddings e, seeds s),
 assigned AS (
-  SELECT vec_id, embedding, seed_id AS cluster
-  FROM (SELECT vec_id, embedding, seed_id,
+  SELECT vec_id, label, embedding, seed_id AS cluster
+  FROM (SELECT vec_id, label, embedding, seed_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY d, seed_id) AS rk
         FROM dists)
-  WHERE rk = 1),
+  WHERE rk = 1)"""
+
+
+ORACLE_Q238 = f"""
+WITH {_ASSIGN_SQL},
 dims AS (
   SELECT cluster,
          CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
