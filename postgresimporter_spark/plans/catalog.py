@@ -919,6 +919,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch48_registry():
         out[q.name] = q
+    from .catalog_batch49 import batch49_registry
+
+    for q in batch49_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
