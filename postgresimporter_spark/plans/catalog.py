@@ -923,6 +923,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch49_registry():
         out[q.name] = q
+    from .catalog_batch50 import batch50_registry
+
+    for q in batch50_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
