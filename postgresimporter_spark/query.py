@@ -47,9 +47,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{n}\t{reg[n].description}")
         return 0
 
-    matches = [n for n in reg if n == args.name] or [
-        n for n in reg if n.startswith(args.name)
-    ]
+    # resolution order: exact name -> id prefix at the "_" boundary
+    # ("q23" means q23_table_counts, never the q230.. tier) -> any
+    # unambiguous prefix
+    matches = (
+        [n for n in reg if n == args.name]
+        or [n for n in reg if n.startswith(args.name + "_")]
+        or [n for n in reg if n.startswith(args.name)]
+    )
     if not matches:
         print(f"no query matches {args.name!r} (try --list)",
               file=sys.stderr)
