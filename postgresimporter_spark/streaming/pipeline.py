@@ -578,6 +578,86 @@ def stream_bucket_fingerprints(
     return bucket_fingerprints(records, key_col, payload_cols, n_buckets)
 
 
+def stream_token_buckets(
+    records: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+) -> DataFrame:
+    """Continuously-maintained bucketed token histogram — the state
+    side of the streaming corpus-drift monitor (q235's JS divergence
+    applied to a live stream).
+
+    Tokens hash into a FIXED ``width``-cell histogram
+    (``hash_bucket`` — engine-portable md5), so state is BOUNDED BY
+    CONSTRUCTION at ``width`` groups regardless of vocabulary growth —
+    the same boundedness story as ``stream_countmin``'s grid, which is
+    what makes an unwatermarked unbounded-stream aggregation safe at
+    100 TB. Buckets are additive (mergeable across partitions,
+    microbatches, and streams).
+
+    Pure transformations — identical on a batch DataFrame, so
+    stream==batch equality is testable cell-for-cell. Drift is read
+    off by ``js_drift_from_buckets`` against a reference histogram.
+    """
+    from ..operators.dedup import hash_bucket
+    from ..operators.textstats import tokens
+
+    tok = records.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return (
+        tok.select(hash_bucket(F.col("token"), width).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def js_drift_from_buckets(
+    current: DataFrame, reference: DataFrame
+) -> DataFrame:
+    """Jensen–Shannon divergence between two bucketed token
+    histograms (e.g. ``stream_token_buckets`` output vs a frozen
+    reference build) — one row (tokens_cur, tokens_ref, js_nats).
+
+    The bucket space makes this the sketch-space drift proxy: exact
+    JS over the bucketed distributions, computed with q235's
+    integer-accumulation discipline (per-bucket contributions round
+    to picounits BEFORE the sum, so the result is addition-order-
+    proof). Identical distributions give exactly 0.0; the monitor
+    alerts on a threshold."""
+    cur = current.select("bucket", F.col("cnt").alias("na"))
+    ref = reference.select("bucket", F.col("cnt").alias("nb"))
+    both = (
+        cur.join(ref, on="bucket", how="full")
+        .select(
+            F.coalesce(F.col("na"), F.lit(0)).cast("long").alias("na"),
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("nb"),
+        )
+    )
+    tot = both.agg(
+        F.sum("na").cast("long").alias("NA_"),
+        F.sum("nb").cast("long").alias("NB_"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    j = both.crossJoin(F.broadcast(tot))
+    p = d(F.col("na")) / d(F.col("NA_"))
+    q = d(F.col("nb")) / d(F.col("NB_"))
+    m = (p + q) / F.lit(2.0)
+    term_p = F.when(F.col("na") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    term_q = F.when(F.col("nb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    pico = F.round((term_p + term_q) * F.lit(0.5) * 1e12, 0).cast("long")
+    return (
+        j.select(pico.alias("c"), "NA_", "NB_")
+        .groupBy("NA_", "NB_")
+        .agg(F.sum("c").cast("long").alias("s"))
+        .select(
+            F.col("NA_").alias("tokens_cur"),
+            F.col("NB_").alias("tokens_ref"),
+            (
+                F.round(F.col("s").cast("double") / 1e12, 6) + F.lit(0.0)
+            ).alias("js_nats"),
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

@@ -673,3 +673,73 @@ def test_stream_bucket_fingerprints_matches_batch(spark):
         for r in spark.table("bfp_stream").collect()
     }
     assert got == batch
+
+
+def test_stream_token_buckets_matches_batch_and_js_drift(spark):
+    """The bucketed token histogram is additive, so stream == batch
+    cell-for-cell; JS drift is exactly 0 against itself, positive
+    against a different source mix, and matches an independent
+    Python model (picounit accumulation)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.streaming.pipeline import (
+        js_drift_from_buckets,
+        stream_token_buckets,
+    )
+
+    docs = load_tables(spark, SF, ["documents"])["documents"]
+    a_srcs = [f"src{i}" for i in range(10)]
+    cur_df = docs.where(F.col("source").isin(a_srcs))
+    ref_df = docs.where(~F.col("source").isin(a_srcs))
+
+    batch = {
+        r.bucket: r.cnt
+        for r in stream_token_buckets(cur_df.select("text")).collect()
+    }
+    # independent Python model of the bucketed histogram
+    want: dict = {}
+    for r in cur_df.select("text").collect():
+        for t in r.text.strip().split():
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 1024
+            want[b] = want.get(b, 0) + 1
+    assert batch == want
+
+    path = "/tmp/stream_drift_parquet"
+    cur_df.select("text").write.mode("overwrite").parquet(path)
+    stream_src = spark.readStream.schema("text string").parquet(path)
+    run_to_memory(
+        stream_token_buckets(stream_src), "drift_stream",
+        output_mode="complete",
+    )
+    got = {r.bucket: r.cnt for r in spark.table("drift_stream").collect()}
+    assert got == batch and len(got) > 0
+
+    cur = stream_token_buckets(cur_df.select("text"))
+    ref = stream_token_buckets(ref_df.select("text"))
+    self_row = js_drift_from_buckets(cur, cur).collect()[0]
+    assert self_row.js_nats == 0.0
+    drift_row = js_drift_from_buckets(cur, ref).collect()[0]
+    assert 0 < drift_row.js_nats <= math.log(2) + 1e-9
+
+    # picounit model of the drift number itself
+    ref_counts: dict = {}
+    for r in ref_df.select("text").collect():
+        for t in r.text.strip().split():
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 1024
+            ref_counts[b] = ref_counts.get(b, 0) + 1
+    NA, NB = sum(want.values()), sum(ref_counts.values())
+    s = 0
+    for b in set(want) | set(ref_counts):
+        p, q = want.get(b, 0) / NA, ref_counts.get(b, 0) / NB
+        m = (p + q) / 2
+        c = 0.0
+        if p > 0:
+            c += p * math.log(p / m)
+        if q > 0:
+            c += q * math.log(q / m)
+        s += int(round(c * 0.5 * 1e12))
+    assert drift_row.js_nats == round(s / 1e12, 6) + 0.0
+    assert (drift_row.tokens_cur, drift_row.tokens_ref) == (NA, NB)
