@@ -740,6 +740,15 @@ def _combo_keyed(
         # strictly more permissive); keeps the packed key inside signed-64
         m = max(1, 62 // width)
     import itertools
+    import math
+
+    # C(chunks, m) combo columns are materialized as one literal array
+    # in the plan; past a few hundred the expression tree (and its
+    # codegen) blows up the driver (observed: C(16,6)=8008 -> JVM OOM
+    # compiling a 4-row query). Clamp m down — always recall-safe —
+    # until the combo count is bounded.
+    while m > 1 and math.comb(chunks, m) > 256:
+        m -= 1
 
     chunk_val = [
         F.shiftright(F.col("fp"), i * width).bitwiseAND(F.lit(mask))

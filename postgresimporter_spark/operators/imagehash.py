@@ -1,0 +1,168 @@
+"""Perceptual image hashing (pHash) — image near-duplicate detection
+for multimodal training corpora.
+
+The classic DCT pHash: decode -> grayscale -> 32x32 nearest-neighbor
+resample -> 2D DCT-II -> keep the low-frequency 8x8 block (DC
+excluded from the median) -> threshold against the median -> 64-bit
+fingerprint. Robust to re-encoding, mild noise, and resizing — the
+image-side analogue of the text SimHash, and it plugs DIRECTLY into
+``dedup.simhash_hamming_pairs(bits=64)`` for the banded exact Hamming
+join, so image near-dup inherits the text stack's scale posture
+(pigeonhole combo keys, hot-band cap, no all-pairs).
+
+All from scratch on the repo's own codecs (png/gif/jpeg decoders) +
+numpy; no image library. Undecodable bytes raise ValueError — the
+multimodal honesty boundary (callers surface nulls, nothing is faked).
+
+Scale: hashing is per-row mapInPandas (Arrow-batched, no shuffle);
+the pair join is the dedup module's banded equi-join. 100 TB of
+images = one scan for hashes + one bounded-key shuffle for pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PHASH_BITS = 64
+_PHASH_SIZE = 32
+_PHASH_LOW = 8
+
+
+def decode_to_gray(content: bytes) -> np.ndarray:
+    """Decode PNG/GIF/JPEG bytes to a float64 grayscale (h, w) array
+    (ITU-R BT.601 luma for RGB). Raises ValueError for anything the
+    from-scratch codecs can't decode — never fabricates pixels."""
+    from .gif import GIF_MAGICS, decode_gif
+    from .jpeg import JPEG_MAGIC, decode_jpeg
+    from .png import PNG_MAGIC, decode_png
+
+    b = content or b""
+    if b.startswith(PNG_MAGIC):
+        px = decode_png(b)
+    elif b[:6] in GIF_MAGICS:
+        px = decode_gif(b)
+    elif b.startswith(JPEG_MAGIC):
+        px = decode_jpeg(b)
+    else:
+        raise ValueError("phash: undecodable image bytes")
+    px = np.asarray(px, dtype=np.float64)
+    if px.ndim == 3:
+        if px.shape[2] >= 3:
+            px = (
+                0.299 * px[:, :, 0]
+                + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2]
+            )
+        else:
+            px = px[:, :, 0]
+    return px
+
+
+def _resample_nearest(px: np.ndarray, size: int) -> np.ndarray:
+    h, w = px.shape
+    ys = (np.arange(size) * h) // size
+    xs = (np.arange(size) * w) // size
+    return px[np.ix_(ys, xs)]
+
+
+_DCT_M = None
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (cached): D @ x applies the
+    transform along an axis; D @ X @ D.T is the 2-D DCT."""
+    global _DCT_M
+    if _DCT_M is None or _DCT_M.shape[0] != n:
+        k = np.arange(n).reshape(-1, 1)
+        i = np.arange(n).reshape(1, -1)
+        m = np.cos(np.pi * k * (2 * i + 1) / (2 * n)) * np.sqrt(2.0 / n)
+        m[0, :] = np.sqrt(1.0 / n)
+        _DCT_M = m
+    return _DCT_M
+
+
+def phash(content: bytes) -> int:
+    """64-bit perceptual hash of an image. Bit (8·r + c) is set when
+    low-frequency DCT coefficient (r, c) exceeds the median of the
+    8x8 low block (DC coefficient excluded from the median so flat
+    brightness shifts don't flip half the bits)."""
+    gray = decode_to_gray(content)
+    small = _resample_nearest(gray, _PHASH_SIZE)
+    d = _dct_matrix(_PHASH_SIZE)
+    coeffs = d @ small @ d.T
+    low = coeffs[:_PHASH_LOW, :_PHASH_LOW]
+    med = np.median(low.flatten()[1:])
+    bits = (low > med).flatten()
+    out = 0
+    for idx in range(PHASH_BITS):
+        if bits[idx]:
+            out |= 1 << idx
+    # keep inside signed-64 for Spark LongType (bit 63 -> sign)
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
+def image_phash(media: DataFrame, id_col: str = "path") -> DataFrame:
+    """(id, phash) for every decodable image row — Arrow-batched
+    mapInPandas, constant memory per task, no shuffle; undecodable
+    rows yield NULL phash (log-and-continue, the reference failure
+    semantics) so a corrupt file never kills the scan."""
+    import pandas as pd
+
+    id_field = "string" if id_col == "path" else "long"
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    h = phash(bytes(r["content"]))
+                except Exception:  # noqa: BLE001 - log-and-continue
+                    h = None
+                out.append({"id": r[id_col], "phash": h})
+            yield pd.DataFrame(out, columns=["id", "phash"])
+
+    return media.select(id_col, "content").mapInPandas(
+        _run, schema=f"id {id_field}, phash long"
+    )
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 10,
+    id_col: str = "path",
+    chunks: int = 16,
+    max_band_ratio: float | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs: pHash + the text stack's banded
+    exact Hamming join (``simhash_hamming_pairs``) — pigeonhole combo
+    keys, optional hot-band cap, never all-pairs. ``chunks=16`` gives
+    4-bit bands: with max_hamming=10 the combo key is 6 bands (24
+    bits), exact by the pigeonhole argument."""
+    from .dedup import simhash_hamming_pairs
+
+    hashes = image_phash(media, id_col=id_col).where(
+        F.col("phash").isNotNull()
+    )
+    return simhash_hamming_pairs(
+        hashes,
+        bits=PHASH_BITS,
+        chunks=chunks,
+        max_hamming=max_hamming,
+        id_col="id",
+        hash_col="phash",
+        max_band_ratio=max_band_ratio,
+    )
+
+
+__all__ = [
+    "PHASH_BITS",
+    "decode_to_gray",
+    "phash",
+    "image_phash",
+    "image_neardup_pairs",
+]

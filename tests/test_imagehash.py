@@ -1,0 +1,97 @@
+"""Perceptual hash: invariance/sensitivity properties on images built
+with the repo's own codecs, plus the distributed near-dup pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from postgresimporter_spark.operators.imagehash import (
+    image_neardup_pairs,
+    image_phash,
+    phash,
+)
+from postgresimporter_spark.operators.jpeg import encode_jpeg
+from postgresimporter_spark.operators.png import encode_png
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _textured(seed=3, n=8, size=64):
+    """Random 8x8 block texture upsampled to 64x64: broadband
+    low-frequency content, so every pHash bit carries real signal
+    (a pure-sinusoid fixture makes most DCT coefficients sit at the
+    median and turns the hash into noise)."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(30, 226, (n, n))
+    return base.repeat(size // n, 0).repeat(size // n, 1).astype(np.uint8)
+
+
+def test_phash_deterministic_and_format_robust():
+    px = _textured()
+    p_png = phash(encode_png(np.stack([px] * 3, axis=2)))
+    assert p_png == phash(encode_png(np.stack([px] * 3, axis=2)))
+    # same pixels through the lossy JPEG round-trip: small distance
+    p_jpg = phash(encode_jpeg(px, quant=2))
+    assert _hamming(p_png, p_jpg) <= 6
+
+
+def test_phash_noise_vs_different_image():
+    px = _textured(seed=3)
+    noisy = np.clip(
+        px.astype(int) + np.random.RandomState(7).randint(-8, 9, px.shape),
+        0,
+        255,
+    ).astype(np.uint8)
+    other = _textured(seed=11)
+    p, pn, po = (
+        phash(encode_png(np.stack([im] * 3, axis=2)))
+        for im in (px, noisy, other)
+    )
+    assert _hamming(p, pn) <= 10  # near-dup survives noise
+    assert _hamming(p, po) > 16  # different content stays far
+
+
+def test_phash_resize_invariance():
+    px = _textured()
+    small = px[::2, ::2]  # 2x downsample of the same content
+    p1 = phash(encode_png(np.stack([px] * 3, axis=2)))
+    p2 = phash(encode_png(np.stack([small] * 3, axis=2)))
+    assert _hamming(p1, p2) <= 10
+
+
+def test_phash_rejects_undecodable():
+    with pytest.raises(ValueError):
+        phash(b"\x00\x01garbage")
+
+
+def test_image_neardup_pipeline(spark, tmp_path):
+    """End-to-end: binary rows -> mapInPandas pHash -> banded Hamming
+    pairs. The re-encoded/noisy copies pair with their originals; the
+    corrupt row yields a NULL hash, not a failure."""
+    from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
+
+    px_a, px_b = _textured(seed=3), _textured(seed=11)
+    noisy_a = np.clip(
+        px_a.astype(int) + np.random.RandomState(7).randint(-6, 7, px_a.shape),
+        0,
+        255,
+    ).astype(np.uint8)
+    rows = [
+        ("a.png", "image", bytearray(encode_png(np.stack([px_a] * 3, 2))), None),
+        ("a2.jpg", "image", bytearray(encode_jpeg(noisy_a, quant=2)), None),
+        ("b.png", "image", bytearray(encode_png(np.stack([px_b] * 3, 2))), None),
+        ("bad.bin", "image", bytearray(b"\x01\x02"), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r.id: r.phash for r in image_phash(media).collect()}
+    assert hashes["bad.bin"] is None
+    assert None not in (hashes["a.png"], hashes["a2.jpg"], hashes["b.png"])
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in image_neardup_pairs(media, max_hamming=10).collect()
+    }
+    assert ("a.png", "a2.jpg") in pairs
+    assert not any("b.png" in p for p in pairs)
