@@ -927,6 +927,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch50_registry():
         out[q.name] = q
+    from .catalog_batch51 import batch51_registry
+
+    for q in batch51_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
