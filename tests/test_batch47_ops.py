@@ -97,7 +97,10 @@ def _pois_cdf():
 
 
 def _pois_w(b, key):
-    u = int(hashlib.md5(f"{b}:{key}".encode()).hexdigest()[:15], 16)
+    hx = hashlib.md5(f"pb:{key}".encode()).hexdigest()
+    h1 = int(hx[:15], 16)
+    h2 = int(hx[15:28], 16)
+    u = (h1 + b * h2) % (1 << 60)
     for k, t in enumerate(_pois_cdf()):
         if u < t:
             return k
