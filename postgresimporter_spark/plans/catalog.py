@@ -931,6 +931,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch51_registry():
         out[q.name] = q
+    from .catalog_batch52 import batch52_registry
+
+    for q in batch52_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
