@@ -82,6 +82,14 @@ HEADLINE = [
     "q186_markov_transitions",
     # round-6: candidate-bound SimHash audit (see SF1 note on q86)
     "q231_simhash_strict",
+    # round-6 new-family regression guards: one-pass Poisson bootstrap
+    # (64x replica explode + 64-key agg), triple-prefix-pass RFM
+    # quintiles, lane-packed CvM, and the per-user lag + broadcast-
+    # model conformance check
+    "q237_poisson_bootstrap",
+    "q246_rfm_segments",
+    "q252_cramer_von_mises",
+    "q256_conformance",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.
