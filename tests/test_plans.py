@@ -97,14 +97,25 @@ def test_python_paths_are_arrow_batched(spark, reg):
 
 def unpartitioned_windows(plan: str) -> list[str]:
     """Window operator lines with an empty partition spec (the
-    one-reducer global sort Spark warns about). A partitioned Window
-    prints three bracket groups `Window [funcs], [part], [order]`;
-    unpartitioned prints two."""
-    return [
-        line
-        for line in plan.splitlines()
-        if "Window [" in line and line.count("], [") < 2
-    ]
+    one-reducer global sort Spark warns about). A fully-specified
+    Window prints three bracket groups `Window [funcs], [part],
+    [order]`. With only two groups the second is EITHER a partition
+    spec (partitioned window without ordering — e.g. count() over a
+    key partition: fine) or an order spec (global window: flag);
+    order specs are distinguishable by their ASC/DESC markers."""
+    out = []
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        if line.count("], [") >= 2:
+            continue  # funcs + partition + order: partitioned
+        if line.count("], [") == 0:
+            out.append(line)  # funcs only: no partition at all
+            continue
+        tail = line.rsplit("], [", 1)[-1]
+        if " ASC" in tail or " DESC" in tail:
+            out.append(line)  # second group is an ORDER spec: global
+    return out
 
 
 def test_q41_has_no_unpartitioned_window(spark, reg):
