@@ -935,6 +935,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch52_registry():
         out[q.name] = q
+    from .catalog_batch53 import batch53_registry
+
+    for q in batch53_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

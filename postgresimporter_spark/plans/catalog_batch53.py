@@ -382,7 +382,7 @@ ranked AS (
          COUNT(*) OVER () AS N
   FROM lat)
 SELECT q AS percentile, latency_sec, CAST(N AS BIGINT) AS n_converters
-FROM ranked, (SELECT unnest([{", ".join(str(q) for q in _TTC_QS)}]) AS q)
+FROM ranked, (SELECT CAST(unnest([{", ".join(str(q) for q in _TTC_QS)}]) AS BIGINT) AS q)
 WHERE rk = CAST(ceil(q / 100.0 * N) AS BIGINT)
 ORDER BY percentile
 """
