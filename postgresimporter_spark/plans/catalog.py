@@ -939,6 +939,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch53_registry():
         out[q.name] = q
+    from .catalog_batch54 import batch54_registry
+
+    for q in batch54_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
