@@ -943,6 +943,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch54_registry():
         out[q.name] = q
+    from .catalog_batch55 import batch55_registry
+
+    for q in batch55_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
