@@ -947,6 +947,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch55_registry():
         out[q.name] = q
+    from .catalog_batch56 import batch56_registry
+
+    for q in batch56_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
