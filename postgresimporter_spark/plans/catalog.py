@@ -951,6 +951,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch56_registry():
         out[q.name] = q
+    from .catalog_batch57 import batch57_registry
+
+    for q in batch57_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
