@@ -1038,6 +1038,25 @@ _DRIVER_GREEN = {
     "q186_markov_transitions", "q187_seasonality", "q188_rendezvous",
     "q189_ab_readout", "q190_benford", "q191_kmv_join_estimate",
     "q192_largest_remainder",
+    # Green in CORRECTNESS_r06.json (round-6 driver window): the whole
+    # q193-q239 tier including batch44's q227-q230 and batch45's q231.
+    "q193_woe_iv", "q194_association_rules", "q195_gini_lorenz",
+    "q196_hits", "q197_delta_attribution", "q198_weighted_pagerank",
+    "q199_bitemporal", "q200_bom_explosion", "q201_top_paths",
+    "q202_histogram_join_estimate", "q203_skyline", "q204_ks_drift",
+    "q205_runs_test", "q206_mann_whitney", "q207_chi2_independence",
+    "q208_mergeable_quantiles", "q209_peak_concurrency",
+    "q210_interval_coverage", "q211_kwic", "q212_active_users",
+    "q213_nullsafe_join", "q214_outer_explode", "q215_grouping_sets",
+    "q216_mutual_knn", "q217_weighted_jaccard", "q218_median_of_means",
+    "q219_path_rollup", "q220_decayed_topk", "q221_session_entropy",
+    "q222_vocab_coverage", "q223_bloom_fp_audit", "q224_sparse_cosine_pairs",
+    "q225_seasonal_decompose", "q226_lexical_diversity",
+    "q227_fact_reconciliation", "q228_clamped_balance",
+    "q229_node_similarity", "q230_burst_detection", "q231_simhash_strict",
+    "q232_groupwise_ols", "q233_zipf_fit", "q234_log_odds",
+    "q235_jensen_shannon", "q236_kendall_tau", "q237_poisson_bootstrap",
+    "q238_lloyd_iteration", "q239_info_gain",
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
@@ -1045,7 +1064,7 @@ _SENTINELS = ["q01_pricing_summary", "q19_strip", "q23_table_counts"]
 
 # Round counter for the re-verification slice below.  Bumped once per
 # round alongside the _DRIVER_GREEN additions.
-_ROUND = 6
+_ROUND = 7
 
 # How many previously-green queries to rotate back into the head window
 # each round, so old greens keep getting re-sampled by the external gate
