@@ -734,35 +734,22 @@ def _combo_keyed(
             "combo_size > chunks - max_hamming breaks the exact-recall "
             "pigeonhole guarantee"
         )
+    if combo_size is not None and combo_size < 1:
+        raise ValueError("combo_size must be >= 1")
+    # the requested combo width is ALWAYS honored — no silent shrink
+    # (advisor r6: the old C(chunks,m)<=256 clamp silently widened the
+    # candidate buckets, e.g. 24-bit image keys degrading to 8-bit).
+    # The two key-construction strategies below trade expression-tree
+    # size against a broadcast join; neither changes m.
     m = combo_size if combo_size is not None else max(1, chunks - max_hamming)
-    if width * m > 62:
-        # clamping DOWN is always recall-safe (smaller combos are
-        # strictly more permissive); keeps the packed key inside signed-64
-        m = max(1, 62 // width)
     import itertools
     import math
 
-    # C(chunks, m) combo columns are materialized as one literal array
-    # in the plan; past a few hundred the expression tree (and its
-    # codegen) blows up the driver (observed: C(16,6)=8008 -> JVM OOM
-    # compiling a 4-row query). Clamp m down — always recall-safe —
-    # until the combo count is bounded.
-    while m > 1 and math.comb(chunks, m) > 256:
-        m -= 1
-
+    n_combos = math.comb(chunks, m)
     chunk_val = [
         F.shiftright(F.col("fp"), i * width).bitwiseAND(F.lit(mask))
         for i in range(chunks)
     ]
-    packed = []
-    for ci, combo in enumerate(itertools.combinations(range(chunks), m)):
-        key = F.lit(0).cast("long")
-        for j, c in enumerate(combo):
-            key = key + F.shiftleft(chunk_val[c].cast("long"), j * width)
-        packed.append(
-            F.struct(F.lit(ci).alias("chunk"), key.alias("val"))
-        )
-    entries = F.array(*packed)
     # materialize at the FINGERPRINT level, before the combo expansion:
     # projection collapse would otherwise inline the fingerprint-defining
     # expression (the simhash() per-row fold — large) into every combo
@@ -773,9 +760,59 @@ def _combo_keyed(
     fps = fingerprints.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
     ).localCheckpoint(eager=False)
-    keyed = fps.select(
-        "id", "fp", F.explode(entries).alias("e")
-    ).select("id", "fp", "e.chunk", "e.val")
+    if n_combos <= 256 and width * m <= 62:
+        # Literal path: one packed-long key column per combo, codegen'd
+        # in place — cheapest for the common small-combo configs
+        # (q86/q231: C(4,2..3) and friends). Bounded at 256 combos and a
+        # 62-bit pack because past that the literal expression tree blows
+        # up the driver (observed: C(16,6)=8008 -> JVM OOM compiling a
+        # 4-row query); larger configs take the lookup path below.
+        packed = []
+        for ci, combo in enumerate(itertools.combinations(range(chunks), m)):
+            key = F.lit(0).cast("long")
+            for j, c in enumerate(combo):
+                key = key + F.shiftleft(chunk_val[c].cast("long"), j * width)
+            packed.append(
+                F.struct(F.lit(ci).alias("chunk"), key.alias("val"))
+            )
+        entries = F.array(*packed)
+        keyed = fps.select(
+            "id", "fp", F.explode(entries).alias("e")
+        ).select("id", "fp", "e.chunk", "e.val")
+        return fps, keyed
+    # Lookup path (large combo counts / wide packs): the combos live in
+    # a broadcast table of (combo id, chunk-index array), not in the
+    # expression tree, so the plan stays tiny at ANY C(chunks, m); the
+    # band key is xxhash64(combo id, selected chunk values). Hash
+    # collisions can only ADD candidates (verification filters on the
+    # true Hamming distance), never lose recall, so exactness holds.
+    # Cost model is the caller's informed choice: n_combos band rows per
+    # fingerprint is the LINEAR cost that buys sub-quadratic candidate
+    # volume — e.g. image pHash (bits=64, chunks=16, max_hamming=10)
+    # pays 8008 rows/fp for 24-bit keys whose buckets stay tiny, vs the
+    # old clamped 8-bit keys whose buckets grew toward n/256 quadratic.
+    spark = fingerprints.sparkSession
+    combos = spark.createDataFrame(
+        [
+            (ci, list(cb))
+            for ci, cb in enumerate(itertools.combinations(range(chunks), m))
+        ],
+        "chunk int, _idxs array<int>",
+    )
+    vals = F.array(*[cv.cast("long") for cv in chunk_val])
+    selected = F.transform(
+        F.col("_idxs"), lambda i: F.element_at(F.col("_vals"), i + F.lit(1))
+    )
+    keyed = (
+        fps.withColumn("_vals", vals)
+        .crossJoin(F.broadcast(combos))
+        .select(
+            "id",
+            "fp",
+            "chunk",
+            F.xxhash64(F.col("chunk"), selected).alias("val"),
+        )
+    )
     return fps, keyed
 
 

@@ -2,9 +2,10 @@
 for multimodal training corpora.
 
 The classic DCT pHash: decode -> grayscale -> 32x32 nearest-neighbor
-resample -> 2D DCT-II -> keep the low-frequency 8x8 block (DC
-excluded from the median) -> threshold against the median -> 64-bit
-fingerprint. Robust to re-encoding, mild noise, and resizing — the
+resample -> 2D DCT-II -> keep the low-frequency 8x8 block -> drop the
+DC coefficient -> threshold the 63 AC coefficients against their
+median -> 63-bit fingerprint in a 64-bit word (bit 63 always 0).
+Robust to re-encoding, mild noise, and resizing — the
 image-side analogue of the text SimHash, and it plugs DIRECTLY into
 ``dedup.simhash_hamming_pairs(bits=64)`` for the banded exact Hamming
 join, so image near-dup inherits the text stack's scale posture
@@ -85,24 +86,27 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 def phash(content: bytes) -> int:
-    """64-bit perceptual hash of an image. Bit (8·r + c) is set when
-    low-frequency DCT coefficient (r, c) exceeds the median of the
-    8x8 low block (DC coefficient excluded from the median so flat
-    brightness shifts don't flip half the bits)."""
+    """Perceptual hash of an image: 63 informative bits in a 64-bit
+    word. Bit k (k = 0..62) is set when low-frequency DCT coefficient
+    k+1 (row-major over the 8x8 low block) exceeds the median of
+    those 63 AC coefficients. The DC coefficient (index 0) is
+    excluded from BOTH the median and the fingerprint — classic
+    pHash: DC tracks mean brightness, so its bit would be
+    near-constant and would only dilute banding discrimination
+    (advisor r6). Bit 63 is always 0, so the value is non-negative
+    and fits Spark's signed LongType without wraparound."""
     gray = decode_to_gray(content)
     small = _resample_nearest(gray, _PHASH_SIZE)
     d = _dct_matrix(_PHASH_SIZE)
     coeffs = d @ small @ d.T
     low = coeffs[:_PHASH_LOW, :_PHASH_LOW]
-    med = np.median(low.flatten()[1:])
-    bits = (low > med).flatten()
+    ac = low.flatten()[1:]
+    med = np.median(ac)
+    bits = ac > med
     out = 0
-    for idx in range(PHASH_BITS):
+    for idx in range(PHASH_BITS - 1):
         if bits[idx]:
             out |= 1 << idx
-    # keep inside signed-64 for Spark LongType (bit 63 -> sign)
-    if out >= 1 << 63:
-        out -= 1 << 64
     return out
 
 
@@ -113,7 +117,9 @@ def image_phash(media: DataFrame, id_col: str = "path") -> DataFrame:
     semantics) so a corrupt file never kills the scan."""
     import pandas as pd
 
-    id_field = "string" if id_col == "path" else "long"
+    # derive the output id type from the actual column (advisor r6: the
+    # old name-based guess broke any string id column not named "path")
+    id_field = media.schema[id_col].dataType.simpleString()
 
     def _run(batches):
         for pdf in batches:
@@ -141,8 +147,14 @@ def image_neardup_pairs(
     """Image near-duplicate pairs: pHash + the text stack's banded
     exact Hamming join (``simhash_hamming_pairs``) — pigeonhole combo
     keys, optional hot-band cap, never all-pairs. ``chunks=16`` gives
-    4-bit bands: with max_hamming=10 the combo key is 6 bands (24
-    bits), exact by the pigeonhole argument."""
+    4-bit chunks: with max_hamming=10 each combo key concatenates
+    chunks−10 = 6 chunks (24 bits of key entropy, hashed — the
+    lookup-path keys in ``dedup._combo_keyed``), exact by the
+    pigeonhole argument. The linear cost is C(16, 6) = 8008 band rows
+    per image hash — that explode is what keeps candidate buckets
+    tiny (24-bit keys) instead of degenerating toward quadratic
+    n/256 buckets, and it prices ONLY the hash table (one long per
+    image), never the pixels."""
     from .dedup import simhash_hamming_pairs
 
     hashes = image_phash(media, id_col=id_col).where(

@@ -10,9 +10,10 @@ YCbCr, any sampling factors dividing the max, restart intervals) AND
 8-bit PROGRESSIVE (SOF2, Annex G — multi-scan coefficient
 accumulation with spectral selection, successive approximation for DC
 and AC including the interleaved correction-bit model of figure G.7,
-and EOB runs). NOT supported (raises ValueError -> dispatch falls
-back to the deterministic stub): extended sequential (SOF1),
-arithmetic coding, 12-bit, hierarchical.
+and EOB runs). NOT supported (raises ValueError; callers surface the
+honesty boundary — header dims with ``pixels_decoded: False``, never
+fabricated pixels): extended sequential (SOF1), arithmetic coding,
+12-bit, hierarchical.
 
 TWO encoders exist so tests can build fixtures and pin roundtrips
 without any external codec: ``encode_jpeg`` (baseline) and

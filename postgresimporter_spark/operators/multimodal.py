@@ -685,14 +685,15 @@ RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {
 def resize_media(
     media: DataFrame, width: int, height: int
 ) -> DataFrame:
-    """Resize plumbing: binary in -> binary out, one row per input row,
-    target dims recorded in the output metadata. The transform itself is
-    stubbed (``RESIZERS``); the Arrow-batched streaming shape — the part
-    that matters at 100 TB, where output bytes can exceed input bytes —
-    is real: each batch is transformed and yielded without materializing
+    """Resize: binary in -> binary out, one row per input row, target
+    dims recorded in the output metadata. Both ``RESIZERS`` entries are
+    real implementations (image: decode -> nearest-neighbor -> PNG;
+    video: per-frame MJPEG resize); the Arrow-batched streaming shape —
+    the part that matters at 100 TB, where output bytes can exceed
+    input bytes — yields each transformed batch without materializing
     the partition, so peak memory is one Arrow batch of images.
-    Unsupported modalities raise (explicitly-stubbed surface, same
-    policy as ``DECODERS``)."""
+    Unsupported modalities raise (the honesty boundary, same policy as
+    ``DECODERS``)."""
     def _resize(batches: Iterator) -> Iterator:
         import pandas as pd
 

@@ -955,6 +955,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch57_registry():
         out[q.name] = q
+    from .catalog_batch58 import batch58_registry
+
+    for q in batch58_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -622,7 +622,14 @@ def js_drift_from_buckets(
     integer-accumulation discipline (per-bucket contributions round
     to picounits BEFORE the sum, so the result is addition-order-
     proof). Identical distributions give exactly 0.0; the monitor
-    alerts on a threshold."""
+    alerts on a threshold.
+
+    Degenerate inputs never silence the monitor (advisor r6): an
+    empty side contributes tokens=0 and the guarded divisions keep
+    js_nats finite (one-sided-empty converges to 0.5·ln 2 ≈ 0.346574,
+    the JS limit against a vanishing side, rather than NULL), and the
+    all-empty case still emits its single (0, 0, 0.0) row — a
+    ``js_nats > threshold`` alert predicate can always evaluate."""
     cur = current.select("bucket", F.col("cnt").alias("na"))
     ref = reference.select("bucket", F.col("cnt").alias("nb"))
     both = (
@@ -632,29 +639,34 @@ def js_drift_from_buckets(
             F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("nb"),
         )
     )
+    # agg with no grouping keys: exactly one row even over zero buckets
     tot = both.agg(
-        F.sum("na").cast("long").alias("NA_"),
-        F.sum("nb").cast("long").alias("NB_"),
+        F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("NA_"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("NB_"),
     )
     d = lambda c: c.cast("double")  # noqa: E731
     j = both.crossJoin(F.broadcast(tot))
-    p = d(F.col("na")) / d(F.col("NA_"))
-    q = d(F.col("nb")) / d(F.col("NB_"))
+    # guard the NA_/NB_ divisions: an empty histogram side would
+    # otherwise turn m (hence the OTHER side's log term) into NULL
+    p = F.when(F.col("NA_") > 0, d(F.col("na")) / d(F.col("NA_"))).otherwise(
+        F.lit(0.0)
+    )
+    q = F.when(F.col("NB_") > 0, d(F.col("nb")) / d(F.col("NB_"))).otherwise(
+        F.lit(0.0)
+    )
     m = (p + q) / F.lit(2.0)
     term_p = F.when(F.col("na") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
     term_q = F.when(F.col("nb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
     pico = F.round((term_p + term_q) * F.lit(0.5) * 1e12, 0).cast("long")
-    return (
-        j.select(pico.alias("c"), "NA_", "NB_")
-        .groupBy("NA_", "NB_")
-        .agg(F.sum("c").cast("long").alias("s"))
-        .select(
-            F.col("NA_").alias("tokens_cur"),
-            F.col("NB_").alias("tokens_ref"),
-            (
-                F.round(F.col("s").cast("double") / 1e12, 6) + F.lit(0.0)
-            ).alias("js_nats"),
-        )
+    s = j.select(pico.alias("c")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("s")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("NA_").alias("tokens_cur"),
+        F.col("NB_").alias("tokens_ref"),
+        (
+            F.round(F.col("s").cast("double") / 1e12, 6) + F.lit(0.0)
+        ).alias("js_nats"),
     )
 
 
