@@ -14,6 +14,20 @@ MINIMUM is reported: this sandbox shows ~60% run-to-run variance
 actual cost from scheduler/GC noise so round-over-round regressions are
 real signal.
 
+The ``calibration_sec`` field (VERDICT r06 #4) times a fixed JVM-only
+probe — ``spark.range(200M)`` with a modular-arithmetic aggregate, no
+I/O, no Python — so environmental drift (a slower sandbox) is
+separable from real query regressions: normalize round-over-round
+query times by the calibration ratio before reading them as
+regressions.
+
+The ``img_neardup_450`` entry (VERDICT r06 #3) is the multimodal
+regression guard: perceptual-hash + banded Hamming near-dup over a
+450-image corpus (generated once into /tmp from the deterministic
+``operators/mediagen`` recipe at ``n_base=256``: 256 base PNGs + 128
+noisy JPEG re-encodes + 64 downsamples + 2 corrupt rows), timed as
+parquet scan -> decode -> DCT pHash -> C(16,6) banded join.
+
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed
 costs and the 2x-of-baseline criterion is meaningful. The sf1 tables are
@@ -192,6 +206,56 @@ def _ensure_sf1(spark, base_dir: str) -> str | None:
         return None
 
 
+MEDIA_N_BASE = 256  # -> 450 corpus images (256 png + 128 jpg + 64 sm + 2 bad)
+
+
+def _ensure_media(spark) -> str | None:
+    """Generate (once, cached) the bench image corpus as parquet, so
+    the timed path is scan -> decode -> hash -> join, not driver-side
+    PNG encoding."""
+    out = Path(os.environ.get("SPARK_GRAFT_MEDIA_DIR", "/tmp/spark_graft_media"))
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    try:
+        from postgresimporter_spark.operators.mediagen import image_corpus
+        from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
+
+        out.mkdir(parents=True, exist_ok=True)
+        spark.createDataFrame(
+            image_corpus(n_base=MEDIA_N_BASE), MEDIA_SCHEMA
+        ).repartition(32).write.mode("overwrite").parquet(
+            str(out / "images.parquet")
+        )
+        done.touch()
+        return str(out)
+    except Exception as e:  # bench must still emit its JSON line
+        print(f"media corpus generation failed: {e}", file=sys.stderr)
+        return None
+
+
+def _img_neardup(spark, media_dir: str):
+    from postgresimporter_spark.operators.imagehash import image_neardup_pairs
+
+    media = spark.read.parquet(f"{media_dir}/images.parquet")
+    return image_neardup_pairs(media, max_hamming=10)
+
+
+def _calibration(spark, n_runs: int) -> float:
+    """Fixed CPU-bound probe: 200M-row range aggregate, whole-stage
+    codegen, zero I/O — tracks sandbox speed, not query code."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).select(
+            F.sum((F.col("id") * 3) % 7).alias("s")
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _time_queries(spark, reg, names, sf_dir: str, n_runs: int) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
@@ -219,7 +283,18 @@ def main() -> None:
     spark.range(1).count()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    calibration = _calibration(spark, n_runs)
     timings = _time_queries(spark, reg, HEADLINE, sf_dir, n_runs)
+
+    # multimodal guard: corpus is sf-independent (fixed 450 images)
+    media_dir = _ensure_media(spark)
+    if media_dir:
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            _img_neardup(spark, media_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings["img_neardup_450"] = round(best, 3)
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -227,6 +302,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
     }
 
     # sf1 section: only from the default sf0.1 run (the driver's round
