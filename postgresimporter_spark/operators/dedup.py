@@ -664,6 +664,119 @@ def simhash_hamming_pairs(
     )
 
 
+def hamming_pairs_mih(
+    fingerprints: DataFrame,
+    bits: int = 64,
+    blocks: int = 4,
+    max_hamming: int = 10,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+    max_probe_masks: int = 4096,
+) -> DataFrame:
+    """Exact Hamming join via multi-index hashing (Norouzi et al.,
+    "Fast Exact Search in Hamming Space with Multi-Index Hashing",
+    CVPR'12 — public) — the HIGH-RADIUS companion to
+    ``simhash_hamming_pairs``.
+
+    Split the fingerprint into ``blocks`` equal blocks. Pigeonhole: a
+    pair within ``h = max_hamming`` flips has SOME block with at most
+    ``s = h // blocks`` flips (if every block had ``s+1``, the total
+    would be ``blocks*(s+1) > h``). So the index side emits one
+    (block, value) row per block, the probe side emits every value
+    within Hamming ``s`` of each block (``V = sum_{i<=s} C(width, i)``
+    enumerated XOR masks), and a plain equi-join + bit_count verify is
+    EXACT — no recall loss.
+
+    Cost model vs the combo-key path (which to pick): per fingerprint,
+    combos cost ``C(chunks, chunks-h)`` band rows with very selective
+    ``(chunks-h)*width``-bit keys; MIH costs ``blocks + blocks*V``
+    rows with ``width``-bit keys. At the image-pHash config (64 bits,
+    h=10): combos = 8008 rows/fp with 24-bit keys; MIH (blocks=4) =
+    4 + 548 rows/fp with 16-bit keys. MIH is ~15x cheaper on the
+    linear explode and the standard choice once ``h`` grows past
+    ~bits/6; combos win when candidate verification dominates (tighter
+    keys). Both are exact; both shuffle only short keys, never an
+    all-pairs. ``max_probe_masks`` bounds the enumerated neighborhood
+    and RAISES when exceeded (no silent cap) — the fix is more blocks
+    (smaller per-block radius), not a trimmed mask set.
+    """
+    if bits % blocks:
+        raise ValueError("bits must divide evenly into blocks")
+    width = bits // blocks
+    if width > 62:
+        raise ValueError("block width must fit a signed long")
+    mask = (1 << width) - 1
+    s = max_hamming // blocks
+    import itertools
+    import math
+
+    n_masks = sum(math.comb(width, i) for i in range(s + 1))
+    if n_masks > max_probe_masks:
+        raise ValueError(
+            f"MIH probe neighborhood C({width}, <= {s}) = {n_masks} masks "
+            f"exceeds max_probe_masks={max_probe_masks}; raise `blocks` so "
+            "the per-block radius shrinks"
+        )
+    xor_masks = [0]
+    for k in range(1, s + 1):
+        for comb in itertools.combinations(range(width), k):
+            m = 0
+            for b in comb:
+                m |= 1 << b
+            xor_masks.append(m)
+
+    fps = fingerprints.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+    ).localCheckpoint(eager=False)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftright(F.col("fp"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                .alias("val"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    index = fps.select("id", "fp", F.explode(entries).alias("e")).select(
+        "id", "fp", "e.block", "e.val"
+    )
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in xor_masks])
+    probe = (
+        index.select(
+            "id", "fp", "block", "val", F.explode(mask_arr).alias("_m")
+        )
+        .select(
+            "id",
+            "fp",
+            "block",
+            F.col("val").bitwiseXOR(F.col("_m")).alias("val"),
+        )
+    )
+    cand = (
+        probe.alias("a")
+        .join(index.alias("b"), on=["block", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(
+        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def hot_bands(
     fingerprints: DataFrame,
     max_band_ratio: float,
@@ -829,6 +942,7 @@ __all__ = [
     "cross_source_overlap",
     "simhash",
     "simhash_hamming_pairs",
+    "hamming_pairs_mih",
     "hot_bands",
 ]
 

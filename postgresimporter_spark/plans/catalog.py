@@ -959,6 +959,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch58_registry():
         out[q.name] = q
+    from .catalog_batch59 import batch59_registry
+
+    for q in batch59_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
