@@ -194,10 +194,149 @@ def _float_wav() -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# video + container corpora
+
+
+def video_corpus() -> list[tuple]:
+    """(path, modality, content, meta) rows: two MJPEG AVIs with known
+    frame timing (4 flat 16x8 frames at 2 fps; 3 textured 32x32 frames
+    at 4 fps), a raw concatenated-JPEG stream (valid frames, unknown
+    timing), and a junk-chunk AVI (header unreadable -> null fields,
+    never failures)."""
+    from .jpeg import encode_jpeg
+    from .mjpeg import build_avi_mjpeg
+
+    flat = [
+        encode_jpeg(np.full((8, 16), 32 + 48 * i, dtype=np.uint8))
+        for i in range(4)
+    ]
+    tex = [
+        encode_jpeg(textured(seed=50 + i, size=32), quant=2)
+        for i in range(3)
+    ]
+    return [
+        (
+            "vid_flat.avi",
+            "video",
+            bytearray(build_avi_mjpeg(flat, fps_milli=2_000)),
+            None,
+        ),
+        (
+            "vid_tex.avi",
+            "video",
+            bytearray(build_avi_mjpeg(tex, fps_milli=4_000)),
+            None,
+        ),
+        (
+            "raw_stream.mjpeg",
+            "video",
+            bytearray(b"".join(tex[:2])),
+            None,
+        ),
+        (
+            "corrupt.avi",
+            "video",
+            bytearray(b"RIFF\x10\x00\x00\x00AVI junkjunkjunk"),
+            None,
+        ),
+    ]
+
+
+def mp4_bytes(
+    width: int = 320,
+    height: int = 240,
+    duration_ms: int = 1500,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal ISO-BMFF container: ftyp + moov(mvhd + trak(tkhd)) with
+    the given presentation dims and duration — enough real structure
+    for a box-walking header parser, no media data."""
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + t + body
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    dur = duration_ms * timescale // 1000
+    # mvhd v0 body: version/flags, ctime, mtime, timescale, duration,
+    # then rate/volume/reserved/matrix/next-track padding
+    mvhd = box(
+        b"mvhd",
+        bytes(4)
+        + bytes(8)
+        + timescale.to_bytes(4, "big")
+        + dur.to_bytes(4, "big")
+        + bytes(76),
+    )
+    # tkhd v0 body is 84 bytes; width/height are the final 8 bytes in
+    # 16.16 fixed point
+    tkhd_body = bytearray(84)
+    tkhd_body[-8:-4] = (width << 16).to_bytes(4, "big")
+    tkhd_body[-4:] = (height << 16).to_bytes(4, "big")
+    trak = box(b"trak", box(b"tkhd", bytes(tkhd_body)))
+    return ftyp + box(b"moov", mvhd + trak)
+
+
+def mp3_bytes(duration_ms: int = 1000, bitrate_kbps: int = 128) -> bytes:
+    """Minimal CBR MPEG-1 Layer III stream: one valid frame-sync
+    header (bitrate index 9 = 128 kbps, sample-rate index 0 = 44100)
+    followed by zero padding sized so duration = bytes*8/bitrate."""
+    if bitrate_kbps != 128:
+        raise ValueError("fixture generator pins 128 kbps")
+    n = duration_ms * bitrate_kbps // 8
+    return bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (n - 4)
+
+
+def container_corpus() -> list[tuple]:
+    """Container-metadata-only rows: an MP4 (box-tree metadata, no
+    decodable pixels) and a CBR MP3."""
+    return [
+        ("clip.mp4", "video", bytearray(mp4_bytes()), None),
+        ("song.mp3", "audio", bytearray(mp3_bytes()), None),
+    ]
+
+
+FRAME_EVERY_MS = 400
+RESIZE_W = RESIZE_H = 16
+
+
+def frame_sample_corpus() -> list[tuple]:
+    """The q289 input: all videos + one image + one tone + one corrupt
+    blob + the MP4 container — every ``sample_frames`` code path
+    (real MJPEG timeline, unknown-timing stream, corrupt AVI, still
+    image, duration-only audio, container-metadata-only video)."""
+    imgs = {r[0]: r for r in image_corpus()}
+    auds = {r[0]: r for r in audio_corpus()}
+    return (
+        video_corpus()
+        + [imgs["img000.png"], auds["tone_440.wav"], imgs["corrupt_a.bin"]]
+        + [r for r in container_corpus() if r[0] == "clip.mp4"]
+    )
+
+
+def resize_corpus() -> list[tuple]:
+    """The q290 input: every DECODABLE image plus the MJPEG videos —
+    the rows where resize produces re-parseable media (undecodable
+    image bytes take the documented fake-resize fallback and stay a
+    pytest concern, not an oracle row)."""
+    imgs = [r for r in image_corpus() if not r[0].startswith("corrupt")]
+    vids = [r for r in video_corpus() if r[0] != "corrupt.avi"]
+    return imgs + vids
+
+
 __all__ = [
     "textured",
     "image_corpus",
     "wav_bytes",
     "sine",
     "audio_corpus",
+    "video_corpus",
+    "mp4_bytes",
+    "mp3_bytes",
+    "container_corpus",
+    "frame_sample_corpus",
+    "resize_corpus",
+    "FRAME_EVERY_MS",
+    "RESIZE_W",
+    "RESIZE_H",
 ]

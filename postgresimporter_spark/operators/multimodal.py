@@ -184,8 +184,9 @@ DECODERS: dict[str, Callable[[bytes], dict]] = {
 
 def parse_media_header(content: bytes) -> dict | None:
     """REAL (library-free) container-header metadata: PNG IHDR, JPEG
-    SOFn, GIF logical screen, and RIFF/WAVE fmt+data chunks are plain
-    byte layouts, so dimensions / sample rate / duration are parsed
+    SOFn, GIF logical screen, RIFF/AVI avih (dims + frame timing), and
+    RIFF/WAVE fmt+data chunks are plain byte layouts, so dimensions /
+    sample rate / duration are parsed
     directly — no media library involved. Returns None for
     unrecognized bytes (pixel/sample DECODING stays stubbed behind
     ``DECODERS``; this is the honest real/stub boundary: container
@@ -229,6 +230,18 @@ def parse_media_header(content: bytes) -> dict | None:
             "width": int.from_bytes(b[6:8], "little"),
             "height": int.from_bytes(b[8:10], "little"),
         }
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from .mjpeg import parse_avi_header
+
+        hdr = parse_avi_header(b)
+        out = {"codec": "avi"}
+        if hdr:
+            out["width"] = hdr["width"] or None
+            out["height"] = hdr["height"] or None
+            usec, n_frames = hdr["usec_per_frame"], hdr["total_frames"]
+            if usec and n_frames:
+                out["duration_ms"] = int(n_frames * usec // 1000)
+        return out
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         i, rate, channels, bits, data_len = 12, None, None, None, None
         while i + 8 <= len(b):

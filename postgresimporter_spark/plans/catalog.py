@@ -963,6 +963,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch59_registry():
         out[q.name] = q
+    from .catalog_batch60 import batch60_registry
+
+    for q in batch60_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -145,6 +145,216 @@ def independent_audio(content: bytes) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# construction-truth tables (multimodal tier): every value below is
+# hand-stated from the corpus RECIPE (dims/rates/timing the generator
+# itself chose), then verified against the live operators on a local
+# Spark session — so the frozen constants are simultaneously an
+# independent statement of intent and guaranteed in sync.
+
+_IMG_N_BASE = 16
+
+
+def expected_media_meta() -> list[tuple]:
+    rows = []
+    for path, _m, content, _ in mediagen.image_corpus():
+        nb = len(content)
+        if path.endswith("_sm.png"):
+            rows.append((path, "image", nb, "png", 32, 32, None, None, None))
+        elif path.endswith("_re.jpg"):
+            rows.append((path, "image", nb, "jpeg", 64, 64, None, None, None))
+        elif path.endswith(".png"):
+            rows.append((path, "image", nb, "png", 64, 64, None, None, None))
+        else:  # corrupt_a.bin; corrupt_b.gif is 7 bytes, under the
+            # 10-byte GIF header floor -> unrecognized -> all nulls
+            rows.append(
+                (path, "image", nb, None, None, None, None, None, None)
+            )
+    wav = {
+        "tone_220.wav": (8000, 1, 1000),
+        "tone_440.wav": (8000, 1, 1000),
+        "tone_880.wav": (8000, 1, 1000),
+        "tone_1760.wav": (8000, 1, 1000),
+        "tone_3000.wav": (8000, 1, 1000),
+        "tone_440_r16k.wav": (16000, 1, 1000),
+        "chord.wav": (8000, 1, 1000),
+        "noise.wav": (8000, 1, 1000),
+        "stereo.wav": (8000, 2, 1000),
+        "eight_bit.wav": (8000, 1, 500),
+        "empty.wav": (8000, 1, 0),
+        "float.wav": (8000, 1, 0),
+    }
+    for path, _m, content, _ in mediagen.audio_corpus():
+        nb = len(content)
+        if path in wav:
+            sr, ch, dur = wav[path]
+            rows.append((path, "audio", nb, "wav", None, None, sr, ch, dur))
+        else:  # corrupt.mp3: ID3 magic, no parsable frame header
+            rows.append(
+                (path, "audio", nb, "mp3", None, None, None, None, None)
+            )
+    vid = {
+        "vid_flat.avi": ("avi", 16, 8, 2000),
+        "vid_tex.avi": ("avi", 32, 32, 750),
+        # a raw JPEG stream is recognized by its first SOF header
+        "raw_stream.mjpeg": ("jpeg", 32, 32, None),
+        "corrupt.avi": ("avi", None, None, None),
+    }
+    for path, _m, content, _ in mediagen.video_corpus():
+        codec, w, h, dur = vid[path]
+        rows.append(
+            (path, "video", len(content), codec, w, h, None, None, dur)
+        )
+    for path, _m, content, _ in mediagen.container_corpus():
+        nb = len(content)
+        if path == "clip.mp4":
+            rows.append(
+                (path, "video", nb, "mp4", 320, 240, None, None, 1500)
+            )
+        else:  # song.mp3: 128 kbps CBR at 44100 Hz, 1000 ms
+            rows.append(
+                (path, "audio", nb, "mp3", None, None, 44100, None, 1000)
+            )
+    return rows
+
+
+FRAME_EVERY_MS = mediagen.FRAME_EVERY_MS
+frame_sample_corpus = mediagen.frame_sample_corpus
+
+
+def expected_frame_samples() -> list[tuple]:
+    t, f = True, False
+    return (
+        # vid_flat: 4 frames x 500 ms; samples land in frame spans
+        [("vid_flat.avi", ms, t, 16, 8) for ms in (0, 400, 800, 1200, 1600)]
+        # vid_tex: 3 frames x 250 ms -> 750 ms timeline
+        + [("vid_tex.avi", 0, t, 32, 32), ("vid_tex.avi", 400, t, 32, 32)]
+        # unknown timing / undecodable / stills: one frameless row
+        + [
+            ("raw_stream.mjpeg", 0, f, None, None),
+            ("corrupt.avi", 0, f, None, None),
+            ("img000.png", 0, f, None, None),
+            ("corrupt_a.bin", 0, f, None, None),
+        ]
+        # durations without decodable frames: offset rows, null frames
+        + [("tone_440.wav", ms, f, None, None) for ms in (0, 400, 800)]
+        + [("clip.mp4", ms, f, None, None) for ms in (0, 400, 800, 1200)]
+    )
+
+
+resize_corpus = mediagen.resize_corpus
+RESIZE_W, RESIZE_H = mediagen.RESIZE_W, mediagen.RESIZE_H
+
+
+def expected_resize_meta() -> list[tuple]:
+    rows = []
+    for path, modality, _c, _ in resize_corpus():
+        if modality == "image":
+            codec = "jpeg" if path.endswith("_re.jpg") else "png"
+            rows.append((path, modality, codec, 16, 16, None))
+        elif path == "vid_flat.avi":
+            rows.append((path, modality, "avi", 16, 16, 2000))
+        elif path == "vid_tex.avi":
+            rows.append((path, modality, "avi", 16, 16, 750))
+        else:  # raw_stream.mjpeg -> concatenated resized JPEGs
+            rows.append((path, modality, "jpeg", 16, 16, None))
+    return rows
+
+
+def _verify_multimodal(spark) -> tuple[list, list, list]:
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_metadata,
+        parse_media_header,
+        resize_media,
+        sample_frames,
+    )
+
+    all_media = (
+        mediagen.image_corpus()
+        + mediagen.audio_corpus()
+        + mediagen.video_corpus()
+        + mediagen.container_corpus()
+    )
+    meta_cols = [
+        "n_bytes",
+        "codec",
+        "width",
+        "height",
+        "sample_rate",
+        "channels",
+        "duration_ms",
+    ]
+    got_meta = {
+        r.path: (r.path, r.modality, *[getattr(r, c) for c in meta_cols])
+        for r in extract_media_metadata(
+            spark.createDataFrame(all_media, MEDIA_SCHEMA)
+        ).collect()
+    }
+    want_meta = expected_media_meta()
+    for row in want_meta:
+        if got_meta.get(row[0]) != row:
+            raise SystemExit(
+                f"media meta mismatch for {row[0]}: "
+                f"stated={row} operator={got_meta.get(row[0])}"
+            )
+
+    frames = sample_frames(
+        spark.createDataFrame(frame_sample_corpus(), MEDIA_SCHEMA),
+        every_ms=FRAME_EVERY_MS,
+    ).collect()
+    got_frames = set()
+    for r in frames:
+        if r.frame is None:
+            got_frames.add((r.path, r.frame_ms, False, None, None))
+        else:
+            m = parse_media_header(bytes(r.frame)) or {}
+            got_frames.add(
+                (r.path, r.frame_ms, True, m.get("width"), m.get("height"))
+            )
+    want_frames = set(expected_frame_samples())
+    if got_frames != want_frames or len(frames) != len(want_frames):
+        raise SystemExit(
+            f"frame samples mismatch ({len(frames)} rows vs "
+            f"{len(want_frames)} stated):\n only stated: "
+            f"{sorted(want_frames - got_frames, key=str)}\n only operator: "
+            f"{sorted(got_frames - want_frames, key=str)}"
+        )
+
+    resized = resize_media(
+        spark.createDataFrame(resize_corpus(), MEDIA_SCHEMA),
+        RESIZE_W,
+        RESIZE_H,
+    ).collect()
+    got_rs = set()
+    for r in resized:
+        m = parse_media_header(bytes(r.content)) or {}
+        got_rs.add(
+            (
+                r.path,
+                r.modality,
+                m.get("codec"),
+                m.get("width"),
+                m.get("height"),
+                m.get("duration_ms"),
+            )
+        )
+    want_rs = set(expected_resize_meta())
+    if got_rs != want_rs:
+        raise SystemExit(
+            f"resize meta mismatch:\n only stated: "
+            f"{sorted(want_rs - got_rs, key=str)}\n only operator: "
+            f"{sorted(got_rs - want_rs, key=str)}"
+        )
+    return (
+        want_meta,
+        sorted(want_frames, key=str),
+        sorted(expected_resize_meta(), key=str),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def main() -> None:
@@ -194,6 +404,11 @@ def main() -> None:
             else (path, *(ind[c] for c in feat_cols))
         )
 
+    from postgresimporter_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    meta_rows, frame_rows, resize_rows = _verify_multimodal(spark)
+
     dest = (
         Path(__file__).resolve().parents[1]
         / "postgresimporter_spark"
@@ -222,8 +437,37 @@ def main() -> None:
         f.write("AUDIO_FEATURES = [\n")
         for r in audio_rows:
             f.write(f"    {r!r},\n")
+        f.write("]\n\n")
+        f.write(
+            "# (path, modality, n_bytes, codec, width, height,\n"
+            "#  sample_rate, channels, duration_ms) — stated from the\n"
+            "# corpus recipe, verified against extract_media_metadata\n"
+        )
+        f.write("MEDIA_META = [\n")
+        for r in meta_rows:
+            f.write(f"    {r!r},\n")
+        f.write("]\n\n")
+        f.write(
+            "# (path, frame_ms, has_frame, frame_w, frame_h) at\n"
+            f"# every_ms={FRAME_EVERY_MS} over frame_sample_corpus()\n"
+        )
+        f.write("FRAME_SAMPLES = [\n")
+        for r in frame_rows:
+            f.write(f"    {r!r},\n")
+        f.write("]\n\n")
+        f.write(
+            "# (path, modality, codec, width, height, duration_ms) of\n"
+            f"# resize_media(resize_corpus(), {RESIZE_W}, {RESIZE_H}) output\n"
+        )
+        f.write("RESIZE_META = [\n")
+        for r in resize_rows:
+            f.write(f"    {r!r},\n")
         f.write("]\n")
-    print(f"wrote {dest}: {len(image_rows)} image rows, {len(audio_rows)} audio rows")
+    print(
+        f"wrote {dest}: {len(image_rows)} image, {len(audio_rows)} audio, "
+        f"{len(meta_rows)} meta, {len(frame_rows)} frame, "
+        f"{len(resize_rows)} resize rows"
+    )
 
 
 if __name__ == "__main__":
