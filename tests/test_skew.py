@@ -179,3 +179,27 @@ def test_hot_band_cap_is_prejoin_aggregate(spark):
     # cold-key filter joins once under EACH side of the self-join
     assert n_joins(capped) >= n_joins(plain) + 2
     assert capped.count("HashAggregate") > plain.count("HashAggregate")
+
+
+def test_hot_band_cap_on_lookup_combo_path(spark):
+    """Same skew guard semantics on the LARGE-combo lookup path
+    (round-7: C(16,6)=8008 broadcast combos + xxhash64 keys, the image
+    pHash config): identical 64-bit fingerprints are dropped by the
+    cap, a rare near pair survives, and hot_bands() reports the full
+    corpus count on every dropped key."""
+    from postgresimporter_spark.operators.dedup import (
+        hot_bands,
+        simhash_hamming_pairs,
+    )
+
+    n = 30
+    rows = [(i, 0x5A5A5A5A5A5A5A5A - (1 << 63)) for i in range(n)]
+    rows += [(100, 0x0F0F123400000000 - (1 << 63)),
+             (101, 0x0F0F123400000400 - (1 << 63))]
+    fps = spark.createDataFrame(rows, "id long, simhash long")
+    kw = dict(bits=64, chunks=16, max_hamming=10)
+    capped = simhash_hamming_pairs(fps, max_band_ratio=0.5, **kw)
+    got = {(r.id_a, r.id_b, r.hamming) for r in capped.collect()}
+    assert got == {(100, 101, 1)}
+    dropped = hot_bands(fps, max_band_ratio=0.5, **kw).collect()
+    assert dropped and all(r.n_fingerprints == n for r in dropped)
