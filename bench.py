@@ -104,6 +104,12 @@ HEADLINE = [
     "q246_rfm_segments",
     "q252_cramer_von_mises",
     "q256_conformance",
+    # round-7 new-operator guards: the candidate-bound MIH Hamming
+    # join (probe-mask enumeration + 16-bit-key self-join; q284's raw
+    # entry is output-bound at sf0.1, same story as q86 at sf1) and
+    # the trigram posting index with rarest-first probes
+    "q291_hamming_mih_strict",
+    "q285_trigram_like",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.

@@ -66,6 +66,43 @@ FROM pairs GROUP BY hamming
 """
 
 
+MIH_STRICT_BLOCKS = 2
+MIH_STRICT_MAX_HAMMING = 3
+
+
+def q291_hamming_mih_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-bound MIH companion (q86/q231 pattern): Hamming
+    <= 3 via 2 blocks of 16 bits, per-block radius 1 -> 17 probe masks
+    per block. Strict radius keeps the output tiny, so the runtime
+    tracks probe-mask enumeration + 16-bit-key banding selectivity —
+    the MIH regression signal q284 can't give (q284 is output-bound:
+    the correlated low-vocabulary fingerprints make true Hamming<=6
+    pairs quadratic at sf0.1)."""
+    fps = D.simhash(_duped_docs(spark, sf_dir), bits=HAMMING_BITS)
+    pairs = D.hamming_pairs_mih(
+        fps,
+        bits=HAMMING_BITS,
+        blocks=MIH_STRICT_BLOCKS,
+        max_hamming=MIH_STRICT_MAX_HAMMING,
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select("hamming", "n_pairs")
+    )
+
+
+ORACLE_Q291 = f"""
+WITH {_simhash_cte()},
+pairs AS (
+  SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {MIH_STRICT_MAX_HAMMING})
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY hamming
+"""
+
+
 # q285: trigram-index LIKE search ---------------------------------------------
 
 LIKE_PATTERNS = ["merge batch", "window spark", "slow filter", "data query"]
@@ -276,5 +313,11 @@ def batch59_registry() -> list[QueryDef]:
             q287_multiprobe_recall,
             ORACLE_Q287,
             "multi-probe vs single-probe LSH recall audit against exact top-k",
+        ),
+        QueryDef(
+            "q291_hamming_mih_strict",
+            q291_hamming_mih_strict,
+            ORACLE_Q291,
+            "candidate-bound MIH companion: strict-radius distance histogram",
         ),
     ]
