@@ -967,6 +967,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch60_registry():
         out[q.name] = q
+    from .catalog_batch61 import batch61_registry
+
+    for q in batch61_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
