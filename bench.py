@@ -26,7 +26,9 @@ regression guard: perceptual-hash + banded Hamming near-dup over a
 450-image corpus (generated once into /tmp from the deterministic
 ``operators/mediagen`` recipe at ``n_base=256``: 256 base PNGs + 128
 noisy JPEG re-encodes + 64 downsamples + 2 corrupt rows), timed as
-parquet scan -> decode -> DCT pHash -> C(16,6) banded join.
+parquet scan -> decode -> DCT pHash -> exact MIH Hamming join (the
+image near-dup default; 2.05s vs 2.86s for the combo path on this
+corpus, min-of-3 — decode dominates either way).
 
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed

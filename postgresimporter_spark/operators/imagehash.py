@@ -143,23 +143,46 @@ def image_neardup_pairs(
     id_col: str = "path",
     chunks: int = 16,
     max_band_ratio: float | None = None,
+    method: str = "mih",
 ) -> DataFrame:
-    """Image near-duplicate pairs: pHash + the text stack's banded
-    exact Hamming join (``simhash_hamming_pairs``) — pigeonhole combo
-    keys, optional hot-band cap, never all-pairs. ``chunks=16`` gives
-    4-bit chunks: with max_hamming=10 each combo key concatenates
-    chunks−10 = 6 chunks (24 bits of key entropy, hashed — the
-    lookup-path keys in ``dedup._combo_keyed``), exact by the
-    pigeonhole argument. The linear cost is C(16, 6) = 8008 band rows
-    per image hash — that explode is what keeps candidate buckets
-    tiny (24-bit keys) instead of degenerating toward quadratic
-    n/256 buckets, and it prices ONLY the hash table (one long per
+    """Image near-duplicate pairs: pHash + an EXACT banded Hamming
+    join. Two interchangeable exact joins, both never-all-pairs:
+
+    - ``method="mih"`` (default): multi-index hashing
+      (``dedup.hamming_pairs_mih``, 4 blocks of 16 bits) — at
+      max_hamming=10 the probe side enumerates 137 masks per block
+      (552 rows/hash) against 16-bit keys. Measured on the 448-image
+      bench corpus: 1.54s vs 2.89s for the combo path (min-of-3,
+      identical 255 pairs) — the high-radius default.
+    - ``method="combo"``: pigeonhole combo keys
+      (``simhash_hamming_pairs``): C(16, 6) = 8008 hashed 24-bit keys
+      per hash — tighter buckets (pick when verification volume, not
+      the explode, dominates), and the only path with the
+      ``max_band_ratio`` hot-band skew cap.
+
+    Either way the join prices ONLY the hash table (one long per
     image), never the pixels."""
-    from .dedup import simhash_hamming_pairs
+    from .dedup import hamming_pairs_mih, simhash_hamming_pairs
 
     hashes = image_phash(media, id_col=id_col).where(
         F.col("phash").isNotNull()
     )
+    if method == "mih":
+        if max_band_ratio is not None:
+            raise ValueError(
+                "max_band_ratio is a combo-path feature; pass "
+                'method="combo" to cap hot bands'
+            )
+        return hamming_pairs_mih(
+            hashes,
+            bits=PHASH_BITS,
+            blocks=4,
+            max_hamming=max_hamming,
+            id_col="id",
+            hash_col="phash",
+        )
+    if method != "combo":
+        raise ValueError(f"unknown method {method!r}: use 'mih' or 'combo'")
     return simhash_hamming_pairs(
         hashes,
         bits=PHASH_BITS,

@@ -75,15 +75,19 @@ NEARDUP_MAX_HAMMING = 10
 
 def q281_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs: pHash + the banded exact Hamming
-    join (pigeonhole combo keys over 16 4-bit chunks — the large-combo
-    lookup path in dedup._combo_keyed, C(16,6)=8008 hashed 24-bit
-    keys). Exact by construction, so the oracle can brute-force all
-    pairs over the frozen hashes — any banding recall loss shows up as
-    a missing row."""
+    join, pinned to ``method="combo"`` (pigeonhole combo keys over 16
+    4-bit chunks — the large-combo LOOKUP path in dedup._combo_keyed,
+    C(16,6)=8008 hashed 24-bit keys) so that path keeps an external
+    oracle row; the faster MIH default is oracle-covered by
+    q284/q291 and benched by img_neardup_450. Exact by construction,
+    so the oracle can brute-force all pairs over the frozen hashes —
+    any banding recall loss shows up as a missing row."""
     from ..operators.imagehash import image_neardup_pairs
 
     return image_neardup_pairs(
-        _media_images(spark), max_hamming=NEARDUP_MAX_HAMMING
+        _media_images(spark),
+        max_hamming=NEARDUP_MAX_HAMMING,
+        method="combo",
     )
 
 
