@@ -130,3 +130,15 @@ def test_q287_multiprobe_never_worse(spark, reg):
     row = reg["q287_multiprobe_recall"].fn(spark, SF).collect()[0]
     assert row.n_truth == 50  # 5 queries x k=10
     assert 0 <= row.hit_single <= row.hit_multi <= row.n_truth
+
+
+def test_trigram_plan_shape(spark, reg):
+    """The pattern/probe side must ride broadcasts and nothing may
+    degenerate to a cartesian — the rarest-first probe discipline is
+    only real if the plan keeps the pattern side small."""
+    from postgresimporter_spark.operators.bucketing import physical_plan
+
+    plan = physical_plan(reg["q285_trigram_like"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan  # no row-wise Python anywhere
