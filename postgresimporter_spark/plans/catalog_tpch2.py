@@ -398,6 +398,54 @@ FROM daily
 """
 
 
+# q295: top supplier (TPC-H Q15 shape) ---------------------------------------
+
+_Q15_START, _Q15_END = "1996-01-01", "1996-04-01"
+
+
+def q295_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (the last fixture-expressible TPC-H query
+    form): a revenue view aggregated per supplier over one quarter,
+    then the supplier(s) whose revenue EQUALS the global maximum — a
+    scalar aggregate over an aggregate, joined back (Catalyst plans
+    the max as a broadcast 1-row aggregate; the equality is on exact
+    DECIMAL revenue so ties are exact, not float-lucky)."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= _Q15_START)
+            & (F.col("l_shipdate") < _Q15_END)
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_col()).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_Q295 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{_Q15_START}'
+    AND l_shipdate < DATE '{_Q15_END}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
 def tpch2_registry() -> list[QueryDef]:
     return [
         QueryDef("q50_volume_shipping", q50_volume_shipping, ORACLE_Q50, "two-nation trade flows (Q7)"),
@@ -408,4 +456,5 @@ def tpch2_registry() -> list[QueryDef]:
         QueryDef("q55_prospect_segments", q55_prospect_segments, ORACLE_Q55, "scalar subquery + anti join (Q22)"),
         QueryDef("q56_window_suite", q56_window_suite, ORACLE_Q56, "dense/percent_rank, first/last/nth"),
         QueryDef("q57_daily_new_users", q57_daily_new_users, ORACLE_Q57, "cumulative distinct users"),
+        QueryDef("q295_top_supplier", q295_top_supplier, ORACLE_Q295, "max-over-aggregate view (Q15)"),
     ]
