@@ -315,37 +315,52 @@ def trigrams(text: Column) -> Column:
     )
 
 
-def trigram_like_search(
+def trigram_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build the trigram posting stream: distinct (doc_id, trigram)
+    rows — ONE explode + distinct pass over the corpus. Persist this
+    (parquet, bucketed by trigram for co-located probes) and serve
+    every later ``trigram_probe`` batch from it without rescanning
+    text — the pg_trgm-GIN build/probe split."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(trigrams(F.col(text_col))).alias("trigram"),
+    ).distinct()
+
+
+def trigram_probe(
+    index: DataFrame,
     docs: DataFrame,
     patterns: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
     max_probe_trigrams: int = 4,
 ) -> DataFrame:
-    """Multi-pattern substring search (`LIKE '%pat%'`) accelerated by a
-    trigram index — the Spark-native analogue of PostgreSQL's pg_trgm
-    GIN index (thematic parity: the reference loads into Postgres,
-    where this is the standard way to make %LIKE% queries not scan).
+    """Multi-pattern substring search (`LIKE '%pat%'`) against a
+    prebuilt ``trigram_index`` — the Spark-native analogue of
+    PostgreSQL's pg_trgm GIN index (thematic parity: the reference
+    loads into Postgres, where this is the standard way to make
+    %LIKE% queries not scan).
 
-    Plan: (1) one pass builds the distinct (doc, trigram) posting
-    stream; (2) per pattern, the ``max_probe_trigrams`` RAREST pattern
+    Per batch: (1) each pattern's ``max_probe_trigrams`` RAREST
     trigrams by corpus document frequency are selected (rarest-first
     probing bounds the posting volume a stop-trigram like ``' th'``
     would otherwise shuffle — same discipline as PPJoin's rarest-first
-    prefix); (3) docs containing ALL probe trigrams (count filter on
-    the equi-join) become candidates; (4) ``contains`` verifies.
-    Steps 2-4 are LOSSLESS: probing a subset of the pattern's trigrams
-    only widens the candidate set, and verification is exact, so the
-    result equals the naive scan. Patterns shorter than 3 chars have
-    no trigram and would silently scan — they raise instead.
+    prefix); (2) docs containing ALL probe trigrams (count filter on
+    the equi-join) become candidates; (3) ``contains`` verifies
+    against the text of the candidates only. All steps are LOSSLESS:
+    probing a subset of the pattern's trigrams only widens the
+    candidate set, and verification is exact, so the result equals
+    the naive scan. Patterns shorter than 3 chars have no trigram and
+    would silently scan — they raise instead.
 
-    At 100 TB: the posting stream is one explode + distinct of the
-    corpus (index build); per query batch, the shuffle is bounded by
-    the probed postings, never the corpus; the pattern side is a
-    broadcast literal. Returns (pattern, doc_id) match rows.
+    At 100 TB: the index builds once; per query batch the shuffle is
+    bounded by the probed postings, never the corpus; the pattern
+    side is a broadcast literal. Returns (pattern, doc_id) rows.
     """
     if not patterns:
-        raise ValueError("trigram_like_search: no patterns")
+        raise ValueError("trigram_probe: no patterns")
     for p in patterns:
         if len(p) < 3:
             raise ValueError(
@@ -357,10 +372,7 @@ def trigram_like_search(
     pat_tri = pat.select(
         "pattern", F.explode_outer(trigrams(F.col("pattern"))).alias("trigram")
     ).distinct()
-    doc_tri = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(trigrams(F.col(text_col))).alias("trigram"),
-    ).distinct()
+    doc_tri = index
     df_stats = doc_tri.groupBy("trigram").agg(
         F.count("*").alias("_df")
     )
@@ -409,4 +421,26 @@ def trigram_like_search(
     return verified
 
 
-__all__.extend(["trigrams", "trigram_like_search"])
+def trigram_like_search(
+    docs: DataFrame,
+    patterns: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_probe_trigrams: int = 4,
+) -> DataFrame:
+    """One-shot convenience: ``trigram_index`` + ``trigram_probe`` in
+    a single call (the index is built inline). Production callers
+    persist the index once and probe it per batch instead."""
+    return trigram_probe(
+        trigram_index(docs, text_col=text_col, id_col=id_col),
+        docs,
+        patterns,
+        text_col=text_col,
+        id_col=id_col,
+        max_probe_trigrams=max_probe_trigrams,
+    )
+
+
+__all__.extend(
+    ["trigrams", "trigram_index", "trigram_probe", "trigram_like_search"]
+)
