@@ -971,6 +971,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch61_registry():
         out[q.name] = q
+    from .catalog_batch62 import batch62_registry
+
+    for q in batch62_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
