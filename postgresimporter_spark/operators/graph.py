@@ -434,3 +434,73 @@ def pointer_jump_roots(
             .localCheckpoint(eager=False)
         )
     return state.select("node", F.col("anc").alias("root"), "depth")
+
+
+def random_walks(
+    edges: DataFrame, length: int = 4, seed: str = "walk"
+) -> DataFrame:
+    """Deterministic hash-seeded uniform random walks over an
+    undirected canonical edge list — the node2vec/DeepWalk sampling
+    stage that feeds graph-embedding training. One walk starts at
+    every node; at step t the walker moves to the neighbor minimizing
+    md5(seed:walk:t:neighbor) — "random" to the graph but a pure
+    function of (seed, walk, step), so walks are reproducible across
+    engines, retries, and repartitions (the same discipline as every
+    deterministic sampler in this repo: hash order, never RNG state).
+
+    Each step is one frontier⋈edges join + a per-walk (score, dst)
+    struct-min aggregation — no window, no collect; ``length`` rounds
+    total. Walkers can never dead-end on an undirected graph (the
+    back-edge always exists). Returns (walk_id, step, node) rows,
+    step 0 = the start node.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    state = nodes.select(
+        F.col("node").alias("walk_id"), F.col("node").alias("cur")
+    ).localCheckpoint(eager=False)
+    out = state.select(
+        "walk_id", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node"),
+    )
+    for t in range(1, length + 1):
+        score = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col("walk_id"),
+                        F.lit(t),
+                        F.col("dst"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        state = (
+            state.join(sym, state["cur"] == sym["src"])
+            .select("walk_id", "dst", score.alias("_s"))
+            .groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(F.col("_s").alias("s"), F.col("dst").alias("d"))
+                ).alias("_m")
+            )
+            .select("walk_id", F.col("_m.d").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(
+            state.select(
+                "walk_id",
+                F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out

@@ -132,6 +132,71 @@ FROM w WHERE cur % {CHAIN_MOD} = 0
 """
 
 
+# q298: deterministic random walks ----------------------------------------------
+
+WALK_LEN = 4
+
+
+def q298_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec/DeepWalk sampling over the co-purchase graph: one
+    4-step hash-seeded walk per node (graph.random_walks), summarized
+    per step as (step, n_walks, n_distinct_nodes, node_sum) so the
+    result stays bounded while pinning every walk position exactly
+    (node_sum is an exact integer checksum of all walker positions)."""
+    from ..operators.graph import random_walks
+    from .catalog_batch18 import _edges
+
+    walks = random_walks(_edges(spark, sf_dir), length=WALK_LEN)
+    return walks.groupBy("step").agg(
+        F.count("*").cast("long").alias("n_walks"),
+        F.count_distinct("node").cast("long").alias("n_distinct_nodes"),
+        F.sum("node").cast("long").alias("node_sum"),
+    )
+
+
+def _walk_oracle() -> str:
+    from .catalog_batch18 import _EDGES_SQL
+
+    score = (
+        "('0x' || substr(md5('walk:' || s{p}.walk_id || ':{t}:' || e.dst),"
+        " 1, 15))::BIGINT"
+    )
+    steps = []
+    prev = "s0"
+    for t in range(1, WALK_LEN + 1):
+        sc = score.format(p=t - 1, t=t)
+        steps.append(
+            f"""s{t} AS (
+  SELECT walk_id, dst AS cur FROM (
+    SELECT s{t - 1}.walk_id, e.dst,
+           ROW_NUMBER() OVER (PARTITION BY s{t - 1}.walk_id
+                              ORDER BY {sc}, e.dst) AS rn
+    FROM s{t - 1} JOIN sym e ON s{t - 1}.cur = e.src) r WHERE rn = 1)"""
+        )
+        prev = f"s{t}"
+    all_steps = ",\n".join(steps)
+    unions = "\nUNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS node FROM s{t}"
+        for t in range(0, WALK_LEN + 1)
+    )
+    return f"""
+WITH {_EDGES_SQL},
+sym AS (SELECT src, dst FROM edges
+        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM sym),
+{all_steps},
+walks AS ({unions})
+SELECT CAST(step AS BIGINT) AS step,
+       CAST(COUNT(*) AS BIGINT) AS n_walks,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct_nodes,
+       CAST(SUM(node) AS BIGINT) AS node_sum
+FROM walks GROUP BY step
+"""
+
+
+ORACLE_Q298 = None  # built lazily in batch62_registry (imports batch18)
+
+
 def batch62_registry() -> list[QueryDef]:
     return [
         QueryDef(
@@ -145,5 +210,11 @@ def batch62_registry() -> list[QueryDef]:
             q297_redirect_chains,
             ORACLE_Q297,
             "pointer-jumping chain resolution vs recursive-CTE walk",
+        ),
+        QueryDef(
+            "q298_random_walks",
+            q298_random_walks,
+            _walk_oracle(),
+            "deterministic hash-seeded node2vec walks vs unrolled SQL steps",
         ),
     ]

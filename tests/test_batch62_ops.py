@@ -67,3 +67,35 @@ def test_pointer_jump_partial_depth_contract(spark):
         for r in pointer_jump_roots(parents, rounds=3).collect()
     }
     assert full[5] == (0, 5)
+
+
+def test_q298_walks_match_python_model(spark, reg):
+    """Replicate the hash-seeded walk sequentially in Python over the
+    collected (metadata-scale at sf0.001) edge list."""
+    import hashlib
+
+    from postgresimporter_spark.operators.graph import random_walks
+    from postgresimporter_spark.plans.catalog_batch18 import _edges
+
+    e = [(r.src, r.dst) for r in _edges(spark, SF).collect()]
+    adj = {}
+    for s, d in e:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def score(wid, t, dst):
+        h = hashlib.md5(f"walk:{wid}:{t}:{dst}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    want = set()
+    for start in adj:
+        cur = start
+        want.add((start, 0, start))
+        for t in range(1, 5):
+            cur = min(adj[cur], key=lambda d: (score(start, t, d), d))
+            want.add((start, t, cur))
+    got = {
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(_edges(spark, SF), length=4).collect()
+    }
+    assert got == want
