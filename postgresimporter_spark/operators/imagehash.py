@@ -99,7 +99,12 @@ def phash(content: bytes) -> int:
     small = _resample_nearest(gray, _PHASH_SIZE)
     d = _dct_matrix(_PHASH_SIZE)
     coeffs = d @ small @ d.T
-    low = coeffs[:_PHASH_LOW, :_PHASH_LOW]
+    # kill sub-1e-8 numerical noise before thresholding: on degenerate
+    # inputs (uniform frames) every AC coefficient is analytically 0
+    # and the float residue (~1e-13, DCT-implementation-dependent)
+    # would otherwise turn the hash into noise; real image content
+    # sits orders of magnitude above this
+    low = np.round(coeffs[:_PHASH_LOW, :_PHASH_LOW], 8)
     ac = low.flatten()[1:]
     med = np.median(ac)
     bits = ac > med
@@ -194,10 +199,95 @@ def image_neardup_pairs(
     )
 
 
+_FID_SEP = "|"
+
+
+def video_frame_phashes(
+    media: DataFrame, every_ms: int = 400, id_col: str = "path"
+) -> DataFrame:
+    """(path, frame_ms, phash) of every decodable sampled frame: the
+    timeline sampler (``multimodal.sample_frames``, one frame resident
+    per row) feeding the image pHash scan — the per-video fingerprint
+    table video dedup joins on. Frameless rows (stills, unknown
+    timing, corrupt bytes) drop out. Paths must not contain '|' (the
+    internal frame-id separator): offending rows RAISE at execution —
+    a silent drop or mis-split would be a silent cap."""
+    from .multimodal import sample_frames
+
+    frames = sample_frames(media, every_ms=every_ms).where(
+        F.col("frame").isNotNull()
+    )
+    safe_path = F.when(
+        ~F.col(id_col).contains(_FID_SEP), F.col(id_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit("video_frame_phashes: path contains the frame-id "
+                  "separator '|'")
+        )
+    )
+    fid = F.concat_ws(_FID_SEP, safe_path, "frame_ms")
+    hashed = image_phash(
+        frames.select(fid.alias("fid"), F.col("frame").alias("content")),
+        id_col="fid",
+    ).withColumnRenamed("id", "fid")
+    return hashed.select(
+        F.substring_index(F.col("fid"), _FID_SEP, 1).alias("path"),
+        F.substring_index(F.col("fid"), _FID_SEP, -1)
+        .cast("long")
+        .alias("frame_ms"),
+        "phash",
+    ).where(F.col("phash").isNotNull())
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    every_ms: int = 400,
+    max_hamming: int = 10,
+    min_matched: int = 2,
+) -> DataFrame:
+    """Video near-duplicate pairs: two videos qualify when at least
+    ``min_matched`` timeline-ALIGNED sampled frames land within
+    ``max_hamming`` perceptual bits. Candidates come from the exact
+    MIH Hamming join over ALL frame fingerprints with an
+    offset-equality post-filter — banding yields a superset of the
+    aligned matches, so the result is exact, and no path compares all
+    frame pairs. One long per sampled frame is all that ever joins —
+    pixels never shuffle."""
+    from .dedup import hamming_pairs_mih
+
+    fp = video_frame_phashes(media, every_ms=every_ms)
+    fid = F.concat_ws(_FID_SEP, "path", "frame_ms")
+    pairs = hamming_pairs_mih(
+        fp.select(fid.alias("fid"), "phash"),
+        bits=PHASH_BITS,
+        blocks=4,
+        max_hamming=max_hamming,
+        id_col="fid",
+        hash_col="phash",
+    )
+    pa = F.substring_index(F.col("id_a"), _FID_SEP, 1)
+    pb = F.substring_index(F.col("id_b"), _FID_SEP, 1)
+    ma = F.substring_index(F.col("id_a"), _FID_SEP, -1).cast("long")
+    mb = F.substring_index(F.col("id_b"), _FID_SEP, -1).cast("long")
+    aligned = pairs.select(
+        F.least(pa, pb).alias("video_a"),
+        F.greatest(pa, pb).alias("video_b"),
+        ma.alias("ms_a"),
+        mb.alias("ms_b"),
+    ).where((F.col("ms_a") == F.col("ms_b")) & (pa != pb))
+    return (
+        aligned.groupBy("video_a", "video_b")
+        .agg(F.count_distinct("ms_a").cast("long").alias("n_matched"))
+        .where(F.col("n_matched") >= min_matched)
+    )
+
+
 __all__ = [
     "PHASH_BITS",
     "decode_to_gray",
     "phash",
     "image_phash",
     "image_neardup_pairs",
+    "video_frame_phashes",
+    "video_neardup_pairs",
 ]

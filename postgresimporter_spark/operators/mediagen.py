@@ -300,6 +300,38 @@ FRAME_EVERY_MS = 400
 RESIZE_W = RESIZE_H = 16
 
 
+def video_neardup_corpus() -> list[tuple]:
+    """The q300 input: the standard video corpus plus a noisy JPEG
+    re-encode of vid_tex (same 4 fps timeline — the aligned near-dup
+    partner) and an unrelated textured video (same timing, different
+    content — must NOT match)."""
+    from .jpeg import encode_jpeg
+    from .mjpeg import build_avi_mjpeg
+
+    tex_re = [
+        encode_jpeg(_noisy(textured(seed=50 + i, size=32), 2000 + i), quant=4)
+        for i in range(3)
+    ]
+    other = [
+        encode_jpeg(textured(seed=60 + i, size=32), quant=2)
+        for i in range(3)
+    ]
+    return video_corpus() + [
+        (
+            "vid_tex_re.avi",
+            "video",
+            bytearray(build_avi_mjpeg(tex_re, fps_milli=4_000)),
+            None,
+        ),
+        (
+            "vid_other.avi",
+            "video",
+            bytearray(build_avi_mjpeg(other, fps_milli=4_000)),
+            None,
+        ),
+    ]
+
+
 def frame_sample_corpus() -> list[tuple]:
     """The q289 input: all videos + one image + one tone + one corrupt
     blob + the MP4 container — every ``sample_frames`` code path
@@ -336,6 +368,7 @@ __all__ = [
     "container_corpus",
     "frame_sample_corpus",
     "resize_corpus",
+    "video_neardup_corpus",
     "FRAME_EVERY_MS",
     "RESIZE_W",
     "RESIZE_H",

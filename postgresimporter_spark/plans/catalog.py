@@ -975,6 +975,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch62_registry():
         out[q.name] = q
+    from .catalog_batch63 import batch63_registry
+
+    for q in batch63_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -70,7 +70,8 @@ def independent_phash(content: bytes) -> int | None:
     xs = [(i * w) // size for i in range(size)]
     small = gray[np.ix_(ys, xs)]
     coeffs = _dct2_ortho_fft(small)
-    ac = coeffs[:8, :8].flatten()[1:]
+    # same sub-1e-8 noise kill as the operator (uniform-input guard)
+    ac = np.round(coeffs[:8, :8], 8).flatten()[1:]
     med = np.sort(ac)[len(ac) // 2]
     out = 0
     for idx in range(len(ac) - 1, -1, -1):  # reversed assembly order
@@ -322,6 +323,37 @@ def _verify_multimodal(spark) -> tuple[list, list, list]:
             f"{sorted(got_frames - want_frames, key=str)}"
         )
 
+    # video frame pHashes (q300): frames come from the live sampler,
+    # hashes from the INDEPENDENT FFT-DCT model, cross-checked against
+    # the operator chain (video_frame_phashes)
+    from postgresimporter_spark.operators.imagehash import (
+        video_frame_phashes,
+    )
+
+    nd_media = spark.createDataFrame(
+        mediagen.video_neardup_corpus(), MEDIA_SCHEMA
+    )
+    nd_frames = sample_frames(nd_media, every_ms=mediagen.FRAME_EVERY_MS)
+    want_vfp = set()
+    for r in nd_frames.collect():
+        if r.frame is None:
+            continue
+        h = independent_phash(bytes(r.frame))
+        if h is not None:
+            want_vfp.add((r.path, r.frame_ms, h))
+    got_vfp = {
+        (r.path, r.frame_ms, r.phash)
+        for r in video_frame_phashes(
+            nd_media, every_ms=mediagen.FRAME_EVERY_MS
+        ).collect()
+    }
+    if got_vfp != want_vfp:
+        raise SystemExit(
+            f"video frame phash mismatch:\n only independent: "
+            f"{sorted(want_vfp - got_vfp, key=str)}\n only operator: "
+            f"{sorted(got_vfp - want_vfp, key=str)}"
+        )
+
     resized = resize_media(
         spark.createDataFrame(resize_corpus(), MEDIA_SCHEMA),
         RESIZE_W,
@@ -351,6 +383,7 @@ def _verify_multimodal(spark) -> tuple[list, list, list]:
         want_meta,
         sorted(want_frames, key=str),
         sorted(expected_resize_meta(), key=str),
+        sorted(want_vfp, key=str),
     )
 
 
@@ -407,7 +440,7 @@ def main() -> None:
     from postgresimporter_spark.session import get_spark
 
     spark = get_spark(shuffle_partitions=8)
-    meta_rows, frame_rows, resize_rows = _verify_multimodal(spark)
+    meta_rows, frame_rows, resize_rows, vfp_rows = _verify_multimodal(spark)
 
     dest = (
         Path(__file__).resolve().parents[1]
@@ -461,6 +494,15 @@ def main() -> None:
         )
         f.write("RESIZE_META = [\n")
         for r in resize_rows:
+            f.write(f"    {r!r},\n")
+        f.write("]\n\n")
+        f.write(
+            "# (path, frame_ms, phash) of video_neardup_corpus() sampled\n"
+            f"# frames at every_ms={FRAME_EVERY_MS} — independent FFT-DCT\n"
+            "# hashes of the live sampler's frames\n"
+        )
+        f.write("VIDEO_FRAME_PHASH = [\n")
+        for r in vfp_rows:
             f.write(f"    {r!r},\n")
         f.write("]\n")
     print(
