@@ -112,6 +112,10 @@ HEADLINE = [
     # the trigram posting index with rarest-first probes
     "q291_hamming_mih_strict",
     "q285_trigram_like",
+    # round-7: the walk generator is the most regression-prone new
+    # iterative op (4 join rounds + per-neighbor hashing; the
+    # adjacency/single-hash layout is worth 2.4x — guard it)
+    "q298_random_walks",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.
