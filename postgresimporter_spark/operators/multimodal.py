@@ -60,7 +60,7 @@ def image_decode(content: bytes) -> dict:
         try:
             return png_decode_meta(content)
         except ValueError:
-            pass  # unsupported variant: fall through to the stub
+            pass  # unsupported variant: fall through to header-metadata-only
     if content and content[:6] in GIF_MAGICS:
         try:
             return gif_decode_meta(content)

@@ -1081,6 +1081,25 @@ _DRIVER_GREEN = {
     "q232_groupwise_ols", "q233_zipf_fit", "q234_log_odds",
     "q235_jensen_shannon", "q236_kendall_tau", "q237_poisson_bootstrap",
     "q238_lloyd_iteration", "q239_info_gain",
+    # Green in CORRECTNESS_r07.json (round-7 driver window): the whole
+    # q240-q285 tier plus the TPC-H Q15 parity query q295.
+    "q240_clustering_agreement", "q241_average_precision",
+    "q242_kaplan_meier", "q243_recursive_bfs", "q244_flesch",
+    "q245_truncated_recall", "q246_rfm_segments", "q247_assortativity",
+    "q248_fd_audit", "q249_priority_sample", "q250_boxplot_stats",
+    "q251_rank_binned_mi", "q252_cramer_von_mises", "q253_hhi_concentration",
+    "q254_diversity_indexes", "q255_sequence_edit_distance",
+    "q256_conformance", "q257_stratified_split", "q258_negative_sampling",
+    "q259_markov_accuracy", "q260_correlation_matrix", "q261_mase_backtest",
+    "q262_ltv_triangle", "q263_time_to_convert", "q264_reid_risk",
+    "q265_dp_noisy_counts", "q266_quality_yield_curve", "q267_target_encoding",
+    "q268_kfold_metrics", "q269_learning_curve", "q270_cohens_kappa",
+    "q271_corpus_datasheet", "q272_lateral_topn", "q273_time_weighted_avg",
+    "q274_within_group_percentile", "q275_ageing_buckets",
+    "q276_bootstrap_diff", "q277_trimmed_mean", "q278_spearman",
+    "q279_lift_curve", "q280_image_phash", "q281_image_neardup",
+    "q282_audio_features", "q283_simhash_capped", "q284_hamming_mih",
+    "q285_trigram_like", "q295_top_supplier",
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
@@ -1088,7 +1107,7 @@ _SENTINELS = ["q01_pricing_summary", "q19_strip", "q23_table_counts"]
 
 # Round counter for the re-verification slice below.  Bumped once per
 # round alongside the _DRIVER_GREEN additions.
-_ROUND = 7
+_ROUND = 8
 
 # How many previously-green queries to rotate back into the head window
 # each round, so old greens keep getting re-sampled by the external gate
