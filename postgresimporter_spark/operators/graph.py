@@ -436,8 +436,84 @@ def pointer_jump_roots(
     return state.select("node", F.col("anc").alias("root"), "depth")
 
 
+# Salt count for the two-phase per-node neighbor cap: stage 1 keeps a
+# bounded top-k per (node, salt) slice, stage 2 merges <=_CAP_SALTS
+# bounded arrays — no agg buffer ever holds more than max(degree /
+# _CAP_SALTS, _CAP_SALTS * max_degree) entries, so a 10^7-degree crawl
+# hub never materializes as one row anywhere in the capping plan.
+_CAP_SALTS = 32
+
+
+def _capped_adjacency(sym: DataFrame, max_degree: int, seed: str) -> DataFrame:
+    """Per-node neighbor arrays of the symmetric edge list, capped to
+    the ``max_degree`` neighbors minimizing ``md5(seed:node:neighbor)``
+    — a deterministic hash-top-k sample, the same
+    hash-order-never-RNG-state discipline as every sampler in this
+    repo, so a capped walk is reproducible across engines, retries,
+    and repartitions. Exact top-k in two bounded phases (salted
+    partial top-k, then merge-of-k-lists), never a per-node window
+    sort that would put an entire hub key in one task."""
+    score = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col("src"), F.col("dst"))
+    )
+    part = (
+        sym.select(
+            "src",
+            F.pmod(F.xxhash64("dst"), F.lit(_CAP_SALTS)).alias("_salt"),
+            F.struct(score.alias("s"), F.col("dst").alias("d")).alias("_sd"),
+        )
+        .groupBy("src", "_salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("_sd")), 1, max_degree
+            ).alias("_arr")
+        )
+    )
+    return (
+        part.groupBy("src")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_arr"))),
+                1,
+                max_degree,
+            ).alias("_arr")
+        )
+        .select(
+            "src", F.transform("_arr", lambda x: x["d"]).alias("_nbrs")
+        )
+    )
+
+
+def hot_degrees(edges: DataFrame, max_degree: int) -> DataFrame:
+    """The nodes a ``random_walks(..., max_degree=...)`` run with the
+    same cap would truncate, as (node, degree, kept, dropped) rows —
+    the no-silent-caps audit for the walk sampler: a capped walk run
+    should count/log these next to its walk output, exactly as
+    ``hot_shingles``/``hot_bands`` audit the Jaccard and SimHash caps.
+    Degrees are of the SYMMETRIC (undirected) edge list, matching what
+    the walker traverses."""
+    e = edges.select("src", "dst")
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("degree"))
+        .where(F.col("degree") > max_degree)
+        .select(
+            "node",
+            "degree",
+            F.lit(max_degree).cast("long").alias("kept"),
+            (F.col("degree") - max_degree).alias("dropped"),
+        )
+    )
+
+
 def random_walks(
-    edges: DataFrame, length: int = 4, seed: str = "walk"
+    edges: DataFrame,
+    length: int = 4,
+    seed: str = "walk",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Deterministic hash-seeded uniform random walks over an
     undirected canonical edge list — the node2vec/DeepWalk sampling
@@ -455,22 +531,33 @@ def random_walks(
     per-step edge shuffle, no per-step groupBy. Measured at sf0.1 on
     the co-purchase graph (4 steps, min-of-3): 11.6s for the
     frontier⋈edges + groupBy layout vs 4.9s for this one, identical
-    walks. Contract: per-node degree must fit one row
-    (the usual power-law graphs are fine; for truly unbounded hub
-    degrees, cap or sample the adjacency BEFORE walking — explicitly,
-    never silently here). Walkers can never dead-end on an undirected
-    graph (the back-edge always exists). Returns (walk_id, step,
-    node) rows, step 0 = the start node.
+    walks. Contract: per-node degree must fit one row — the usual
+    power-law graphs are fine; for truly unbounded hub degrees pass
+    ``max_degree``, which caps every node's adjacency to the
+    ``max_degree`` neighbors minimizing ``md5(seed:node:neighbor)``
+    (deterministic hash-top-k, built in bounded two-phase aggregates
+    so the hub never materializes as one row even transiently) and is
+    audited by ``hot_degrees(edges, max_degree)`` — the explicit,
+    reported cap; nothing is ever dropped silently here. Walkers can
+    never dead-end on an undirected graph (the back-edge always
+    exists; a hash-top-k capped adjacency is non-empty for every node
+    that had any neighbor). Returns (walk_id, step, node) rows,
+    step 0 = the start node.
     """
     e = edges.select("src", "dst").localCheckpoint(eager=False)
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    adj = (
-        sym.groupBy("src")
-        .agg(F.collect_list("dst").alias("_nbrs"))
-        .localCheckpoint(eager=False)
-    )
+    if max_degree is not None:
+        adj = _capped_adjacency(sym, max_degree, seed).localCheckpoint(
+            eager=False
+        )
+    else:
+        adj = (
+            sym.groupBy("src")
+            .agg(F.collect_list("dst").alias("_nbrs"))
+            .localCheckpoint(eager=False)
+        )
     state = adj.select(
         F.col("src").alias("walk_id"), F.col("src").alias("cur")
     ).localCheckpoint(eager=False)

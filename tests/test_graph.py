@@ -151,3 +151,69 @@ def test_label_propagation_string_nodes(spark):
     assert labels["apple"] == labels["avocado"] == labels["apricot"]
     assert labels["banana"] == labels["blueberry"]
     assert labels["apple"] != labels["banana"]
+
+
+def test_random_walks_max_degree_cap_hub(spark):
+    """A hub node (degree 40 ≫ cap) walks correctly under the explicit
+    hash-top-k adjacency cap: the capped run matches a sequential
+    Python model that caps adjacency by md5(seed:node:neighbor) order
+    first, a cap wider than every degree is a no-op (identical walks
+    to the uncapped run), and hot_degrees names exactly the truncated
+    hub with its kept/dropped split."""
+    import hashlib
+
+    from postgresimporter_spark.operators.graph import (
+        hot_degrees,
+        random_walks,
+    )
+
+    pairs = [(0, i) for i in range(1, 41)] + [(i, i + 1) for i in range(1, 8)]
+    df = _edges(spark, [(int(a), int(b)) for a, b in pairs])
+
+    uncapped = {
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(df, length=3).collect()
+    }
+    wide = {
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(df, length=3, max_degree=100).collect()
+    }
+    assert wide == uncapped
+
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def cap_key(node, nbr):
+        return (hashlib.md5(f"walk:{node}:{nbr}".encode()).hexdigest(), nbr)
+
+    capped_adj = {
+        n: set(sorted(nbrs, key=lambda d: cap_key(n, d))[:5])
+        for n, nbrs in adj.items()
+    }
+
+    def step_score(wid, t, dst):
+        h = hashlib.md5(f"walk:{wid}:{t}:{dst}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    want = set()
+    for start in capped_adj:
+        cur = start
+        want.add((start, 0, start))
+        for t in range(1, 4):
+            cur = min(
+                capped_adj[cur], key=lambda d: (step_score(start, t, d), d)
+            )
+            want.add((start, t, cur))
+    got = {
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(df, length=3, max_degree=5).collect()
+    }
+    assert got == want
+
+    hot = {
+        r.node: (r.degree, r.kept, r.dropped)
+        for r in hot_degrees(df, 5).collect()
+    }
+    assert hot == {0: (40, 5, 35)}
