@@ -21,14 +21,20 @@ separable from real query regressions: normalize round-over-round
 query times by the calibration ratio before reading them as
 regressions.
 
-The ``img_neardup_450`` entry (VERDICT r06 #3) is the multimodal
-regression guard: perceptual-hash + banded Hamming near-dup over a
-450-image corpus (generated once into /tmp from the deterministic
-``operators/mediagen`` recipe at ``n_base=256``: 256 base PNGs + 128
-noisy JPEG re-encodes + 64 downsamples + 2 corrupt rows), timed as
-parquet scan -> decode -> DCT pHash -> exact MIH Hamming join (the
-image near-dup default; 2.05s vs 2.86s for the combo path on this
-corpus, min-of-3 — decode dominates either way).
+The ``img_neardup_898`` entry (VERDICT r06 #3, rescaled r08) is the
+multimodal regression guard: perceptual-hash + banded Hamming near-dup
+over an 898-image corpus (generated once into a size-tagged /tmp cache
+from the deterministic ``operators/mediagen`` recipe at ``n_base=512``:
+512 base PNGs + 256 noisy JPEG re-encodes + 128 downsamples + 2 corrupt
+rows), timed as parquet scan -> decode -> DCT pHash -> exact MIH
+Hamming join. ``video_neardup_98`` (VERDICT r07 #7) is its video
+sibling: 98 MJPEG AVIs (64 base + 32 aligned noisy re-encodes + 2
+corrupt), timed as scan -> frame sample -> decode -> pHash -> aligned
+MIH join. ``ingest_sf*`` (VERDICT r07 #3) times the reference-shaped
+ingest spine end-to-end: 12 prefix-grouped CSV files (lineitem x8 +
+orders x4, generated once from the bench-scale parquet) through
+discovery -> all-text load -> prefix combine -> parquet sink ->
+row-count reconciliation.
 
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed
@@ -144,6 +150,13 @@ SF1_HEADLINE = [
     # candidate-pruning regressions are visible even while q86's raw
     # entry stays output-bound.
     "q231_simhash_strict",
+    # r8 (VERDICT r07 #2): the three slowest round-7 sf0.1 guards get a
+    # 10x data point so their scaling exponents are measured — the MIH
+    # probe-mask Hamming join, the trigram posting index, and the
+    # 4-round walk generator (adjacency build + per-step equi-joins).
+    "q291_hamming_mih_strict",
+    "q285_trigram_like",
+    "q298_random_walks",
 ]
 SF1_COPIES = 10
 
@@ -218,14 +231,29 @@ def _ensure_sf1(spark, base_dir: str) -> str | None:
         return None
 
 
-MEDIA_N_BASE = 256  # -> 450 corpus images (256 png + 128 jpg + 64 sm + 2 bad)
+# 512 -> 898 corpus images (512 png + 256 jpg + 128 sm + 2 bad);
+# scaled one notch from r7's 256/450 (VERDICT r07 #2) so the decode +
+# MIH join guard runs at ~2x media volume.
+MEDIA_N_BASE = 512
+MEDIA_N_IMAGES = MEDIA_N_BASE + MEDIA_N_BASE // 2 + MEDIA_N_BASE // 4 + 2
+
+# 64 -> 98 corpus videos (64 base + 32 aligned near-dup re-encodes +
+# 2 bad), 576 decodable MJPEG frames (VERDICT r07 #7: the video
+# near-dup family's regression guard).
+VIDEO_N_BASE = 64
+VIDEO_N_VIDEOS = VIDEO_N_BASE + VIDEO_N_BASE // 2 + 2
 
 
 def _ensure_media(spark) -> str | None:
     """Generate (once, cached) the bench image corpus as parquet, so
     the timed path is scan -> decode -> hash -> join, not driver-side
-    PNG encoding."""
-    out = Path(os.environ.get("SPARK_GRAFT_MEDIA_DIR", "/tmp/spark_graft_media"))
+    PNG encoding. The cache directory is size-tagged so a corpus
+    rescale never reads a stale cache."""
+    out = Path(
+        os.environ.get(
+            "SPARK_GRAFT_MEDIA_DIR", f"/tmp/spark_graft_media_{MEDIA_N_BASE}"
+        )
+    )
     done = out / "_DONE"
     if done.exists():
         return str(out)
@@ -251,6 +279,108 @@ def _img_neardup(spark, media_dir: str):
 
     media = spark.read.parquet(f"{media_dir}/images.parquet")
     return image_neardup_pairs(media, max_hamming=10)
+
+
+def _ensure_video(spark) -> str | None:
+    """Generate (once, cached) the bench video corpus as parquet —
+    same discipline as the image corpus: the timed path is scan ->
+    frame sample -> decode -> pHash -> aligned MIH join."""
+    out = Path(
+        os.environ.get(
+            "SPARK_GRAFT_VIDEO_DIR", f"/tmp/spark_graft_video_{VIDEO_N_BASE}"
+        )
+    )
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    try:
+        from postgresimporter_spark.operators.mediagen import (
+            video_bench_corpus,
+        )
+        from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
+
+        out.mkdir(parents=True, exist_ok=True)
+        spark.createDataFrame(
+            video_bench_corpus(n_base=VIDEO_N_BASE), MEDIA_SCHEMA
+        ).repartition(32).write.mode("overwrite").parquet(
+            str(out / "videos.parquet")
+        )
+        done.touch()
+        return str(out)
+    except Exception as e:  # bench must still emit its JSON line
+        print(f"video corpus generation failed: {e}", file=sys.stderr)
+        return None
+
+
+def _video_neardup(spark, video_dir: str):
+    from postgresimporter_spark.operators.imagehash import video_neardup_pairs
+
+    media = spark.read.parquet(f"{video_dir}/videos.parquet")
+    return video_neardup_pairs(media, every_ms=400, max_hamming=10)
+
+
+def _ensure_ingest_csv(spark, base_dir: str) -> str | None:
+    """Generate (once, cached) a multi-file CSV corpus from the bench
+    scale's lineitem + orders tables — 8 + 4 prefix-grouped files, the
+    reference's ingest layout (one table per file, combined by prefix;
+    main.py:215-248) — so the S4/O1 load spine has a perf guard."""
+    sf = base_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = Path(
+        os.environ.get(
+            "SPARK_GRAFT_INGEST_DIR", f"/tmp/spark_graft_ingest_sf{sf}"
+        )
+    )
+    done = out / "_DONE"
+    data = out / "data"
+    if done.exists():
+        return str(data)
+    try:
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        data.mkdir(parents=True, exist_ok=True)
+        for t, key, parts in [
+            ("lineitem", "l_orderkey", 8),
+            ("orders", "o_orderkey", 4),
+        ]:
+            df = spark.read.parquet(f"{base_dir}/{t}.parquet")
+            for i in range(parts):
+                tmp = out / f"_tmp_{t}_{i}"
+                (
+                    df.where(F.pmod(F.col(key), F.lit(parts)) == i)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .option("header", True)
+                    .csv(str(tmp))
+                )
+                part = next(Path(tmp).glob("part-*.csv"))
+                part.replace(data / f"{t}_{i + 1}.csv")
+                shutil.rmtree(tmp)
+        done.touch()
+        return str(data)
+    except Exception as e:  # bench must still emit its JSON line
+        print(f"ingest corpus generation failed: {e}", file=sys.stderr)
+        return None
+
+
+def _ingest(spark, csv_dir: str) -> None:
+    """One full reference-shaped ingest: discovery -> all-text CSV load
+    -> prefix combine -> parquet sink -> row-count reconciliation
+    (the pipeline spine, reference main.py:491-542 + 215-248 +
+    250-306). run_pipeline itself forces every action (sink write +
+    both reconciliation count jobs)."""
+    from postgresimporter_spark.config import PipelineConfig
+    from postgresimporter_spark.pipeline import run_pipeline
+
+    sink = Path("/tmp/spark_graft_ingest_sink")
+    r = run_pipeline(
+        spark,
+        PipelineConfig(
+            sources=[Path(csv_dir)], combine_tables=True, sink_dir=sink
+        ),
+    )
+    assert r.check_passed, "ingest bench reconciliation failed"
 
 
 def _calibration(spark, n_runs: int) -> float:
@@ -298,7 +428,8 @@ def main() -> None:
     calibration = _calibration(spark, n_runs)
     timings = _time_queries(spark, reg, HEADLINE, sf_dir, n_runs)
 
-    # multimodal guard: corpus is sf-independent (fixed 450 images)
+    # multimodal guards: corpora are sf-independent (fixed image /
+    # video counts, size-tagged /tmp caches)
     media_dir = _ensure_media(spark)
     if media_dir:
         best = float("inf")
@@ -306,7 +437,28 @@ def main() -> None:
             t0 = time.perf_counter()
             _img_neardup(spark, media_dir).count()
             best = min(best, time.perf_counter() - t0)
-        timings["img_neardup_450"] = round(best, 3)
+        timings[f"img_neardup_{MEDIA_N_IMAGES}"] = round(best, 3)
+
+    video_dir = _ensure_video(spark)
+    if video_dir:
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            _video_neardup(spark, video_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[f"video_neardup_{VIDEO_N_VIDEOS}"] = round(best, 3)
+
+    # ingest-throughput guard (VERDICT r07 #3): the reference's
+    # headline capability — multi-file all-text CSV load + prefix
+    # combine + sink + reconciliation — timed end-to-end per run.
+    ingest_dir = _ensure_ingest_csv(spark, sf_dir)
+    if ingest_dir:
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            _ingest(spark, ingest_dir)
+            best = min(best, time.perf_counter() - t0)
+        timings[f"ingest_sf{sf}"] = round(best, 3)
 
     out = {
         "metric": "headline_queries_total_sec",

@@ -332,6 +332,57 @@ def video_neardup_corpus() -> list[tuple]:
     ]
 
 
+def video_bench_corpus(n_base: int = 64, frames: int = 6) -> list[tuple]:
+    """Bench-scale video corpus (the ``video_neardup_*`` regression
+    guard): ``n_base`` textured ``frames``-frame MJPEG AVIs on a 4 fps
+    timeline; the first half get a noisy JPEG re-encode on the SAME
+    timeline (the aligned near-dup partner that must match); plus two
+    undecodable rows that must surface as null hashes, never failures.
+    Texture seeds start at 5000 (noise seeds at 7000) so the corpus is
+    disjoint from the image/q300 corpora. ``n_base=64`` -> 98 videos,
+    576 decodable frames."""
+    from .jpeg import encode_jpeg
+    from .mjpeg import build_avi_mjpeg
+
+    rows = []
+    for s in range(n_base):
+        px = [
+            textured(seed=5000 + s * 16 + i, size=32) for i in range(frames)
+        ]
+        enc = [encode_jpeg(p, quant=2) for p in px]
+        rows.append(
+            (
+                f"vid{s:03d}.avi",
+                "video",
+                bytearray(build_avi_mjpeg(enc, fps_milli=4_000)),
+                None,
+            )
+        )
+        if s < n_base // 2:
+            enc_re = [
+                encode_jpeg(_noisy(p, 7000 + s * 16 + i), quant=4)
+                for i, p in enumerate(px)
+            ]
+            rows.append(
+                (
+                    f"vid{s:03d}_re.avi",
+                    "video",
+                    bytearray(build_avi_mjpeg(enc_re, fps_milli=4_000)),
+                    None,
+                )
+            )
+    rows.append(
+        (
+            "corrupt_a.avi",
+            "video",
+            bytearray(b"RIFF\x10\x00\x00\x00AVI junkjunkjunk"),
+            None,
+        )
+    )
+    rows.append(("corrupt_b.bin", "video", bytearray(b"\x00\x01garbage"), None))
+    return rows
+
+
 def frame_sample_corpus() -> list[tuple]:
     """The q289 input: all videos + one image + one tone + one corrupt
     blob + the MP4 container — every ``sample_frames`` code path
@@ -369,6 +420,7 @@ __all__ = [
     "frame_sample_corpus",
     "resize_corpus",
     "video_neardup_corpus",
+    "video_bench_corpus",
     "FRAME_EVERY_MS",
     "RESIZE_W",
     "RESIZE_H",

@@ -95,3 +95,30 @@ def test_image_neardup_pipeline(spark, tmp_path):
     }
     assert ("a.png", "a2.jpg") in pairs
     assert not any("b.png" in p for p in pairs)
+
+
+def test_video_bench_corpus_aligned_pairs(spark):
+    """The bench video corpus (mediagen.video_bench_corpus) at a small
+    n_base: each base video pairs with exactly its aligned noisy
+    re-encode, corrupt rows surface as nulls (never failures), and no
+    unrelated videos match."""
+    from postgresimporter_spark.operators.imagehash import (
+        video_neardup_pairs,
+    )
+    from postgresimporter_spark.operators.mediagen import video_bench_corpus
+    from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = video_bench_corpus(n_base=4)
+    assert len(rows) == 4 + 2 + 2  # base + re-encodes + corrupt
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r.video_a, r.video_b): r.n_matched
+        for r in video_neardup_pairs(
+            media, every_ms=400, max_hamming=10
+        ).collect()
+    }
+    assert set(pairs) == {
+        ("vid000.avi", "vid000_re.avi"),
+        ("vid001.avi", "vid001_re.avi"),
+    }
+    assert all(n >= 2 for n in pairs.values())
