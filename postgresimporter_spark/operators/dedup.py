@@ -728,6 +728,19 @@ def hamming_pairs_mih(
     fps = fingerprints.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
     ).localCheckpoint(eager=False)
+
+    # MIH runs over DISTINCT fingerprint VALUES, not rows: on a dedup
+    # corpus (the intended workload) duplicate families collapse many
+    # rows onto few values, shrinking every block bucket — and the
+    # candidate join is quadratic in bucket size, so row-level buckets
+    # on a concentrated corpus are the scale-killer (measured at sf1,
+    # 50k docs in 10-copy near-dup families: 96s -> 5.8s for the
+    # strict 2x16-bit config — which is output-bound there: 45M true
+    # pairs within Hamming 3). Value pairs expand back to id pairs with plain
+    # equi-joins at the end — that expansion is exactly the true
+    # output, never a candidate set. On a spread-out corpus (values
+    # ~= rows) this is the same plan plus one distinct.
+    vals = fps.select("fp").distinct().localCheckpoint(eager=False)
     entries = F.array(
         *[
             F.struct(
@@ -740,41 +753,56 @@ def hamming_pairs_mih(
             for i in range(blocks)
         ]
     )
-    index = fps.select("id", "fp", F.explode(entries).alias("e")).select(
-        "id", "fp", "e.block", "e.val"
+    index = vals.select("fp", F.explode(entries).alias("e")).select(
+        "fp", "e.block", "e.val"
     )
     mask_arr = F.array(*[F.lit(m).cast("long") for m in xor_masks])
-    probe = (
-        index.select(
-            "id", "fp", "block", "val", F.explode(mask_arr).alias("_m")
-        )
-        .select(
-            "id",
-            "fp",
-            "block",
-            F.col("val").bitwiseXOR(F.col("_m")).alias("val"),
-        )
+    probe = index.select(
+        "fp", "block", "val", F.explode(mask_arr).alias("_m")
+    ).select(
+        "fp",
+        "block",
+        F.col("val").bitwiseXOR(F.col("_m")).alias("val"),
     )
-    cand = (
+    # verify BEFORE deduplicating: bit_count is one cheap row-local op
+    # streamed out of the candidate join, while dropDuplicates is a
+    # full shuffle — filtering first means the dedup exchange carries
+    # only true value pairs (each found at most `blocks` times, once
+    # per pigeonhole block), never the raw candidate volume.
+    hamming = F.bit_count(
+        F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    ).cast("long")
+    vpairs = (
         probe.alias("a")
         .join(index.alias("b"), on=["block", "val"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where((F.col("a.fp") < F.col("b.fp")) & (hamming <= max_hamming))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
             F.col("a.fp").alias("fp_a"),
             F.col("b.fp").alias("fp_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["fp_a", "fp_b"])
     )
-    hamming = F.bit_count(
-        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    cross = (
+        vpairs.join(fps.select(F.col("fp").alias("fp_a"), F.col("id").alias("_ia")), on="fp_a")
+        .join(fps.select(F.col("fp").alias("fp_b"), F.col("id").alias("_ib")), on="fp_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
     )
+    same = (
+        fps.alias("x")
+        .join(fps.alias("y"), on="fp")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def hot_bands(

@@ -979,6 +979,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch63_registry():
         out[q.name] = q
+    from .catalog_batch64 import batch64_registry
+
+    for q in batch64_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -1,0 +1,101 @@
+"""Batch-64: skew split join exactness + plan shape, dynamic
+partition pruning plan assertion, and the AMS F2 sketch vs a Python
+model."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from postgresimporter_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def test_skew_split_join_exact_vs_plain_join(spark):
+    from postgresimporter_spark.operators.skewjoin import (
+        hot_join_keys,
+        skew_split_join,
+    )
+
+    # key 0 carries half the left rows; 1..9 one row each
+    left = spark.createDataFrame(
+        [(0, i) for i in range(10)] + [(k, 100 + k) for k in range(1, 10)],
+        "k long, v long",
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(0, 12)], "k long, w long"
+    )
+    got = sorted(
+        (r.k, r.v, r.w)
+        for r in skew_split_join(left, right, "k", 0.2).collect()
+    )
+    want = sorted((r.k, r.v, r.w) for r in left.join(right, "k").collect())
+    assert got == want
+    hot = {r.k: r.n_rows for r in hot_join_keys(left, "k", 0.2).collect()}
+    assert hot == {0: 10}
+
+
+def test_skew_split_join_plan_has_both_legs(spark):
+    """With auto-broadcast off, only the operator's explicit hints
+    broadcast: the hot leg plans as BroadcastHashJoin while the cold
+    leg takes the ordinary shuffle join."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.skewjoin import skew_split_join
+
+    left = spark.range(100).select((F.col("id") % 5).alias("k"), "id")
+    right = spark.range(5).withColumnRenamed("id", "k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            skew_split_join(left, right, "k", 0.05)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q303_plan_has_dynamic_pruning(spark, reg):
+    df = reg["q303_partition_pruning"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    rows = {r.month: r.n_orders for r in df.collect()}
+    assert set(rows) <= {"1995-01", "1995-02", "1995-03"}
+    assert sum(rows.values()) > 0
+
+
+def test_q304_matches_python_model(spark, reg):
+    from postgresimporter_spark.sources.parquet import load_tables
+
+    li = load_tables(spark, SF, ["lineitem"])["lineitem"]
+    freqs = {
+        r.l_partkey: r.f
+        for r in li.groupBy("l_partkey").count().withColumnRenamed(
+            "count", "f"
+        ).collect()
+    }
+    sums = []
+    for i in range(16):
+        s = 0
+        for key, f in freqs.items():
+            bit = int(hashlib.md5(f"f2:{i}:{key}".encode()).hexdigest()[0], 16) % 2
+            s += f * (1 - 2 * bit)
+        sums.append(s)
+    est = round(sum(x * x for x in sums) / 16.0, 4)
+    exact = sum(f * f for f in freqs.values())
+    row = reg["q304_ams_f2"].fn(spark, SF).collect()[0]
+    assert row.exact_f2 == exact
+    assert row.est_f2 == pytest.approx(est, abs=1e-4)
