@@ -1232,3 +1232,148 @@ def weighted_jaccard_pairs(
 
 
 __all__ += ["weighted_jaccard_pairs"]
+
+
+def weighted_minhash_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    max_rep: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted-MinHash near-dup pairs via integer weight replication:
+    each (token, rep) micro-unit — rep up to the token's in-doc count,
+    CLIPPED at ``max_rep`` — hashes once per hash function and the
+    per-doc signature is the per-function unit minimum, an unbiased
+    MinHash of the clipped token MULTISET. Signature agreement
+    therefore estimates the clipped weighted Jaccard
+    Σmin(c̄_a,c̄_b)/Σmax(c̄_a,c̄_b), c̄ = min(count, max_rep) — the
+    sketch counterpart of the exact ``weighted_jaccard_pairs``
+    (repetition-aware where plain MinHash sees sets). The clip is an
+    explicit, documented weight transform applied identically to the
+    sketch, the exact score, and the SQL oracle — never a silent,
+    data-dependent drop (the replication path is the classic
+    quantization reduction; Gollapudi & Panigrahy, WWW'06 — public).
+
+    Shape at scale: units are O(tokens x min(tf, max_rep)) map-side
+    rows, signatures O(docs x num_hashes), candidates come from
+    ``num_hashes / band_size`` banded equi-joins — never an all-pairs
+    path; the exact score is rebuilt only for banded candidates.
+
+    Returns (id_a, id_b, est_wjaccard, wjaccard) for candidate pairs
+    whose SIGNATURE agreement >= ``threshold``."""
+    n_bands, rem = divmod(num_hashes, band_size)
+    if rem:
+        raise ValueError("band_size must divide num_hashes")
+    ids = F.col(id_col).alias("id")
+    cnts = (
+        docs.select(ids, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.least(F.count("*"), F.lit(max_rep)).cast("int").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    units = cnts.select(
+        "id", "tok", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("rep")
+    )
+    ks = F.explode(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    ).alias("k")
+    unit_hash = F.md5(
+        F.concat_ws(":", F.lit("wmh"), F.col("k"), F.col("tok"), F.col("rep"))
+    )
+    sig = (
+        units.select("id", "tok", "rep", ks)
+        .select("id", "k", unit_hash.alias("_h"))
+        .groupBy("id", "k")
+        .agg(F.min("_h").alias("minh"))
+        .localCheckpoint(eager=False)
+    )
+    band_key = F.md5(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("k"), F.col("minh")))
+                ),
+                lambda s: s["minh"],
+            ),
+        )
+    )
+    bands = sig.groupBy(
+        "id", (F.col("k") / band_size).cast("int").alias("band")
+    ).agg(band_key.alias("bkey"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "bkey"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        cand.join(
+            sig.select(F.col("id").alias("id_a"), "k", F.col("minh").alias("_ma")),
+            on="id_a",
+        )
+        .join(
+            sig.select(
+                F.col("id").alias("_idb"),
+                F.col("k").alias("_kb"),
+                F.col("minh").alias("_mb"),
+            ),
+            on=[
+                F.col("id_b") == F.col("_idb"),
+                F.col("k") == F.col("_kb"),
+            ],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0))
+                / F.lit(float(num_hashes))
+            ).alias("_frac")
+        )
+        .where(F.col("_frac") >= threshold)
+    )
+    tot = cnts.groupBy("id").agg(F.sum("c").cast("long").alias("t"))
+    minsum = (
+        est.select("id_a", "id_b")
+        .join(
+            cnts.select(F.col("id").alias("id_a"), "tok", F.col("c").alias("_ca")),
+            on="id_a",
+        )
+        .join(
+            cnts.select(
+                F.col("id").alias("_idb"),
+                F.col("tok").alias("_tb"),
+                F.col("c").alias("_cb"),
+            ),
+            on=[
+                F.col("id_b") == F.col("_idb"),
+                F.col("tok") == F.col("_tb"),
+            ],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("_ca", "_cb")).cast("long").alias("_ms"))
+    )
+    return (
+        est.join(minsum, on=["id_a", "id_b"])
+        .join(tot.select(F.col("id").alias("id_a"), F.col("t").alias("_ta")), on="id_a")
+        .join(tot.select(F.col("id").alias("id_b"), F.col("t").alias("_tb2")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("_frac", 4).alias("est_wjaccard"),
+            F.round(
+                F.col("_ms")
+                / (F.col("_ta") + F.col("_tb2") - F.col("_ms")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("wjaccard"),
+        )
+    )
+
+
+__all__ += ["weighted_minhash_pairs"]

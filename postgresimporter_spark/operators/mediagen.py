@@ -332,6 +332,78 @@ def video_neardup_corpus() -> list[tuple]:
     ]
 
 
+AFP_RATE = 8000
+AFP_NOTES = 8
+AFP_NOTE_FRAMES = 2  # frames per note; frame = 256 samples (audiofp)
+AFP_SHIFT_FRAMES = 2  # re-recording lead-in, whole frames
+
+
+def _afp_samples(seed: int, rng_noise=None, amp_scale: float = 1.0):
+    """One fingerprint-corpus track: AFP_NOTES chord slots, each a
+    stack of four on-bin sines (one per audiofp band, bin chosen by
+    RandomState(1234+seed)) lasting AFP_NOTE_FRAMES frames — every
+    band has a dominant, noise-robust peak in every frame."""
+    frame = 256
+    bands = ((1, 8), (9, 24), (25, 56), (57, 128))
+    rng = np.random.RandomState(1234 + seed)
+    n = AFP_NOTES * AFP_NOTE_FRAMES * frame
+    t = np.arange(n) / AFP_RATE
+    sig = np.zeros(n)
+    for note in range(AFP_NOTES):
+        sl = slice(
+            note * AFP_NOTE_FRAMES * frame, (note + 1) * AFP_NOTE_FRAMES * frame
+        )
+        for lo, hi in bands:
+            bin_ = int(rng.randint(lo, hi + 1))
+            freq = bin_ * AFP_RATE / frame  # exactly on-bin
+            sig[sl] += 2000.0 * amp_scale * np.sin(
+                2 * np.pi * freq * t[sl]
+            )
+    if rng_noise is not None:
+        sig = sig + rng_noise.randint(-60, 61, n)
+    return np.clip(sig, -32000, 32000).astype("<i2")
+
+
+def audio_fp_corpus(n_base: int = 6) -> list[tuple]:
+    """The audio-landmark (q307) input: ``n_base`` chord tracks; the
+    first half get a noisy, 0.9-amplitude RE-RECORDING led in by
+    AFP_SHIFT_FRAMES frames of low noise (the aligned-at-an-offset
+    near-dup partner); plus one undecodable row that must yield zero
+    landmarks, never failures."""
+    rows = []
+    for s in range(n_base):
+        rows.append(
+            (
+                f"trk{s:02d}.wav",
+                "audio",
+                bytearray(wav_bytes(_afp_samples(s), rate=AFP_RATE)),
+                None,
+            )
+        )
+        if s < n_base // 2:
+            noise = np.random.RandomState(9000 + s)
+            lead = noise.randint(-60, 61, AFP_SHIFT_FRAMES * 256).astype(
+                "<i2"
+            )
+            body = _afp_samples(s, rng_noise=noise, amp_scale=0.9)
+            rows.append(
+                (
+                    f"trk{s:02d}_re.wav",
+                    "audio",
+                    bytearray(
+                        wav_bytes(
+                            np.concatenate([lead, body]), rate=AFP_RATE
+                        )
+                    ),
+                    None,
+                )
+            )
+    rows.append(
+        ("corrupt_fp.bin", "audio", bytearray(b"RIFFjunkjunk"), None)
+    )
+    return rows
+
+
 def video_bench_corpus(n_base: int = 64, frames: int = 6) -> list[tuple]:
     """Bench-scale video corpus (the ``video_neardup_*`` regression
     guard): ``n_base`` textured ``frames``-frame MJPEG AVIs on a 4 fps
@@ -413,6 +485,7 @@ __all__ = [
     "wav_bytes",
     "sine",
     "audio_corpus",
+    "audio_fp_corpus",
     "video_corpus",
     "mp4_bytes",
     "mp3_bytes",

@@ -225,6 +225,112 @@ FROM perkey
 """
 
 
+def hll_rollup(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    all_key: str = "ALL",
+    estimate_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-key portable-HLL estimates PLUS a global row MERGED from
+    the per-key register table (max rank per register across keys) —
+    HLL's mergeability contract made observable: the global estimate
+    is derived from the O(|keys| x 64) sketch state, never by
+    rescanning raw values, which is exactly how a 100 TB rollup
+    (or a union of per-shard sketches) has to work. Same register/rank
+    derivation and finalization as ``hll_portable``; the SQL twin is
+    ``hll_rollup_sql``. Returns (scope, hit_registers, z_scaled,
+    ``estimate_col``), scope = key value or ``all_key``."""
+    reg, rho = hll_register_rho(value_col)
+    regs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("scope"),
+            reg.alias("_reg"),
+            rho.alias("_rho"),
+        )
+        .groupBy("scope", "_reg")
+        .agg(F.max("_rho").alias("_mrho"))
+        .localCheckpoint(eager=False)
+    )
+    merged = (
+        regs.groupBy("_reg")
+        .agg(F.max("_mrho").alias("_mrho"))
+        .select(F.lit(all_key).alias("scope"), "_reg", "_mrho")
+    )
+    both = regs.unionByName(merged)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_SCALE} - _mrho)")
+    per_key = both.groupBy("scope").agg(
+        F.count("*").cast("long").alias("hit_registers"),
+        F.sum(term).cast("long").alias("_zhit"),
+    )
+    empties = (F.lit(HLL_M) - F.col("hit_registers")).cast("long") * F.lit(
+        1 << _RHO_SCALE
+    ).cast("long")
+    z = (F.col("_zhit") + empties).cast("long")
+    numer = HLL_ALPHA_64 * HLL_M * HLL_M * float(1 << _RHO_SCALE)
+    return per_key.select(
+        "scope",
+        "hit_registers",
+        z.alias("z_scaled"),
+        F.round(F.lit(numer) / z.cast("double"), 4).alias(estimate_col),
+    )
+
+
+def hll_rollup_sql(
+    table_expr: str,
+    key_sql: str,
+    value_sql: str,
+    all_key: str = "ALL",
+    estimate_col: str = "est_distinct",
+) -> str:
+    """The DuckDB replay of ``hll_rollup`` — per-key registers plus
+    the merged global registers, finalized identically. Kept beside
+    the operator so oracles can't drift from the Spark constants."""
+    numer = HLL_ALPHA_64 * HLL_M * HLL_M * float(1 << _RHO_SCALE)
+    return f"""
+hashed AS (
+  SELECT CAST({key_sql} AS VARCHAR) AS scope,
+         md5(CAST({value_sql} AS VARCHAR)) AS h
+  FROM {table_expr} WHERE {value_sql} IS NOT NULL),
+ranked AS (
+  SELECT scope,
+    ('0x' || substr(h, 1, 2))::BIGINT % {HLL_M} AS reg,
+    CASE WHEN length(regexp_extract(substr(h, 3, 13), '^0*')) >= 13
+         THEN 53
+         ELSE length(regexp_extract(substr(h, 3, 13), '^0*')) * 4
+              + (CASE
+                   WHEN ('0x' || substr(substr(h, 3, 13),
+                     length(regexp_extract(substr(h, 3, 13), '^0*')) + 1,
+                     1))::BIGINT >= 8 THEN 0
+                   WHEN ('0x' || substr(substr(h, 3, 13),
+                     length(regexp_extract(substr(h, 3, 13), '^0*')) + 1,
+                     1))::BIGINT >= 4 THEN 1
+                   WHEN ('0x' || substr(substr(h, 3, 13),
+                     length(regexp_extract(substr(h, 3, 13), '^0*')) + 1,
+                     1))::BIGINT >= 2 THEN 2
+                   ELSE 3 END) + 1 END AS rho
+  FROM hashed),
+hregs AS (
+  SELECT scope, reg, MAX(rho) AS mrho FROM ranked GROUP BY scope, reg),
+allregs AS (
+  SELECT '{all_key}' AS scope, reg, MAX(mrho) AS mrho
+  FROM hregs GROUP BY reg),
+bothregs AS (
+  SELECT * FROM hregs UNION ALL SELECT * FROM allregs),
+perscope AS (
+  SELECT scope,
+    CAST(COUNT(*) AS BIGINT) AS hit_registers,
+    CAST(SUM(1::BIGINT << ({_RHO_SCALE} - mrho))
+         + ({HLL_M} - COUNT(*)) * (1::BIGINT << {_RHO_SCALE})
+         AS BIGINT) AS z_scaled
+  FROM bothregs GROUP BY scope)
+SELECT scope, hit_registers, z_scaled,
+       round({numer!r} / CAST(z_scaled AS DOUBLE), 4) AS {estimate_col}
+FROM perscope
+"""
+
+
 __all__ = [
     "distinct_sketch",
     "rollup_sketches",
@@ -232,6 +338,8 @@ __all__ = [
     "hll_portable",
     "hll_portable_sql",
     "hll_register_rho",
+    "hll_rollup",
+    "hll_rollup_sql",
     "DEFAULT_LG_K",
     "HLL_ALPHA_64",
     "HLL_M",

@@ -983,6 +983,14 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch64_registry():
         out[q.name] = q
+    from .catalog_batch65 import batch65_registry
+
+    for q in batch65_registry():
+        out[q.name] = q
+    from .catalog_batch66 import batch66_registry
+
+    for q in batch66_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

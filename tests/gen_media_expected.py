@@ -145,6 +145,51 @@ def independent_audio(content: bytes) -> dict | None:
     return out
 
 
+def independent_landmarks(content: bytes) -> list[tuple[int, int]]:
+    """Landmark hashes per the ``operators/audiofp`` spec, derived
+    independently: stdlib ``wave`` decode and an explicit DFT matrix
+    multiply instead of the operator's RIFF walker + ``np.fft.rfft``."""
+    try:
+        wf = wave.open(io.BytesIO(bytes(content)), "rb")
+    except Exception:
+        return []
+    try:
+        channels, width = wf.getnchannels(), wf.getsampwidth()
+        if width not in (1, 2):
+            return []
+        raw = wf.readframes(wf.getnframes())
+    finally:
+        wf.close()
+    if width == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    else:
+        s = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    mono = s.reshape(-1, channels).mean(axis=1) if channels > 1 else s
+    fr = 256
+    n_frames = min(len(mono) // fr, 256)
+    if n_frames < 2:
+        return []
+    k = np.arange(fr // 2 + 1)[:, None]
+    nn = np.arange(fr)[None, :]
+    cosm = np.cos(2 * np.pi * k * nn / fr)
+    sinm = -np.sin(2 * np.pi * k * nn / fr)
+    frames = mono[: n_frames * fr].reshape(n_frames, fr)
+    mag = np.sqrt((frames @ cosm.T) ** 2 + (frames @ sinm.T) ** 2)
+    bands = ((1, 8), (9, 24), (25, 56), (57, 128))
+    peaks = np.empty((n_frames, 4), dtype=np.int64)
+    for b, (lo, hi) in enumerate(bands):
+        peaks[:, b] = lo + np.argmax(mag[:, lo : hi + 1], axis=1)
+    out = []
+    for dt in (1, 2):
+        for t in range(n_frames - dt):
+            for b in range(4):
+                h = (
+                    (b * 256 + int(peaks[t, b])) * 256 + int(peaks[t + dt, b])
+                ) * 4 + dt
+                out.append((t, h))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # construction-truth tables (multimodal tier): every value below is
 # hand-stated from the corpus RECIPE (dims/rates/timing the generator
@@ -437,6 +482,24 @@ def main() -> None:
             else (path, *(ind[c] for c in feat_cols))
         )
 
+    from postgresimporter_spark.operators.audiofp import landmarks_from_pcm
+    from postgresimporter_spark.operators.audiofeat import decode_pcm
+
+    lm_rows = []
+    for path, _mod, content, _meta in mediagen.audio_fp_corpus():
+        ind = sorted(independent_landmarks(content))
+        try:
+            mono, rate = decode_pcm(bytes(content))
+            op = sorted(landmarks_from_pcm(mono, rate))
+        except ValueError:
+            op = []
+        if ind != op:
+            raise SystemExit(
+                f"landmark mismatch for {path}: "
+                f"independent={len(ind)} operator={len(op)} rows"
+            )
+        lm_rows.extend((path, t, h) for t, h in ind)
+
     from postgresimporter_spark.session import get_spark
 
     spark = get_spark(shuffle_partitions=8)
@@ -503,6 +566,15 @@ def main() -> None:
         )
         f.write("VIDEO_FRAME_PHASH = [\n")
         for r in vfp_rows:
+            f.write(f"    {r!r},\n")
+        f.write("]\n\n")
+        f.write(
+            "# (path, anchor_frame, landmark_hash) of audio_fp_corpus()\n"
+            "# per the operators/audiofp spec — independent wave-decode\n"
+            "# + DFT-matrix landmarks, verified against the operator\n"
+        )
+        f.write("AUDIO_LANDMARKS = [\n")
+        for r in lm_rows:
             f.write(f"    {r!r},\n")
         f.write("]\n")
     print(
