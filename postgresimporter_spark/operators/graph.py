@@ -603,3 +603,50 @@ def random_walks(
             )
         )
     return out
+
+
+def bellman_ford(
+    edges: DataFrame,
+    source: DataFrame,
+    rounds: int,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths over an undirected WEIGHTED edge
+    list by ``rounds`` Bellman-Ford relaxations — the weighted cousin
+    of the BFS/Pregel join shape used everywhere in this module: each
+    round is ONE equi-join of the tentative-distance frontier with the
+    symmetric edge list plus a min-groupBy, so the plan is R bounded
+    shuffles regardless of graph size (R >= the hop diameter of the
+    reachable region gives exact distances; fewer rounds give the
+    standard partial relaxation). Weights are integers and all
+    arithmetic stays in BIGINT — bit-identical across engines, so a
+    chained-CTE SQL oracle replays it exactly.
+
+    ``source`` is a 1-row (node) DataFrame — engine-pure, no driver
+    collect in plan construction. Returns (node, dist) for every node
+    reached within ``rounds`` relaxations."""
+    sym = edges.select("src", "dst", weight_col).unionAll(
+        edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            weight_col,
+        )
+    ).localCheckpoint(eager=False)
+    state = source.select(
+        F.col(source.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        relaxed = state.join(
+            sym, state["node"] == sym["src"]
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col(weight_col)).cast("long").alias("dist"),
+        )
+        state = (
+            state.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return state

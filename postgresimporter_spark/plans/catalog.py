@@ -991,6 +991,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch66_registry():
         out[q.name] = q
+    from .catalog_batch67 import batch67_registry
+
+    for q in batch67_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
