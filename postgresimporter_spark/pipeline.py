@@ -236,6 +236,7 @@ class Loader:
                 result.table_csv_files,
                 tolerance=cfg.check_tolerance,
                 db=cfg.db,
+                sink_dir=cfg.sink_dir,
             )
             result.report = report
             result.check_passed = passed
@@ -288,25 +289,48 @@ class Loader:
                 except Exception:  # noqa: BLE001
                     log.exception("sink write failed for %s", view)
         elif cfg.sink_dir is not None:
-            for view, df in {**result.file_views, **result.combined_views}.items():
-                df.write.mode("overwrite").parquet(str(cfg.sink_dir / view))
-                # Bucketed CTAS: additionally persist views carrying all
-                # bucket columns as bucketed+sorted catalog tables, so
-                # downstream joins/aggs on the key are exchange-free —
-                # the shuffle is paid ONCE here, not per query.
-                if cfg.bucket_by and set(cfg.bucket_by) <= set(df.columns):
-                    from .operators.bucketing import write_bucketed
+            # Writes run concurrently from driver threads (Spark's
+            # scheduler interleaves the jobs): per-FILE views are
+            # single-split CSV scans, so sequential writes would leave
+            # the cluster 1-task busy per job — concurrency restores
+            # ingest parallelism across files, the same effective shape
+            # as the reference's per-file pgfutter processes.
+            from concurrent.futures import ThreadPoolExecutor
 
-                    try:
-                        write_bucketed(
-                            df,
-                            f"{view}_bucketed",
-                            bucket_cols=list(cfg.bucket_by),
-                            num_buckets=cfg.bucket_count,
-                            path=str(cfg.sink_dir / f"{view}_bucketed"),
-                        )
-                    except Exception:  # noqa: BLE001
-                        log.exception("bucketed sink failed for %s", view)
+            def _write_one(item):
+                view, df = item
+                try:
+                    df.write.mode("overwrite").parquet(
+                        str(cfg.sink_dir / view)
+                    )
+                    # Bucketed CTAS: additionally persist views carrying
+                    # all bucket columns as bucketed+sorted catalog
+                    # tables, so downstream joins/aggs on the key are
+                    # exchange-free — the shuffle is paid ONCE here,
+                    # not per query.
+                    if cfg.bucket_by and set(cfg.bucket_by) <= set(
+                        df.columns
+                    ):
+                        from .operators.bucketing import write_bucketed
+
+                        try:
+                            write_bucketed(
+                                df,
+                                f"{view}_bucketed",
+                                bucket_cols=list(cfg.bucket_by),
+                                num_buckets=cfg.bucket_count,
+                                path=str(cfg.sink_dir / f"{view}_bucketed"),
+                            )
+                        except Exception:  # noqa: BLE001
+                            log.exception(
+                                "bucketed sink failed for %s", view
+                            )
+                except Exception:  # noqa: BLE001 - log-and-continue
+                    log.exception("sink write failed for %s", view)
+
+            views = {**result.file_views, **result.combined_views}
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(_write_one, views.items()))
 
 
 def run_pipeline(

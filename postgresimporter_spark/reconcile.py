@@ -88,14 +88,24 @@ def csv_row_counts_precise(
 
 
 def db_row_counts(
-    spark: SparkSession, tables: list[str]
+    spark: SparkSession, tables: list[str], sink_dir: Path | None = None
 ) -> dict[str, int]:
     """count(*) per import view (O5). Missing views count as 0 — the
-    reference's check tolerates missing tables by reporting the diff."""
+    reference's check tolerates missing tables by reporting the diff.
+
+    With ``sink_dir`` (Spark-native parquet sink), the count comes from
+    the MATERIALIZED sink, not the lazy CSV-backed view — the
+    reference's actual contract (it SELECTed count(*) from the import
+    schema the load had just written, main.py:250-306), and a parquet
+    count is footer metadata instead of a full CSV re-parse."""
     out = {}
     for t in tables:
+        view = import_view_name(t)
         try:
-            out[t] = spark.table(import_view_name(t)).count()
+            if sink_dir is not None and (sink_dir / view).exists():
+                out[t] = spark.read.parquet(str(sink_dir / view)).count()
+            else:
+                out[t] = spark.table(view).count()
         except Exception:  # noqa: BLE001
             out[t] = 0
     return out
@@ -106,6 +116,7 @@ def reconciliation_report(
     table_csv_files: dict[str, list[Path]],
     tolerance: int = 100,
     db=None,
+    sink_dir: Path | None = None,
 ) -> tuple[DataFrame, bool, dict[str, int]]:
     """Build the reconciliation report (reference report columns,
     main.py:263-299) and evaluate the tolerance gate (main.py:301-302).
@@ -120,7 +131,9 @@ def reconciliation_report(
 
         db_counts = table_counts(db, list(table_csv_files))
     else:
-        db_counts = db_row_counts(spark, list(table_csv_files))
+        db_counts = db_row_counts(
+            spark, list(table_csv_files), sink_dir=sink_dir
+        )
 
     rows = [
         Row(
