@@ -383,6 +383,13 @@ def _ingest(spark, csv_dir: str) -> None:
     assert r.check_passed, "ingest bench reconciliation failed"
 
 
+# Round-7 calibration baseline (BENCH_r07.json, VERDICT r07 #4): the
+# denominator for mechanical drift adjudication. The emitted
+# calibration_ratio = this_run / CALIBRATION_REF — multiply a prior
+# round's times by the ratio before reading a delta as a regression.
+CALIBRATION_REF_SEC = 0.273
+
+
 def _calibration(spark, n_runs: int) -> float:
     """Fixed CPU-bound probe: 200M-row range aggregate, whole-stage
     codegen, zero I/O — tracks sandbox speed, not query code."""
@@ -467,6 +474,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
+        "calibration_ratio": round(calibration / CALIBRATION_REF_SEC, 3),
     }
 
     # sf1 section: only from the default sf0.1 run (the driver's round
