@@ -650,3 +650,62 @@ def bellman_ford(
             .localCheckpoint(eager=False)
         )
     return state
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support of a canonical undirected edge list:
+    (src, dst, support) where support = number of triangles containing
+    the edge. Triangles are enumerated ONCE each at their lowest-
+    degree corner (compact-forward orientation, same hub-safe
+    O(sqrt(E)) wedge bound as ``triangles_per_node``) and credited to
+    their three edges with an explode + one exact groupBy. Edges in no
+    triangle are absent from the result (support would be 0)."""
+    o = oriented_edges(edges).localCheckpoint(eager=False)
+    w1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = w1.join(w2, on="a").where(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        o.select(
+            F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
+        ).distinct(),
+        on=["b", "c"],
+    )
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("src"),
+                    F.greatest("a", "b").alias("dst"),
+                ),
+                F.struct(
+                    F.least("a", "c").alias("src"),
+                    F.greatest("a", "c").alias("dst"),
+                ),
+                F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return tri_edges.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("support")
+    )
+
+
+def ktruss_edges(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` peeling iterations toward the k-truss (Cohen 2008;
+    every surviving edge sits in >= k-2 triangles OF THE SURVIVING
+    subgraph): each round recomputes edge supports on the current edge
+    set and drops edges under k-2. Bounded rounds, same discipline as
+    ``pointer_jump_roots`` — callers pick ``rounds`` from a known
+    peel-depth bound or iterate to a fixpoint check; each round is one
+    hub-safe triangle enumeration (O(sqrt(E)) wedge work) plus one
+    filter, all equi-joins. Returns the last round's surviving edges
+    with their support AS MEASURED ON THE PREVIOUS round's edge set
+    (the quantity the final filter used)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    supp = None
+    for _ in range(rounds):
+        supp = edge_support(e).where(
+            F.col("support") >= k - 2
+        ).localCheckpoint(eager=False)
+        e = supp.select("src", "dst")
+    return supp if supp is not None else edge_support(e)

@@ -995,6 +995,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch67_registry():
         out[q.name] = q
+    from .catalog_batch68 import batch68_registry
+
+    for q in batch68_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
