@@ -239,6 +239,64 @@ def video_frame_phashes(
     ).where(F.col("phash").isNotNull())
 
 
+def cross_modal_neardup_pairs(
+    media: DataFrame, every_ms: int = 400, max_hamming: int = 10
+) -> DataFrame:
+    """Still images reused inside videos: every (image, video frame)
+    pair whose perceptual hashes land within ``max_hamming`` bits —
+    the cross-MODALITY leg of the near-dup family (image-image q281,
+    video-video q300, audio-audio q307). Stills hash via the image
+    scan, sampled frames via the video scan (pHash is resize-
+    invariant, so a 64x64 still matches its 32x32 frame exactly);
+    candidates come from the same exact MIH Hamming join over the
+    tagged union of both hash tables, cross-modality pairs kept.
+    Returns (image_path, video_path, frame_ms, hamming)."""
+    from .dedup import hamming_pairs_mih
+
+    imgs = image_phash(media.where(F.col("modality") == "image")).where(
+        F.col("phash").isNotNull()
+    )
+    vf = video_frame_phashes(
+        media.where(F.col("modality") == "video"), every_ms=every_ms
+    )
+    tagged = imgs.select(
+        F.concat_ws(_FID_SEP, F.lit("i"), "id").alias("tid"), "phash"
+    ).unionByName(
+        vf.select(
+            F.concat_ws(
+                _FID_SEP, F.lit("v"), "path", F.col("frame_ms")
+            ).alias("tid"),
+            "phash",
+        )
+    )
+    pairs = hamming_pairs_mih(
+        tagged,
+        bits=PHASH_BITS,
+        blocks=4,
+        max_hamming=max_hamming,
+        id_col="tid",
+        hash_col="phash",
+    )
+    kind = lambda c: F.substring_index(c, _FID_SEP, 1)  # noqa: E731
+    img_side = F.when(kind(F.col("id_a")) == "i", F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    vid_side = F.when(kind(F.col("id_a")) == "v", F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    return (
+        pairs.where(kind(F.col("id_a")) != kind(F.col("id_b")))
+        .select(
+            F.substring_index(img_side, _FID_SEP, -1).alias("image_path"),
+            F.split(vid_side, r"\|").getItem(1).alias("video_path"),
+            F.substring_index(vid_side, _FID_SEP, -1)
+            .cast("long")
+            .alias("frame_ms"),
+            "hamming",
+        )
+    )
+
+
 def video_neardup_pairs(
     media: DataFrame,
     every_ms: int = 400,
@@ -290,4 +348,5 @@ __all__ = [
     "image_neardup_pairs",
     "video_frame_phashes",
     "video_neardup_pairs",
+    "cross_modal_neardup_pairs",
 ]

@@ -455,6 +455,52 @@ def video_bench_corpus(n_base: int = 64, frames: int = 6) -> list[tuple]:
     return rows
 
 
+def cross_modal_images() -> list[tuple]:
+    """Still images for the cross-modal near-dup query (q312): PNGs of
+    the SAME 8x8 texture bases as vid_tex's frames (textured() depends
+    only on the seed, so the 64x64 still and the 32x32 frame share a
+    pHash by resize invariance), one flat still matching vid_flat's
+    flat frames, two unrelated textures that must NOT match, and one
+    undecodable row."""
+    from .png import encode_png
+
+    rows = [
+        (
+            f"still_tex{i}.png",
+            "image",
+            bytearray(encode_png(_rgb(textured(seed=50 + i, size=64)))),
+            None,
+        )
+        for i in range(2)
+    ]
+    rows.append(
+        (
+            "still_flat.png",
+            "image",
+            bytearray(encode_png(_rgb(np.full((64, 64), 80, dtype=np.uint8)))),
+            None,
+        )
+    )
+    rows += [
+        (
+            f"still_other{i}.png",
+            "image",
+            bytearray(encode_png(_rgb(textured(seed=300 + i, size=64)))),
+            None,
+        )
+        for i in range(2)
+    ]
+    rows.append(("still_bad.bin", "image", bytearray(b"\x00junk"), None))
+    return rows
+
+
+def cross_modal_corpus() -> list[tuple]:
+    """The q312 input: the cross-modal stills plus the exact video set
+    whose sampled-frame hashes are frozen in media_expected
+    (video_neardup_corpus)."""
+    return cross_modal_images() + video_neardup_corpus()
+
+
 def frame_sample_corpus() -> list[tuple]:
     """The q289 input: all videos + one image + one tone + one corrupt
     blob + the MP4 container — every ``sample_frames`` code path
@@ -494,6 +540,8 @@ __all__ = [
     "resize_corpus",
     "video_neardup_corpus",
     "video_bench_corpus",
+    "cross_modal_images",
+    "cross_modal_corpus",
     "FRAME_EVERY_MS",
     "RESIZE_W",
     "RESIZE_H",

@@ -999,6 +999,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch68_registry():
         out[q.name] = q
+    from .catalog_batch69 import batch69_registry
+
+    for q in batch69_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -482,6 +482,19 @@ def main() -> None:
             else (path, *(ind[c] for c in feat_cols))
         )
 
+    cross_rows = []
+    for path, _mod, content, _meta in mediagen.cross_modal_images():
+        ind = independent_phash(content)
+        try:
+            op = phash(bytes(content))
+        except ValueError:
+            op = None
+        if ind != op:
+            raise SystemExit(
+                f"cross-modal pHash mismatch for {path}: {ind} vs {op}"
+            )
+        cross_rows.append((path, ind))
+
     from postgresimporter_spark.operators.audiofp import landmarks_from_pcm
     from postgresimporter_spark.operators.audiofeat import decode_pcm
 
@@ -575,6 +588,14 @@ def main() -> None:
         )
         f.write("AUDIO_LANDMARKS = [\n")
         for r in lm_rows:
+            f.write(f"    {r!r},\n")
+        f.write("]\n\n")
+        f.write(
+            "# (path, phash) of cross_modal_images() — None = undecodable;\n"
+            "# joins against VIDEO_FRAME_PHASH in the q312 oracle\n"
+        )
+        f.write("CROSS_MODAL_PHASH = [\n")
+        for r in cross_rows:
             f.write(f"    {r!r},\n")
         f.write("]\n")
     print(

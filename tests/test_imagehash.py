@@ -122,3 +122,31 @@ def test_video_bench_corpus_aligned_pairs(spark):
         ("vid001.avi", "vid001_re.avi"),
     }
     assert all(n >= 2 for n in pairs.values())
+
+
+def test_cross_modal_neardup(spark):
+    """Stills-in-videos: each texture still matches its source video's
+    aligned frame exactly (resize-invariant pHash), the flat still
+    matches every flat frame, unrelated stills and the corrupt row
+    match nothing."""
+    from postgresimporter_spark.operators.imagehash import (
+        cross_modal_neardup_pairs,
+    )
+    from postgresimporter_spark.operators.mediagen import (
+        cross_modal_corpus,
+    )
+    from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(cross_modal_corpus(), MEDIA_SCHEMA)
+    rows = cross_modal_neardup_pairs(media, max_hamming=10).collect()
+    by_img = {}
+    for r in rows:
+        by_img.setdefault(r.image_path, set()).add(
+            (r.video_path, r.frame_ms, r.hamming)
+        )
+    assert ("vid_tex.avi", 0, 0) in by_img["still_tex0.png"]
+    assert ("vid_tex.avi", 400, 0) in by_img["still_tex1.png"]
+    assert all(v == "vid_flat.avi" for v, _, _ in by_img["still_flat.png"])
+    assert "still_other0.png" not in by_img
+    assert "still_other1.png" not in by_img
+    assert "still_bad.bin" not in by_img
