@@ -1377,3 +1377,150 @@ def weighted_minhash_pairs(
 
 
 __all__ += ["weighted_minhash_pairs"]
+
+
+def _mih_params(
+    bits: int, blocks: int, max_hamming: int, max_probe_masks: int
+) -> tuple[int, int, list[int]]:
+    """(block width, bit mask, XOR probe masks) for an MIH config —
+    shared by the one-shot join (``hamming_pairs_mih``) and the
+    incremental index/probe pair so their layouts can never drift.
+    Raises (never truncates) when the probe neighborhood exceeds
+    ``max_probe_masks``."""
+    import itertools
+    import math
+
+    if bits % blocks:
+        raise ValueError("bits must divide evenly into blocks")
+    width = bits // blocks
+    if width > 62:
+        raise ValueError("block width must fit a signed long")
+    s = max_hamming // blocks
+    n_masks = sum(math.comb(width, i) for i in range(s + 1))
+    if n_masks > max_probe_masks:
+        raise ValueError(
+            f"MIH probe neighborhood C({width}, <= {s}) = {n_masks} masks "
+            f"exceeds max_probe_masks={max_probe_masks}; raise `blocks` so "
+            "the per-block radius shrinks"
+        )
+    xor_masks = [0]
+    for k in range(1, s + 1):
+        for comb in itertools.combinations(range(width), k):
+            m = 0
+            for b in comb:
+                m |= 1 << b
+            xor_masks.append(m)
+    return width, (1 << width) - 1, xor_masks
+
+
+def mih_block_index(
+    fingerprints: DataFrame,
+    bits: int = 64,
+    blocks: int = 4,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Persistable multi-index-hashing block index over a (history)
+    fingerprint corpus: one (id, fp, block, val) row per (row, block)
+    — the Hamming-space analogue of ``minhash_band_index``. Store it
+    partitioned/bucketed by (block, val) and append each accepted
+    batch; ``mih_match_index`` probes it without recomputing history
+    fingerprints. O(corpus x blocks) small rows; at 100 TB the probe
+    touches only the batch's (block, val) buckets. For a heavily
+    duplicated history, index DISTINCT fingerprint values and keep a
+    (fp -> id) side table — the same compression
+    ``hamming_pairs_mih`` applies internally."""
+    width, mask, _ = _mih_params(bits, blocks, 0, 1)
+    fps = fingerprints.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftright(F.col("fp"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                .alias("val"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    return fps.select("id", "fp", F.explode(entries).alias("e")).select(
+        "id", "fp", "e.block", "e.val"
+    )
+
+
+def mih_match_index(
+    index: DataFrame,
+    new_fingerprints: DataFrame,
+    bits: int = 64,
+    blocks: int = 4,
+    max_hamming: int = 10,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+    max_probe_masks: int = 4096,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental exact Hamming matching: probe a stored
+    ``mih_block_index`` (corpus history) with a NEW fingerprint batch.
+    The batch side enumerates the per-block XOR probe neighborhood
+    (batch x blocks x V rows — batch-sized, so it broadcasts by
+    default) and equi-joins the index on (block, val); the pigeonhole
+    argument makes the result exact. History never re-fingerprints
+    and — with ``broadcast_batch`` — never shuffles. Params MUST match
+    the index build (same bits/blocks); mismatches silently produce
+    disjoint buckets, exactly as with ``minhash_match_index``.
+    Returns (new_id, hist_id, hamming) within ``max_hamming``."""
+    width, mask, xor_masks = _mih_params(
+        bits, blocks, max_hamming, max_probe_masks
+    )
+    batch = new_fingerprints.select(
+        F.col(id_col).alias("new_id"), F.col(hash_col).alias("bfp")
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftright(F.col("bfp"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                .alias("val"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in xor_masks])
+    probe = (
+        batch.select("new_id", "bfp", F.explode(entries).alias("e"))
+        .select("new_id", "bfp", "e.block", "e.val")
+        .select(
+            "new_id",
+            "bfp",
+            "block",
+            F.explode(mask_arr).alias("_m"),
+            "val",
+        )
+        .select(
+            "new_id",
+            "bfp",
+            "block",
+            F.col("val").bitwiseXOR(F.col("_m")).alias("val"),
+        )
+    )
+    if broadcast_batch:
+        probe = F.broadcast(probe)
+    hamming = F.bit_count(F.col("bfp").bitwiseXOR(F.col("fp"))).cast("long")
+    return (
+        probe.join(index, on=["block", "val"])
+        .where(hamming <= max_hamming)
+        .select(
+            "new_id",
+            F.col("id").alias("hist_id"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+
+
+__all__ += ["mih_block_index", "mih_match_index"]

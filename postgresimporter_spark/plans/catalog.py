@@ -1003,6 +1003,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch69_registry():
         out[q.name] = q
+    from .catalog_batch70 import batch70_registry
+
+    for q in batch70_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -63,3 +63,40 @@ def test_kcenter_seeding_hand_arithmetic(spark, tmp_path):
     assert rows[0] == (0, 0)
     assert rows[1] == (2, 100)  # farthest from {0}: 10^2
     assert rows[2] == (1, 1)  # farthest remaining: min(1, 81) = 1
+
+
+def test_mih_match_index_equals_oneshot_join(spark):
+    """The incremental probe (stored index x new batch) finds exactly
+    the pairs the one-shot hamming_pairs_mih finds between batch and
+    history — same pigeonhole layout, split into build/probe halves."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.dedup import (
+        hamming_pairs_mih,
+        mih_block_index,
+        mih_match_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, (i * 37) % 256) for i in range(40)], "id long, simhash long"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, ((i * 37) % 256) ^ (1 << (i % 3))) for i in range(10)],
+        "id long, simhash long",
+    )
+    idx = mih_block_index(hist, bits=16, blocks=2)
+    got = {
+        (r.new_id, r.hist_id, r.hamming)
+        for r in mih_match_index(
+            idx, batch, bits=16, blocks=2, max_hamming=4
+        ).collect()
+    }
+    both = hist.unionByName(batch)
+    ref = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.hamming)
+        for r in hamming_pairs_mih(
+            both, bits=16, blocks=2, max_hamming=4
+        ).collect()
+        if (r.id_a >= 100) != (r.id_b >= 100)
+    }
+    assert got == ref and got
