@@ -1007,6 +1007,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch70_registry():
         out[q.name] = q
+    from .catalog_batch71 import batch71_registry
+
+    for q in batch71_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
