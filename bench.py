@@ -122,6 +122,10 @@ HEADLINE = [
     # iterative op (4 join rounds + per-neighbor hashing; the
     # adjacency/single-hash layout is worth 2.4x — guard it)
     "q298_random_walks",
+    # round-8: the incremental ingest-vs-history dedup paths — the
+    # stored-index probe shapes a continuous pipeline lives on
+    # (q129's MinHash sibling is already guarded above)
+    "q313_incremental_hamming",
 ]
 
 # sf1 section: the five most expensive queries, at 10x scale.
