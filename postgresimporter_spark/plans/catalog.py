@@ -1011,6 +1011,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch71_registry():
         out[q.name] = q
+    from .catalog_batch72 import batch72_registry
+
+    for q in batch72_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -58,3 +58,22 @@ def test_infer_column_types_rules(spark):
     assert out["texts"].n_values == 2  # '' excluded
     # precedence: every long also matches the double rule
     assert out["longs"].n_double == out["longs"].n_values
+
+
+def test_schema_drift_statuses(spark):
+    """The drift report labels each revision case correctly: price_str
+    removed, rate_str added, mixed_str text -> long (pollution fixed
+    upstream), everything else unchanged."""
+    from postgresimporter_spark.plans.catalog_batch72 import (
+        q315_schema_drift,
+    )
+
+    rows = {
+        r.column: (r.type_a, r.type_b, r.status)
+        for r in q315_schema_drift(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows["price_str"] == ("double", None, "removed")
+    assert rows["rate_str"] == (None, "double", "added")
+    assert rows["mixed_str"] == ("text", "long", "type_changed")
+    assert rows["id_str"] == ("long", "long", "unchanged")
+    assert rows["ts_str"] == ("timestamp", "timestamp", "unchanged")
