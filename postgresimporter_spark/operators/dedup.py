@@ -636,32 +636,82 @@ def simhash_hamming_pairs(
     fps, keyed = _combo_keyed(
         fingerprints, bits, chunks, max_hamming, id_col, hash_col, combo_size
     )
+    hamming = F.bit_count(
+        F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    ).cast("long")
     if max_band_ratio is not None:
+        # Capped path: stays on the ROW-level banding layout — the
+        # max_band_ratio / hot_bands audit contract is defined on
+        # per-fingerprint-ROW band frequencies (q283 verifies it
+        # externally), so the value compression below must not change
+        # what "hot" means here. Verify still runs before the dedup
+        # shuffle.
         cold = _band_freqs(keyed, fps).where(
             F.col("_freq") <= F.lit(max_band_ratio) * F.col("_n_fps")
         ).select("chunk", "val")
         keyed = keyed.join(cold, on=["chunk", "val"])
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return (
+            a.join(b, on=["chunk", "val"])
+            .where((F.col("a.id") < F.col("b.id")) & (hamming <= max_hamming))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                hamming.alias("hamming"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
+    # Uncapped path: band DISTINCT fingerprint VALUES, not rows — the
+    # same two structural moves as ``hamming_pairs_mih`` (duplicate
+    # families collapse onto few values, and the candidate join is
+    # quadratic in bucket size; verify runs before the dedup shuffle
+    # so the exchange carries only true value pairs). Value pairs
+    # expand back to id pairs with plain equi-joins — exactly the
+    # true output; same-value (hamming 0) pairs come from one
+    # fp-equality self-join. This subsumes the docstring's
+    # "exact_dedup first, then join distinct fingerprints" advice.
+    vals = fps.select(F.col("fp").alias("v")).distinct()
+    _, keyed_v = _combo_keyed(
+        vals, bits, chunks, max_hamming, "v", "v", combo_size
+    )
+    a, b = keyed_v.alias("a"), keyed_v.alias("b")
+    vpairs = (
         a.join(b, on=["chunk", "val"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where((F.col("a.fp") < F.col("b.fp")) & (hamming <= max_hamming))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
             F.col("a.fp").alias("fp_a"),
             F.col("b.fp").alias("fp_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["fp_a", "fp_b"])
     )
-    hamming = F.bit_count(
-        F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    cross = (
+        vpairs.join(
+            fps.select(F.col("fp").alias("fp_a"), F.col("id").alias("_ia")),
+            on="fp_a",
+        )
+        .join(
+            fps.select(F.col("fp").alias("fp_b"), F.col("id").alias("_ib")),
+            on="fp_b",
+        )
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
     )
+    same = (
+        fps.alias("x")
+        .join(fps.alias("y"), on="fp")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def hamming_pairs_mih(
