@@ -209,3 +209,37 @@ def test_hot_band_cap_on_lookup_combo_path(spark):
     assert got == {(100, 101, 1)}
     dropped = hot_bands(fps, max_band_ratio=0.5, **kw).collect()
     assert dropped and all(r.n_fingerprints == n for r in dropped)
+
+
+def test_simhash_pairs_value_compression_equals_bruteforce(spark):
+    """The distinct-value-compressed uncapped path returns exactly the
+    brute-force Hamming pair set — heavy duplicate families included
+    (the compression's raison d'être) — for several seeded corpora."""
+    import random
+
+    from postgresimporter_spark.operators.dedup import simhash_hamming_pairs
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        base = [rng.getrandbits(31) for _ in range(12)]
+        fps = []
+        i = 0
+        for b in base:
+            for _ in range(rng.randint(1, 5)):  # duplicate families
+                v = b ^ (1 << rng.randrange(32) if rng.random() < 0.5 else 0)
+                fps.append((i, v))
+                i += 1
+        df = spark.createDataFrame(fps, "id long, simhash long")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_hamming_pairs(
+                df, bits=32, chunks=4, max_hamming=3
+            ).collect()
+        }
+        want = {
+            (a, b, bin(x ^ y).count("1"))
+            for a, x in fps
+            for b, y in fps
+            if a < b and bin(x ^ y).count("1") <= 3
+        }
+        assert got == want
