@@ -1015,6 +1015,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch72_registry():
         out[q.name] = q
+    from .catalog_batch73 import batch73_registry
+
+    for q in batch73_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
