@@ -335,6 +335,56 @@ def stream_match_history(
     return writer.start()
 
 
+def stream_hamming_match(
+    stream: DataFrame,
+    index: DataFrame,
+    checkpoint_dir: str,
+    sink,
+    bits: int = 32,
+    blocks: int = 2,
+    max_hamming: int = 3,
+    available_now: bool = True,
+):
+    """Continuous-ingest exact-Hamming dedup: each micro-batch of new
+    (id, simhash) fingerprints probes a stored MIH block index
+    (``operators/dedup.py:mih_block_index``) via ``foreachBatch``;
+    ``sink(matches_df, epoch_id)`` receives the (new_id, hist_id,
+    hamming) matches per batch — the streaming counterpart of the
+    batch ``mih_match_index`` (q313), exactly as
+    ``stream_match_history`` is for MinHash.
+
+    Same scale shape as the batch probe: the micro-batch enumerates
+    its per-block XOR neighborhood and broadcasts into the index
+    equi-join — history never re-fingerprints and never shuffles; the
+    probe needs a dropDuplicates over the batch's candidates, which
+    streaming's incremental planner can't express against a static
+    join, so foreachBatch is the supported escape hatch with
+    exactly-once SOURCE tracking from the checkpoint. An accept/append
+    step downstream of ``sink`` grows the index with the batch's own
+    ``mih_block_index`` rows. Returns the StreamingQuery."""
+    from ..operators.dedup import mih_match_index
+
+    def _match(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(
+            mih_match_index(
+                index,
+                batch_df,
+                bits=bits,
+                blocks=blocks,
+                max_hamming=max_hamming,
+            ),
+            epoch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_match)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_merge_topk(
     stream: DataFrame,
     queries: DataFrame,

@@ -743,3 +743,70 @@ def test_stream_token_buckets_matches_batch_and_js_drift(spark):
         s += int(round(c * 0.5 * 1e12))
     assert drift_row.js_nats == round(s / 1e12, 6) + 0.0
     assert (drift_row.tokens_cur, drift_row.tokens_ref) == (NA, NB)
+
+
+def test_stream_hamming_match_matches_batch(spark, tmp_path):
+    """stream_hamming_match over two micro-batches finds exactly the
+    pairs the batch-mode mih_match_index finds on the full batch — the
+    MIH index is static, so per-batch probing is embarrassingly
+    incremental and stream==batch holds exactly."""
+    from postgresimporter_spark.operators.dedup import (
+        mih_block_index,
+        mih_match_index,
+        simhash,
+    )
+    from postgresimporter_spark.streaming.pipeline import (
+        stream_hamming_match,
+    )
+
+    docs = load_tables(spark, SF, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+    hist_fps = simhash(docs.where(F.col("doc_id") < 400), bits=32)
+    index = mih_block_index(hist_fps, bits=32, blocks=2).localCheckpoint()
+    new = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" streamed")).alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id").between(400, 430)).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    new_fps = simhash(new, bits=32).localCheckpoint()
+    path = str(tmp_path / "fp_arrivals")
+    new_fps.where(F.col("id") % 2 == 0).coalesce(1).write.parquet(
+        path + "/f0"
+    )
+    new_fps.where(F.col("id") % 2 == 1).coalesce(1).write.parquet(
+        path + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(new_fps.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/*")
+    )
+
+    got: list[tuple] = []
+    epochs: list[int] = []
+
+    def sink(matches, epoch_id):
+        epochs.append(epoch_id)
+        got.extend(
+            (r.new_id, r.hist_id, r.hamming) for r in matches.collect()
+        )
+
+    q = stream_hamming_match(
+        stream, index, str(tmp_path / "hckpt"), sink,
+        bits=32, blocks=2, max_hamming=3,
+    )
+    q.awaitTermination()
+
+    expected = {
+        (r.new_id, r.hist_id, r.hamming)
+        for r in mih_match_index(
+            index, new_fps, bits=32, blocks=2, max_hamming=3
+        ).collect()
+    }
+    assert len(epochs) >= 2
+    assert set(got) == expected and expected
+    assert len(got) == len(set(got))
