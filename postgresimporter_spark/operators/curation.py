@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import hash_bucket, shingles
@@ -637,3 +637,69 @@ def token_budget_shards(
 
 
 __all__.append("token_budget_shards")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization of a score column — the
+    calibration step before a GLOBAL threshold is applied to quality
+    scores coming from heterogeneous sources (a length-ish score from
+    a web crawl and the same score from curated books are not
+    comparable raw; after rank-mapping through the pooled
+    distribution they are). Each row's within-group rank maps to the
+    pooled distribution's value at the proportional global rank:
+    ``g_rank = 1 + ((s_rank-1)·(N-1)) div (n_group-1)`` — ALL integer
+    arithmetic, ties broken by ``id_col``, so the mapping is a total
+    order both engines reproduce exactly (a percentile interpolation
+    would reintroduce float luck). Single-row groups map to the
+    pooled median.
+
+    Shape at scale: one partitioned window per group (never an
+    unpartitioned window — the pooled ranking rides
+    ``ranking.global_row_number``'s per-partition offsets) plus one
+    equi-join on the computed global rank. Returns the input id/group
+    + (score, norm_score)."""
+    from .ranking import global_row_number
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        F.col(score_col).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("_grp").orderBy("score", "_id")
+    s = base.select(
+        "_id",
+        "_grp",
+        "score",
+        F.row_number().over(w).alias("_srank"),
+        F.count("*").over(Window.partitionBy("_grp")).alias("_ns"),
+    )
+    g = global_row_number(
+        base.select("_id", "score"), ["score", "_id"], idx_col="_grank"
+    ).localCheckpoint(eager=False)
+    pooled = g.select(F.col("_grank").alias("_target"), F.col("score").alias("norm_score"))
+    n_total = g.select(F.col("n_total")).limit(1)
+    target = F.when(
+        F.col("_ns") == 1,
+        1 + F.expr("(n_total - 1) div 2"),
+    ).otherwise(
+        1 + F.expr("((_srank - 1) * (n_total - 1)) div (_ns - 1)")
+    )
+    return (
+        s.crossJoin(F.broadcast(n_total))
+        .select("_id", "_grp", "score", target.cast("long").alias("_target"))
+        .join(pooled, on="_target")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_grp").alias(group_col),
+            "score",
+            "norm_score",
+        )
+    )
+
+
+__all__.append("quantile_normalize")

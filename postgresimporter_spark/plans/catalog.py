@@ -1019,6 +1019,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch73_registry():
         out[q.name] = q
+    from .catalog_batch74 import batch74_registry
+
+    for q in batch74_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

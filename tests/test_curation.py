@@ -164,3 +164,25 @@ def test_redact_text_stays_in_codegen(spark):
     plan = C.redact_text(df, "note")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quantile_normalize_hand_mapping(spark):
+    """Pooled sorted scores [5,10,20,30,100,200]: group a's ranks map
+    to pooled ranks 1/3/6, the 2-element group to the extremes, and a
+    singleton group to the pooled median."""
+    from postgresimporter_spark.operators.curation import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30),
+         (4, "b", 100), (5, "b", 200), (6, "c", 5)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: r.norm_score
+        for r in quantile_normalize(
+            df, "source", "n_chars", "doc_id"
+        ).collect()
+    }
+    assert got == {1: 5, 2: 20, 3: 200, 4: 5, 5: 200, 6: 20}
