@@ -99,3 +99,25 @@ def test_q304_matches_python_model(spark, reg):
     row = reg["q304_ams_f2"].fn(spark, SF).collect()[0]
     assert row.exact_f2 == exact
     assert row.est_f2 == pytest.approx(est, abs=1e-4)
+
+
+def test_skew_split_join_degenerate_splits(spark):
+    """No-hot-keys (high ratio) and all-hot (every key over a tiny
+    ratio) degenerate splits both return the exact plain-join result:
+    one leg carries everything, the other is empty, the union is
+    unchanged."""
+    from postgresimporter_spark.operators.skewjoin import skew_split_join
+
+    left = spark.createDataFrame(
+        [(k % 4, k) for k in range(40)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(4)], "k long, w long"
+    )
+    want = sorted((r.k, r.v, r.w) for r in left.join(right, "k").collect())
+    for ratio in (0.99, 0.001):
+        got = sorted(
+            (r.k, r.v, r.w)
+            for r in skew_split_join(left, right, "k", ratio).collect()
+        )
+        assert got == want
