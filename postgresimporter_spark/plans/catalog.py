@@ -1023,6 +1023,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch74_registry():
         out[q.name] = q
+    from .catalog_batch75 import batch75_registry
+
+    for q in batch75_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 
