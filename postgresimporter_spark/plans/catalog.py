@@ -1027,6 +1027,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch75_registry():
         out[q.name] = q
+    from .catalog_batch76 import batch76_registry
+
+    for q in batch76_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -121,3 +121,21 @@ def test_skew_split_join_degenerate_splits(spark):
             for r in skew_split_join(left, right, "k", ratio).collect()
         )
         assert got == want
+
+
+def test_q319_overlap_span_invariants(spark, reg):
+    """Every confirmed pair's explanation is internally consistent
+    (1 <= longest_run <= n_matched <= n_tokens_a, coverage exact), and
+    the constructed exact-dup pairs (doc_id +10000 copies) cover their
+    full length in one run."""
+    rows = reg["q319_pair_overlap_spans"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.longest_run <= r.n_matched <= r.n_tokens_a
+        assert r.coverage == round(r.n_matched / r.n_tokens_a, 6)
+    exact = [r for r in rows if r.id_b == r.id_a + 10000]
+    assert exact
+    for r in exact:
+        assert r.n_matched == r.n_tokens_a
+        assert r.longest_run == r.n_tokens_a
+        assert r.coverage == 1.0
