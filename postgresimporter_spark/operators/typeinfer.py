@@ -33,7 +33,10 @@ TYPE_RULES: tuple[tuple[str, str], ...] = (
     ("double", r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"),
     ("timestamp", r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$"),
     ("date", r"^\d{4}-\d{2}-\d{2}$"),
-    ("bool", r"^(?i)(true|false|t|f|0|1)$"),
+    # flag group leads the pattern: Java and RE2 accept (?i) anywhere,
+    # Python's re only at position 0 — leading keeps the rule portable
+    # to every engine that might replay it
+    ("bool", r"(?i)^(true|false|t|f|0|1)$"),
 )
 
 
