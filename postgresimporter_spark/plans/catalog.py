@@ -1152,6 +1152,21 @@ _DRIVER_GREEN = {
     "q279_lift_curve", "q280_image_phash", "q281_image_neardup",
     "q282_audio_features", "q283_simhash_capped", "q284_hamming_mih",
     "q285_trigram_like", "q295_top_supplier",
+    # Green in CORRECTNESS_r08.json (round-8 driver window): the whole
+    # q286-q319 tier (batches 58-76), converting the entire never-checked
+    # backlog — the catalog is now 100% driver-verified.
+    "q286_interarrival_fit", "q287_multiprobe_recall", "q288_media_metadata",
+    "q289_frame_sample", "q290_resize_roundtrip", "q291_hamming_mih_strict",
+    "q292_frequent_sequences", "q293_sax_motifs", "q294_coverage_select",
+    "q296_naming_parity", "q297_redirect_chains", "q298_random_walks",
+    "q299_t_closeness", "q300_video_neardup", "q301_capped_walks",
+    "q302_skew_split_join", "q303_partition_pruning", "q304_ams_f2",
+    "q305_hll_rollup", "q306_weighted_minhash", "q307_audio_landmarks",
+    "q308_bellman_ford", "q309_type_inference", "q310_kcenter_seeding",
+    "q311_ktruss", "q312_cross_modal_neardup", "q313_incremental_hamming",
+    "q314_ensemble_dedup", "q315_schema_drift", "q316_dedup_eval",
+    "q317_quantile_normalize", "q318_cluster_survivors",
+    "q319_pair_overlap_spans",
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
@@ -1159,7 +1174,7 @@ _SENTINELS = ["q01_pricing_summary", "q19_strip", "q23_table_counts"]
 
 # Round counter for the re-verification slice below.  Bumped once per
 # round alongside the _DRIVER_GREEN additions.
-_ROUND = 8
+_ROUND = 9
 
 # How many previously-green queries to rotate back into the head window
 # each round, so old greens keep getting re-sampled by the external gate
