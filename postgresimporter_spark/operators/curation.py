@@ -663,8 +663,24 @@ def quantile_normalize(
     ``ranking.global_row_number``'s per-partition offsets) plus one
     equi-join on the computed global rank. Returns the input id/group
     + (score, norm_score)."""
+    from pyspark.sql import types as T
+
     from .ranking import global_row_number
 
+    # The integer-arithmetic contract is enforced, not just documented:
+    # a silent cast("long") on a fractional score would truncate (0.4
+    # and 0.6 both rank as 0), merging distinct values and changing the
+    # within-group order with no error. Pre-quantize fractional scores
+    # explicitly (the caller owns the scale) before calling.
+    score_type = df.schema[score_col].dataType
+    if not isinstance(
+        score_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"quantile_normalize: score column {score_col!r} must be an "
+            f"integral type (got {score_type.simpleString()}); quantize "
+            "fractional scores explicitly before normalizing"
+        )
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_grp"),

@@ -259,8 +259,20 @@ def cross_modal_neardup_pairs(
     vf = video_frame_phashes(
         media.where(F.col("modality") == "video"), every_ms=every_ms
     )
+    # Same separator discipline as video_frame_phashes: an image id
+    # containing '|' would silently truncate image_path (last-segment
+    # split) AND corrupt the positional video_path parse below, so
+    # offending rows RAISE at execution rather than mis-split.
+    safe_img_id = F.when(
+        ~F.col("id").contains(_FID_SEP), F.col("id")
+    ).otherwise(
+        F.raise_error(
+            F.lit("cross_modal_neardup_pairs: image id contains the "
+                  "frame-id separator '|'")
+        )
+    )
     tagged = imgs.select(
-        F.concat_ws(_FID_SEP, F.lit("i"), "id").alias("tid"), "phash"
+        F.concat_ws(_FID_SEP, F.lit("i"), safe_img_id).alias("tid"), "phash"
     ).unionByName(
         vf.select(
             F.concat_ws(

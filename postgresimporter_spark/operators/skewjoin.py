@@ -53,6 +53,10 @@ def skew_split_join(
         .join(F.broadcast(total))
         .where(F.col("_freq") > F.lit(max_key_ratio) * F.col("_n_left"))
         .select(on)
+        # Shared by three broadcast legs below: without the checkpoint
+        # Catalyst re-evaluates the full left-side frequency aggregate
+        # once per use (3x the left scan+shuffle).
+        .localCheckpoint(eager=False)
     )
     left_hot = left.join(F.broadcast(hot), on, "left_semi")
     left_cold = left.join(F.broadcast(hot), on, "left_anti")

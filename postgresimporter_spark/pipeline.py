@@ -44,6 +44,10 @@ class LoadResult:
     csv_counts: dict[str, int] = field(default_factory=dict)
     report: DataFrame | None = None
     check_passed: bool = True
+    # Views whose parquet sink write SUCCEEDED this run. Reconciliation
+    # only trusts a sink directory listed here — a directory left by a
+    # previous run must not stand in for rows this run failed to write.
+    sink_written: set[str] = field(default_factory=set)
 
 
 def _sql_scripts(paths: list[Path]) -> list[Path]:
@@ -237,6 +241,9 @@ class Loader:
                 tolerance=cfg.check_tolerance,
                 db=cfg.db,
                 sink_dir=cfg.sink_dir,
+                written_views=(
+                    result.sink_written if cfg.sink_dir is not None else None
+                ),
             )
             result.report = report
             result.check_passed = passed
@@ -303,6 +310,10 @@ class Loader:
                     df.write.mode("overwrite").parquet(
                         str(cfg.sink_dir / view)
                     )
+                    # Record success so reconciliation only counts sink
+                    # directories THIS run wrote (a stale directory from
+                    # a prior run must not mask a failed write).
+                    result.sink_written.add(view)
                     # Bucketed CTAS: additionally persist views carrying
                     # all bucket columns as bucketed+sorted catalog
                     # tables, so downstream joins/aggs on the key are

@@ -88,7 +88,10 @@ def csv_row_counts_precise(
 
 
 def db_row_counts(
-    spark: SparkSession, tables: list[str], sink_dir: Path | None = None
+    spark: SparkSession,
+    tables: list[str],
+    sink_dir: Path | None = None,
+    written_views: set[str] | None = None,
 ) -> dict[str, int]:
     """count(*) per import view (O5). Missing views count as 0 — the
     reference's check tolerates missing tables by reporting the diff.
@@ -97,12 +100,23 @@ def db_row_counts(
     the MATERIALIZED sink, not the lazy CSV-backed view — the
     reference's actual contract (it SELECTed count(*) from the import
     schema the load had just written, main.py:250-306), and a parquet
-    count is footer metadata instead of a full CSV re-parse."""
+    count is footer metadata instead of a full CSV re-parse.
+
+    ``written_views`` (the pipeline's per-run write record) gates which
+    sink directories are trusted: a directory left behind by a PREVIOUS
+    run must not stand in for a write that failed THIS run — those
+    tables fall back to the live view, so a failed write surfaces in
+    the reconciliation diff instead of passing against stale rows."""
     out = {}
     for t in tables:
         view = import_view_name(t)
         try:
-            if sink_dir is not None and (sink_dir / view).exists():
+            trust_sink = (
+                sink_dir is not None
+                and (sink_dir / view).exists()
+                and (written_views is None or view in written_views)
+            )
+            if trust_sink:
                 out[t] = spark.read.parquet(str(sink_dir / view)).count()
             else:
                 out[t] = spark.table(view).count()
@@ -117,6 +131,7 @@ def reconciliation_report(
     tolerance: int = 100,
     db=None,
     sink_dir: Path | None = None,
+    written_views: set[str] | None = None,
 ) -> tuple[DataFrame, bool, dict[str, int]]:
     """Build the reconciliation report (reference report columns,
     main.py:263-299) and evaluate the tolerance gate (main.py:301-302).
@@ -132,7 +147,10 @@ def reconciliation_report(
         db_counts = table_counts(db, list(table_csv_files))
     else:
         db_counts = db_row_counts(
-            spark, list(table_csv_files), sink_dir=sink_dir
+            spark,
+            list(table_csv_files),
+            sink_dir=sink_dir,
+            written_views=written_views,
         )
 
     rows = [

@@ -186,3 +186,32 @@ def test_quantile_normalize_hand_mapping(spark):
         ).collect()
     }
     assert got == {1: 5, 2: 20, 3: 200, 4: 5, 5: 200, 6: 20}
+
+
+def test_quantile_normalize_rejects_fractional_scores(spark):
+    """The integer-arithmetic contract is enforced (ADVICE r8): a double
+    score column raises instead of silently truncating via cast('long')
+    (0.4 and 0.6 would both rank as 0, merging distinct values); an
+    explicit caller-side quantization restores the path."""
+    import pytest
+
+    from postgresimporter_spark.operators.curation import (
+        quantile_normalize,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.4), (2, "a", 0.6), (3, "b", 0.5)],
+        "doc_id long, source string, score double",
+    )
+    with pytest.raises(TypeError, match="integral type"):
+        quantile_normalize(df, "source", "score", "doc_id")
+
+    quantized = df.withColumn(
+        "score_q", F.round(F.col("score") * 1000).cast("long")
+    )
+    rows = quantile_normalize(
+        quantized, "source", "score_q", "doc_id"
+    ).collect()
+    assert len(rows) == 3  # distinct values survive quantization
+    assert len({r.norm_score for r in rows if r[1] == "a"}) == 2

@@ -150,3 +150,29 @@ def test_cross_modal_neardup(spark):
     assert "still_other0.png" not in by_img
     assert "still_other1.png" not in by_img
     assert "still_bad.bin" not in by_img
+
+
+def test_cross_modal_rejects_separator_in_image_id(spark):
+    """An image path containing '|' (the internal tid separator) RAISES
+    at execution instead of silently truncating image_path and
+    corrupting the positional video_path parse (ADVICE r8) — the same
+    guard video_frame_phashes already applies to video paths."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from postgresimporter_spark.operators.imagehash import (
+        cross_modal_neardup_pairs,
+    )
+    from postgresimporter_spark.operators.mediagen import (
+        cross_modal_corpus,
+    )
+    from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        r if r[0] != "still_tex0.png" else ("bad|name.png", *r[1:])
+        for r in cross_modal_corpus()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception) as exc:
+        cross_modal_neardup_pairs(media, max_hamming=10).collect()
+    assert "separator" in str(exc.value)

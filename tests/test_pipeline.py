@@ -352,3 +352,46 @@ def test_parse_args_bucket_flags():
     assert cfg.bucket_count == 16
     # default: bucketing off
     assert parse_args(["data"]).bucket_by == []
+
+
+def test_db_row_counts_ignores_stale_sink(spark, tmp_path):
+    """Reconciliation must not trust a sink directory this run did not
+    write (ADVICE r8): a stale parquet dir left by a previous run falls
+    back to the live view when the per-run write record excludes it."""
+    from postgresimporter_spark.reconcile import db_row_counts
+
+    # "Previous run" left 10 rows at the sink path; the live view for
+    # this run has 2.
+    sink = tmp_path / "sink"
+    spark.range(10).toDF("x").write.parquet(str(sink / "import_animals"))
+    spark.range(2).toDF("x").createOrReplaceTempView("import_animals")
+
+    live = db_row_counts(
+        spark, ["animals"], sink_dir=sink, written_views=set()
+    )
+    assert live == {"animals": 2}
+    trusted = db_row_counts(
+        spark,
+        ["animals"],
+        sink_dir=sink,
+        written_views={"import_animals"},
+    )
+    assert trusted == {"animals": 10}
+    spark.catalog.dropTempView("import_animals")
+
+
+def test_pipeline_records_sink_written(spark, animals_dir, tmp_path):
+    """write_sink records every view whose parquet write succeeded this
+    run, and reconciliation passes against those sink counts."""
+    cfg = PipelineConfig(
+        sources=[animals_dir],
+        combine_tables=True,
+        sink_dir=tmp_path / "sink",
+    )
+    result = run_pipeline(spark, cfg)
+    assert result.sink_written == {
+        "import_animals_1",
+        "import_animals_2",
+        "import_animals",
+    }
+    assert result.check_passed
