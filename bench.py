@@ -42,7 +42,19 @@ costs and the 2x-of-baseline criterion is meaningful. The sf1 tables are
 generated once (cached in /tmp) from sf0.1: fact tables are unioned 10x
 with shifted keys, documents get a per-copy marker token (near-dup, not
 exact-dup, copies — the realistic dedup workload), dimensions copy
-as-is. Disable with SPARK_GRAFT_SF1=0.
+as-is. Disable with SPARK_GRAFT_SF1=0. Round 9 (VERDICT r08 #3) adds
+the three round-8 heavy guards at scale: q313's stored-index Hamming
+probe at 10x history, ``video_neardup_194`` (2x the video corpus), and
+``ingest_sf1`` (the reference-shaped spine at 10x CSV volume).
+
+The ``normalized_delta`` section (VERDICT r08 #2) makes drift
+adjudication mechanical: for every query also present in the most
+recent recorded ``BENCH_r*.json``, it emits this_time / (prior_time x
+calibration_rel) — 1.0 means unchanged once sandbox speed is divided
+out, so an environmental session slowdown reads as uniform ~1.0x
+normalized while a real plan regression stands out per-query.
+Sub-second headline queries run min-of-5 (SPARK_GRAFT_SUBSEC_RUNS) so
+one noisy run can't masquerade as a regression.
 """
 
 from __future__ import annotations
@@ -161,6 +173,11 @@ SF1_HEADLINE = [
     "q291_hamming_mih_strict",
     "q285_trigram_like",
     "q298_random_walks",
+    # r9 (VERDICT r08 #3): the stored-index incremental Hamming probe
+    # at 10x history — the shape most likely to hide a q291-style
+    # bucket blow-up (concentrated fingerprints inflate one (block,val)
+    # bucket; only a data-dominated run shows it).
+    "q313_incremental_hamming",
 ]
 SF1_COPIES = 10
 
@@ -247,6 +264,12 @@ MEDIA_N_IMAGES = MEDIA_N_BASE + MEDIA_N_BASE // 2 + MEDIA_N_BASE // 4 + 2
 VIDEO_N_BASE = 64
 VIDEO_N_VIDEOS = VIDEO_N_BASE + VIDEO_N_BASE // 2 + 2
 
+# Scale-tier video corpus (VERDICT r08 #3): one notch up (2x videos,
+# 2x decodable frames), timed in the sf1 section so the video near-dup
+# family has a scaling data point, not just a fixed-size guard.
+VIDEO_SF1_N_BASE = 128
+VIDEO_SF1_N_VIDEOS = VIDEO_SF1_N_BASE + VIDEO_SF1_N_BASE // 2 + 2
+
 
 def _ensure_media(spark) -> str | None:
     """Generate (once, cached) the bench image corpus as parquet, so
@@ -285,14 +308,17 @@ def _img_neardup(spark, media_dir: str):
     return image_neardup_pairs(media, max_hamming=10)
 
 
-def _ensure_video(spark) -> str | None:
+def _ensure_video(spark, n_base: int = VIDEO_N_BASE) -> str | None:
     """Generate (once, cached) the bench video corpus as parquet —
     same discipline as the image corpus: the timed path is scan ->
-    frame sample -> decode -> pHash -> aligned MIH join."""
+    frame sample -> decode -> pHash -> aligned MIH join. The cache
+    directory is size-tagged; the env override applies only to the
+    default-size corpus."""
+    default = f"/tmp/spark_graft_video_{n_base}"
     out = Path(
-        os.environ.get(
-            "SPARK_GRAFT_VIDEO_DIR", f"/tmp/spark_graft_video_{VIDEO_N_BASE}"
-        )
+        os.environ.get("SPARK_GRAFT_VIDEO_DIR", default)
+        if n_base == VIDEO_N_BASE
+        else default
     )
     done = out / "_DONE"
     if done.exists():
@@ -305,7 +331,7 @@ def _ensure_video(spark) -> str | None:
 
         out.mkdir(parents=True, exist_ok=True)
         spark.createDataFrame(
-            video_bench_corpus(n_base=VIDEO_N_BASE), MEDIA_SCHEMA
+            video_bench_corpus(n_base=n_base), MEDIA_SCHEMA
         ).repartition(32).write.mode("overwrite").parquet(
             str(out / "videos.parquet")
         )
@@ -323,16 +349,19 @@ def _video_neardup(spark, video_dir: str):
     return video_neardup_pairs(media, every_ms=400, max_hamming=10)
 
 
-def _ensure_ingest_csv(spark, base_dir: str) -> str | None:
+def _ensure_ingest_csv(spark, base_dir: str, allow_env: bool = True) -> str | None:
     """Generate (once, cached) a multi-file CSV corpus from the bench
     scale's lineitem + orders tables — 8 + 4 prefix-grouped files, the
     reference's ingest layout (one table per file, combined by prefix;
-    main.py:215-248) — so the S4/O1 load spine has a perf guard."""
+    main.py:215-248) — so the S4/O1 load spine has a perf guard.
+    ``allow_env=False`` (the sf1-tier call) ignores the directory
+    override so the two scales can never share a cache."""
     sf = base_dir.rstrip("/").rsplit("sf", 1)[-1]
+    default = f"/tmp/spark_graft_ingest_sf{sf}"
     out = Path(
-        os.environ.get(
-            "SPARK_GRAFT_INGEST_DIR", f"/tmp/spark_graft_ingest_sf{sf}"
-        )
+        os.environ.get("SPARK_GRAFT_INGEST_DIR", default)
+        if allow_env
+        else default
     )
     done = out / "_DONE"
     data = out / "data"
@@ -368,16 +397,17 @@ def _ensure_ingest_csv(spark, base_dir: str) -> str | None:
         return None
 
 
-def _ingest(spark, csv_dir: str) -> None:
+def _ingest(spark, csv_dir: str, tag: str = "") -> None:
     """One full reference-shaped ingest: discovery -> all-text CSV load
     -> prefix combine -> parquet sink -> row-count reconciliation
     (the pipeline spine, reference main.py:491-542 + 215-248 +
     250-306). run_pipeline itself forces every action (sink write +
-    both reconciliation count jobs)."""
+    both reconciliation count jobs). The sink is tag-scoped so the
+    sf0.1 and sf1 ingest guards never read each other's output."""
     from postgresimporter_spark.config import PipelineConfig
     from postgresimporter_spark.pipeline import run_pipeline
 
-    sink = Path("/tmp/spark_graft_ingest_sink")
+    sink = Path(f"/tmp/spark_graft_ingest_sink{tag}")
     r = run_pipeline(
         spark,
         PipelineConfig(
@@ -409,17 +439,65 @@ def _calibration(spark, n_runs: int) -> float:
     return round(best, 3)
 
 
-def _time_queries(spark, reg, names, sf_dir: str, n_runs: int) -> dict[str, float]:
+def _time_queries(
+    spark,
+    reg,
+    names,
+    sf_dir: str,
+    n_runs: int,
+    subsec_runs: int = 0,
+) -> dict[str, float]:
+    """Min-of-N timing. With ``subsec_runs`` (VERDICT r08 #2), a query
+    whose best time after ``n_runs`` runs is under 1s keeps running up
+    to that many total runs: sub-second queries sit inside the
+    sandbox's scheduler-noise band (±20% probe, occasional 60%+
+    outliers), and min-of-5 keeps one noisy run from reading as a
+    round-over-round regression."""
     timings: dict[str, float] = {}
     for name in names:
         q = reg[name]
         best = float("inf")
-        for _ in range(n_runs):
+        target, runs = n_runs, 0
+        while runs < target:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            runs += 1
+            if runs == target and subsec_runs > target and best < 1.0:
+                target = subsec_runs
         timings[name] = round(best, 3)
     return timings
+
+
+def _prior_bench(here: Path) -> tuple[str, dict] | None:
+    """The most recent recorded round bench (BENCH_r*.json), for the
+    normalized-delta section — returns (filename, parsed JSON)."""
+    for f in sorted(here.glob("BENCH_r*.json"), reverse=True):
+        try:
+            d = json.loads(f.read_text())
+            # driver records wrap the bench line under "parsed"
+            if isinstance(d, dict) and isinstance(d.get("parsed"), dict):
+                d = d["parsed"]
+            if isinstance(d, dict) and d.get("queries"):
+                return f.name, d
+        except Exception:  # noqa: BLE001
+            continue
+    return None
+
+
+def _normalized_deltas(
+    this: dict[str, float], prior: dict[str, float], cal_rel: float
+) -> dict[str, float]:
+    """Per-query this/prior time ratio with the environment divided
+    out: prior times are first scaled by ``cal_rel`` (this run's
+    calibration probe / the prior round's), so 1.0 means "unchanged
+    once sandbox speed is accounted for" and drift adjudication is
+    mechanical instead of judge-side inference (VERDICT r08 #2)."""
+    return {
+        q: round(this[q] / (prior[q] * cal_rel), 3)
+        for q in this
+        if q in prior and prior[q] > 0 and cal_rel > 0
+    }
 
 
 def main() -> None:
@@ -436,8 +514,17 @@ def main() -> None:
     spark.range(1).count()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Sub-second headline queries get min-of-5 (VERDICT r08 #2); a
+    # single-run invocation stays single-run (quick local iteration).
+    subsec_runs = (
+        max(n_runs, int(os.environ.get("SPARK_GRAFT_SUBSEC_RUNS", "5")))
+        if n_runs > 1
+        else 0
+    )
     calibration = _calibration(spark, n_runs)
-    timings = _time_queries(spark, reg, HEADLINE, sf_dir, n_runs)
+    timings = _time_queries(
+        spark, reg, HEADLINE, sf_dir, n_runs, subsec_runs=subsec_runs
+    )
 
     # multimodal guards: corpora are sf-independent (fixed image /
     # video counts, size-tagged /tmp caches)
@@ -467,7 +554,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(n_runs):
             t0 = time.perf_counter()
-            _ingest(spark, ingest_dir)
+            _ingest(spark, ingest_dir, tag=f"_sf{sf}")
             best = min(best, time.perf_counter() - t0)
         timings[f"ingest_sf{sf}"] = round(best, 3)
 
@@ -489,11 +576,58 @@ def main() -> None:
             sf1 = _time_queries(
                 spark, reg, SF1_HEADLINE, sf1_dir, min(2, n_runs)
             )
+            # scale-tier media guard: 2x the default video corpus
+            # (VERDICT r08 #3), so the near-dup family's scaling is
+            # measured, not assumed.
+            video_sf1 = _ensure_video(spark, n_base=VIDEO_SF1_N_BASE)
+            if video_sf1:
+                best = float("inf")
+                for _ in range(min(2, n_runs)):
+                    t0 = time.perf_counter()
+                    _video_neardup(spark, video_sf1).count()
+                    best = min(best, time.perf_counter() - t0)
+                sf1[f"video_neardup_{VIDEO_SF1_N_VIDEOS}"] = round(best, 3)
+            # scale-tier ingest guard (VERDICT r08 #3): the reference-
+            # shaped spine at 10x CSV volume.
+            ingest_sf1_dir = _ensure_ingest_csv(
+                spark, sf1_dir, allow_env=False
+            )
+            if ingest_sf1_dir:
+                best = float("inf")
+                for _ in range(min(2, n_runs)):
+                    t0 = time.perf_counter()
+                    _ingest(spark, ingest_sf1_dir, tag="_sf1")
+                    best = min(best, time.perf_counter() - t0)
+                sf1["ingest_sf1"] = round(best, 3)
             out["sf1"] = {
                 "queries": sf1,
                 "total_sec": round(sum(sf1.values()), 3),
                 "scale_copies": SF1_COPIES,
             }
+
+    # Normalized-delta section (VERDICT r08 #2): per-query this/prior
+    # ratio with sandbox speed divided out, for both tiers — makes
+    # round-over-round drift adjudication mechanical in the official
+    # record instead of requiring judge-side inference.
+    prior = _prior_bench(Path(__file__).resolve().parent)
+    if prior and prior[1].get("sf") == out["sf"]:
+        pname, pdata = prior
+        pcal = pdata.get("calibration_sec") or 0
+        cal_rel = (calibration / pcal) if pcal else 1.0
+        nd = {
+            "vs": pname,
+            "calibration_rel": round(cal_rel, 3),
+            "queries": _normalized_deltas(
+                timings, pdata.get("queries", {}), cal_rel
+            ),
+        }
+        if "sf1" in out:
+            nd["sf1"] = _normalized_deltas(
+                out["sf1"]["queries"],
+                pdata.get("sf1", {}).get("queries", {}),
+                cal_rel,
+            )
+        out["normalized_delta"] = nd
 
     print(json.dumps(out))
 

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import zipfile
+from pathlib import Path
 
 import pytest
 
@@ -395,3 +396,69 @@ def test_pipeline_records_sink_written(spark, animals_dir, tmp_path):
         "import_animals",
     }
     assert result.check_passed
+
+
+def test_reconciliation_failure_injection_bench_scale(
+    spark, tmp_path, monkeypatch
+):
+    """Failure injection on the bench-shaped ingest corpus (VERDICT r08
+    #6): after a clean multi-file ingest, a partial sink write (200
+    rows lost from one prefix table) must FAIL the tolerance gate and
+    the report must localize the delta to exactly that table — the
+    reference's FATAL-at->100 semantics (main.py:301-302). If the same
+    view is instead excluded from the per-run write record (a write
+    that never happened this run), reconciliation falls back to the
+    live view and passes — stale sink data never masks either way."""
+    import bench
+    from postgresimporter_spark.reconcile import reconciliation_report
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_INGEST_DIR", str(tmp_path / "ingest_corpus")
+    )
+    csv_dir = bench._ensure_ingest_csv(spark, "/root/testdata/sf0.001")
+    assert csv_dir is not None
+
+    sink = tmp_path / "sink"
+    cfg = PipelineConfig(
+        sources=[Path(csv_dir)], combine_tables=True, sink_dir=sink
+    )
+    result = run_pipeline(spark, cfg)
+    assert result.check_passed
+    assert "import_lineitem" in result.sink_written
+
+    # Inject: the lineitem sink loses 200 rows (a crashed write that
+    # still left a directory behind).
+    combined = spark.read.parquet(str(sink / "import_lineitem"))
+    n = combined.count()
+    kept = combined.limit(n - 200).collect()
+    spark.createDataFrame(kept, combined.schema).write.mode(
+        "overwrite"
+    ).parquet(str(sink / "import_lineitem"))
+
+    report, passed, _ = reconciliation_report(
+        spark,
+        result.table_csv_files,
+        tolerance=100,
+        sink_dir=sink,
+        written_views=result.sink_written,
+    )
+    rows = {r.table: r for r in report.collect()}
+    assert not passed
+    assert rows["lineitem"].difference == 200
+    assert all(
+        r.difference == 0 for t, r in rows.items() if t != "lineitem"
+    )
+
+    # Same corrupted sink, but the view is NOT in this run's write
+    # record: reconciliation must not trust it (falls back to the live
+    # view) and the gate passes.
+    report2, passed2, _ = reconciliation_report(
+        spark,
+        result.table_csv_files,
+        tolerance=100,
+        sink_dir=sink,
+        written_views=result.sink_written - {"import_lineitem"},
+    )
+    rows2 = {r.table: r for r in report2.collect()}
+    assert passed2
+    assert rows2["lineitem"].difference == 0
