@@ -34,42 +34,47 @@ def csv_row_counts(
     prefix-derivation expression used on the driver, so group keys match
     the discovery grouping exactly.
     """
-    from pyspark.sql import functions as F
+    from urllib.parse import unquote, urlparse
 
-    from .naming import table_name_for_path_col
-    from .sources.csv import read_csv_all_text
+    from pyspark.sql import functions as F
 
     all_files = sorted({f for fs in table_csv_files.values() for f in fs})
     if not all_files:
         return {}
     # header=false: count raw lines per file, subtract the header row —
     # a multi-path header=true read would merge-by-position and lose
-    # per-file identity for heterogeneous groups
+    # per-file identity for heterogeneous groups.
+    #
+    # Group by the RAW file URI (one codegen expression, ~#files
+    # groups) and map file -> table on the driver from the discovery
+    # grouping the caller already holds: deriving the table name
+    # row-side would run the naming regex chain once per LINE —
+    # measured 4x the whole job's cost at the sf1 ingest scale (7.5M
+    # lines, 12 files) for a mapping that's knowable per FILE.
     counts = (
         spark.read.text([str(f) for f in all_files])
-        .select(
-            # input_file_name is %XX-encoded; url_decode also form-decodes
-            # '+' to space, which would derive a different group key than
-            # the driver-side table_name_for_path for paths containing a
-            # literal '+'. Protect '+' before decoding (percent-only
-            # decode), so both sides agree.
-            table_name_for_path_col(
-                F.url_decode(
-                    F.regexp_replace(F.input_file_name(), r"\+", "%2B")
-                )
-            ).alias("table")
-        )
-        .groupBy("table")
-        .agg((F.count("*")).alias("n_lines"))
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.count("*").alias("n_lines"))
+        .collect()
     )
-    raw = {r.table: r.n_lines for r in counts.collect()}
+
+    def _norm(uri: str) -> str:
+        # input_file_name is a %XX-encoded URI; unquote (NOT
+        # form-decoding: '+' must stay '+') the path part so it
+        # matches the driver-side Path exactly.
+        p = urlparse(uri)
+        return unquote(p.path) if p.scheme else unquote(uri)
+
+    per_file = {_norm(r.file): r.n_lines for r in counts}
     out = {}
     for table, files in table_csv_files.items():
         # subtract one header line per file; quoted embedded newlines
         # make line counts an approximation (exactly like the
         # reference's wc -l fast path, csvcount.py:43-49) — the precise
         # path is a per-group read_csv count
-        n_lines = raw.get(table, 0)
+        n_lines = sum(
+            per_file.get(str(Path(f).resolve()), 0) for f in files
+        )
         out[table] = max(n_lines - len(files), 0)
     return out
 
