@@ -426,9 +426,14 @@ CALIBRATION_REF_SEC = 0.273
 
 def _calibration(spark, n_runs: int) -> float:
     """Fixed CPU-bound probe: 200M-row range aggregate, whole-stage
-    codegen, zero I/O — tracks sandbox speed, not query code."""
+    codegen, zero I/O — tracks sandbox speed, not query code. Always
+    min-of-5+ when timing for the record: the probe denominates every
+    normalized delta, so one noisy probe run would mis-adjudicate the
+    whole round."""
     from pyspark.sql import functions as F
 
+    if n_runs > 1:
+        n_runs = max(n_runs, 5)
     best = float("inf")
     for _ in range(n_runs):
         t0 = time.perf_counter()
