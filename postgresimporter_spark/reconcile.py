@@ -58,6 +58,8 @@ def csv_row_counts(
         .collect()
     )
 
+    import os
+
     def _norm(uri: str) -> str:
         # input_file_name is a %XX-encoded URI; unquote (NOT
         # form-decoding: '+' must stay '+') the path part so it
@@ -65,7 +67,15 @@ def csv_row_counts(
         p = urlparse(uri)
         return unquote(p.path) if p.scheme else unquote(uri)
 
-    per_file = {_norm(r.file): r.n_lines for r in counts}
+    # Key each count under both the lexical absolute path (Hadoop's
+    # qualification does NOT resolve symlinks) and the real path (in
+    # case one side's path went through a symlinked component) so the
+    # driver-side lookup can't silently miss and report 0.
+    per_file: dict[str, int] = {}
+    for r in counts:
+        path = _norm(r.file)
+        per_file[os.path.abspath(path)] = r.n_lines
+        per_file.setdefault(os.path.realpath(path), r.n_lines)
     out = {}
     for table, files in table_csv_files.items():
         # subtract one header line per file; quoted embedded newlines
@@ -73,7 +83,11 @@ def csv_row_counts(
         # reference's wc -l fast path, csvcount.py:43-49) — the precise
         # path is a per-group read_csv count
         n_lines = sum(
-            per_file.get(str(Path(f).resolve()), 0) for f in files
+            per_file.get(
+                os.path.abspath(str(f)),
+                per_file.get(os.path.realpath(str(f)), 0),
+            )
+            for f in files
         )
         out[table] = max(n_lines - len(files), 0)
     return out

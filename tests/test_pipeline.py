@@ -462,3 +462,21 @@ def test_reconciliation_failure_injection_bench_scale(
     rows2 = {r.table: r for r in report2.collect()}
     assert passed2
     assert rows2["lineitem"].difference == 0
+
+
+def test_csv_row_counts_through_symlinked_dir(spark, tmp_path):
+    """Fast counts survive a symlinked source directory: the Spark-side
+    input_file_name (lexical qualification, no symlink resolution) and
+    the driver-side Path still land on the same count entry."""
+    from postgresimporter_spark.reconcile import csv_row_counts
+
+    real = tmp_path / "real"
+    real.mkdir()
+    (real / "animals_1.csv").write_text(ANIMALS_1)
+    link = tmp_path / "link"
+    link.symlink_to(real, target_is_directory=True)
+
+    counts = csv_row_counts(
+        spark, {"animals": [link / "animals_1.csv"]}
+    )
+    assert counts == {"animals": 2}
