@@ -1515,24 +1515,42 @@ def mih_match_index(
     """Incremental exact Hamming matching: probe a stored
     ``mih_block_index`` (corpus history) with a NEW fingerprint batch.
     The batch side enumerates the per-block XOR probe neighborhood
-    (batch x blocks x V rows — batch-sized, so it broadcasts by
-    default) and equi-joins the index on (block, val); the pigeonhole
-    argument makes the result exact. History never re-fingerprints
-    and — with ``broadcast_batch`` — never shuffles. Params MUST match
-    the index build (same bits/blocks); mismatches silently produce
-    disjoint buckets, exactly as with ``minhash_match_index``.
+    over the batch's DISTINCT fingerprint values (D x blocks x V rows,
+    V = enumerated masks) and equi-joins the index on (block, val);
+    the pigeonhole argument makes the result exact, and value-level
+    matches expand back to batch rows with one equi-join. History
+    never re-fingerprints and — with ``broadcast_batch`` — never
+    shuffles. Size rule for the default broadcast: the broadcast
+    relation is D x blocks x V rows (NOT batch-sized — V is 529 at
+    the 64-bit/h=10/blocks=4 config); past ~10M rows pass
+    ``broadcast_batch=False`` so the probe shuffles instead of
+    fanning out to every executor. Params MUST match the index build
+    (same bits/blocks); mismatches silently produce disjoint buckets,
+    exactly as with ``minhash_match_index``.
     Returns (new_id, hist_id, hamming) within ``max_hamming``."""
     width, mask, xor_masks = _mih_params(
         bits, blocks, max_hamming, max_probe_masks
     )
     batch = new_fingerprints.select(
         F.col(id_col).alias("new_id"), F.col(hash_col).alias("bfp")
-    )
+    ).localCheckpoint(eager=False)
+    # Probe DISTINCT batch fingerprint VALUES, not rows — the same
+    # compression hamming_pairs_mih applies internally: the probe
+    # neighborhood costs blocks x V rows per VALUE (V = enumerated XOR
+    # masks, e.g. 529 at 64-bit/h=10/blocks=4), so a duplicate-heavy
+    # batch (the normal ingest shape: new crawl snapshots arrive in
+    # near-dup families) would otherwise explode identical
+    # neighborhoods once per ROW — measured 20x on a concentrated
+    # 20k-row batch. Value-level matches expand back to new_ids with
+    # one batch-sized equi-join at the end; dedup also runs at value
+    # level, before the expansion, so the exchange carries the
+    # smallest possible set.
+    bvals = batch.select(F.col("bfp").alias("bv")).distinct()
     entries = F.array(
         *[
             F.struct(
                 F.lit(i).alias("block"),
-                F.shiftright(F.col("bfp"), i * width)
+                F.shiftright(F.col("bv"), i * width)
                 .bitwiseAND(F.lit(mask))
                 .cast("long")
                 .alias("val"),
@@ -1542,34 +1560,35 @@ def mih_match_index(
     )
     mask_arr = F.array(*[F.lit(m).cast("long") for m in xor_masks])
     probe = (
-        batch.select("new_id", "bfp", F.explode(entries).alias("e"))
-        .select("new_id", "bfp", "e.block", "e.val")
+        bvals.select("bv", F.explode(entries).alias("e"))
+        .select("bv", "e.block", "e.val")
         .select(
-            "new_id",
-            "bfp",
+            "bv",
             "block",
             F.explode(mask_arr).alias("_m"),
             "val",
         )
         .select(
-            "new_id",
-            "bfp",
+            "bv",
             "block",
             F.col("val").bitwiseXOR(F.col("_m")).alias("val"),
         )
     )
     if broadcast_batch:
         probe = F.broadcast(probe)
-    hamming = F.bit_count(F.col("bfp").bitwiseXOR(F.col("fp"))).cast("long")
-    return (
+    hamming = F.bit_count(F.col("bv").bitwiseXOR(F.col("fp"))).cast("long")
+    vmatches = (
         probe.join(index, on=["block", "val"])
         .where(hamming <= max_hamming)
         .select(
-            "new_id",
+            "bv",
             F.col("id").alias("hist_id"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["new_id", "hist_id"])
+        .dropDuplicates(["bv", "hist_id"])
+    )
+    return vmatches.join(batch, vmatches.bv == batch.bfp).select(
+        "new_id", "hist_id", "hamming"
     )
 
 

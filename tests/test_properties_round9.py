@@ -127,3 +127,37 @@ def test_simhash_plain_banding_equals_bruteforce(spark, fps):
         )
     )
     assert got == _brute(fps, 3)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_corpus(), _corpus())
+def test_mih_match_index_equals_bruteforce(spark, hist_fps, batch_fps):
+    """The incremental stored-index probe (value-compressed batch side,
+    round 9) returns exactly the brute-force batch x history match set,
+    for every history/batch distribution combination."""
+    from postgresimporter_spark.operators.dedup import (
+        mih_block_index,
+        mih_match_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, fp) for i, fp in enumerate(hist_fps)], "id long, simhash long"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, fp) for i, fp in enumerate(batch_fps)],
+        "id long, simhash long",
+    )
+    idx = mih_block_index(hist, bits=BITS, blocks=2)
+    got = {
+        (r.new_id, r.hist_id): r.hamming
+        for r in mih_match_index(
+            idx, batch, bits=BITS, blocks=2, max_hamming=3
+        ).collect()
+    }
+    expected = {}
+    for bi, bfp in enumerate(batch_fps):
+        for hi, hfp in enumerate(hist_fps):
+            d = bin(bfp ^ hfp).count("1")
+            if d <= 3:
+                expected[(1000 + bi, hi)] = d
+    assert got == expected
