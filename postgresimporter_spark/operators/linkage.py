@@ -260,8 +260,13 @@ def deletion_neighborhood_pairs(
     t = F.col(term_col)
     # empty/NULL terms are dropped up front: Spark's sequence(1, 0)
     # DESCENDS ([1, 0]) rather than yielding [], which would fabricate
-    # variants for the empty string
-    terms = terms.where(F.length(t) > 0)
+    # variants for the empty string. DISTINCT terms before expanding:
+    # the output is distinct STRING pairs, so duplicate input terms
+    # would only replicate identical neighborhoods — and the variant
+    # equi-join is quadratic in a term's multiplicity (a term repeated
+    # k times, the vocabulary-from-corpus shape, costs k^2 candidate
+    # rows per true pair before the dedup).
+    terms = terms.where(F.length(t) > 0).distinct()
     variants = F.concat(
         F.array(t),
         F.transform(

@@ -1031,6 +1031,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch76_registry():
         out[q.name] = q
+    from .catalog_batch77 import batch77_registry
+
+    for q in batch77_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

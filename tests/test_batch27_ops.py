@@ -275,3 +275,23 @@ def test_global_running_max_matches_naive(spark):
     for k, v in sorted(rows):
         assert ex[k] == prev
         prev = v if prev is None else max(prev, v)
+
+
+def test_deletion_neighborhood_duplicated_terms(spark):
+    """Round-9 guard: heavily duplicated input terms (the
+    vocabulary-from-corpus shape) produce the same distinct pair set
+    as their distinct vocabulary — and the plan distincts BEFORE the
+    variant expansion, so a term's multiplicity never reaches the
+    candidate equi-join (pre-fix: k^2 candidate rows per true pair)."""
+    rows = [("cold",), ("old",), ("red",), ("rod",)] * 250
+    df = spark.createDataFrame(rows, "term string")
+    got = {
+        (r.term_a, r.term_b, r.dist)
+        for r in deletion_neighborhood_pairs(df).collect()
+    }
+    assert got == {("cold", "old", 1), ("red", "rod", 1)}
+    # plan shape: the aggregate (distinct) sits below the explode
+    plan = deletion_neighborhood_pairs(df)._jdf.queryExecution().optimizedPlan().toString()
+    gen = plan.find("Generate")
+    agg = plan.rfind("Aggregate")
+    assert gen != -1 and agg != -1 and agg > gen, plan
