@@ -456,7 +456,13 @@ def minhash_match_index(
     new_entries = _band_entries(new_sigs, bands, rows_per_band)
     if broadcast_batch:
         new_entries = F.broadcast(new_entries)
-    cand = (
+    # verify BEFORE deduplicating (the hamming_pairs_mih discipline):
+    # the agreement estimate is a row-local array_* expression streamed
+    # out of the candidate join, while dropDuplicates is a full
+    # shuffle — filtering first means the dedup exchange carries only
+    # threshold-passing (new_id, hist_id) pairs, never sub-threshold
+    # candidates dragging two full signatures each.
+    return (
         index.alias("h")
         .join(new_entries.alias("b"), on=["band", "bucket"])
         .select(
@@ -465,12 +471,10 @@ def minhash_match_index(
             F.col("b.signature").alias("sig_a"),
             F.col("h.signature").alias("sig_b"),
         )
-        .dropDuplicates(["new_id", "hist_id"])
-    )
-    return (
-        cand.withColumn("est_jaccard", F.round(_sig_agreement(num_hashes), 6))
+        .withColumn("est_jaccard", F.round(_sig_agreement(num_hashes), 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("new_id", "hist_id", "est_jaccard")
+        .dropDuplicates(["new_id", "hist_id"])
     )
 
 
