@@ -178,6 +178,10 @@ SF1_HEADLINE = [
     # bucket blow-up (concentrated fingerprints inflate one (block,val)
     # bucket; only a data-dominated run shows it).
     "q313_incremental_hamming",
+    # r9: its MinHash sibling (stored band index + verify-before-dedup
+    # probe), so both incremental ingest-vs-history paths have a 10x
+    # data point.
+    "q129_incremental_minhash",
 ]
 SF1_COPIES = 10
 
