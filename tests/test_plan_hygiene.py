@@ -6,7 +6,11 @@ checked for the two global scale invariants —
    sanctioned Python surface;
 2. no unpartitioned windows (the one-reducer global sort), except a
    short allowlist of queries whose window input is PROVABLY bounded
-   (documented per entry below).
+   (documented per entry below);
+3. no CartesianProduct nodes, except an allowlist of joins whose BOTH
+   sides are provably bounded (documented per entry below) — a
+   non-equi join that silently plans as a cartesian over table-sized
+   inputs is the classic hidden scale-killer.
 
 This is the lint that keeps a future query from quietly reintroducing
 the q41/q99 class of scale-killer: any new registry entry is covered
@@ -35,6 +39,16 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     ),
 }
 
+# name -> why a CartesianProduct node is acceptable there (both join
+# sides provably bounded)
+CARTESIAN_ALLOWLIST: dict[str, str] = {
+    "q195_gini_lorenz": (
+        "the d' <= d cumulative self-join runs over the 10-row decile "
+        "aggregate — 10x10 by construction, chosen INSTEAD of a global "
+        "window"
+    ),
+}
+
 
 @pytest.fixture(scope="module")
 def reg():
@@ -55,4 +69,9 @@ def test_no_rowwise_python_udf_and_no_global_window_anywhere(spark, reg):
             plan
         ):
             failures.append(f"{name}: unpartitioned window in plan")
+        if (
+            name not in CARTESIAN_ALLOWLIST
+            and "CartesianProduct" in plan
+        ):
+            failures.append(f"{name}: CartesianProduct in plan")
     assert not failures, "\n".join(failures)
