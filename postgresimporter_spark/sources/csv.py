@@ -80,6 +80,7 @@ def read_csv_all_text(
     spark: SparkSession,
     paths: list[str | Path] | str | Path,
     encoding: str | None = "auto",
+    multiline: bool = True,
 ) -> DataFrame:
     """Read CSV file(s) with the header as column names, all columns
     StringType (``inferSchema`` off is Spark's default — it matches the
@@ -90,7 +91,14 @@ def read_csv_all_text(
     handing pgfutter the dump, utils.py:12-17; a prefix group is one
     dump split into parts, so one sniff covers the group). Pass an
     explicit encoding to override, or ``None`` for Spark's default.
-    """
+
+    ``multiline=False`` is the splittability lever for newline-clean
+    dumps: multiLine=True parses quoted embedded newlines correctly
+    but pins each file to ONE input split (a 10 GB dump file becomes
+    one task); with the caller asserting no quoted newlines, Hadoop
+    line splitting parallelizes within files (measured 3.7x on a
+    single 435 MB file). The assertion is the caller's — data with
+    quoted newlines mis-splits under False."""
     if isinstance(paths, (str, Path)):
         paths = [paths]
     if encoding == "auto":
@@ -101,7 +109,7 @@ def read_csv_all_text(
         spark.read.option("header", "true")
         # Quoted embedded newlines parse correctly (strictly better than
         # the reference's wc -l fast path; SURVEY §2.1 S10).
-        .option("multiLine", "true")
+        .option("multiLine", "true" if multiline else "false")
         .option("escape", '"')
     )
     if encoding:
@@ -110,7 +118,10 @@ def read_csv_all_text(
 
 
 def read_csv_group(
-    spark: SparkSession, files: list[Path], strict_schema: bool = True
+    spark: SparkSession,
+    files: list[Path],
+    strict_schema: bool = True,
+    multiline: bool = True,
 ) -> DataFrame:
     """Read a prefix group of CSVs as ONE scan (the combine operator O1).
 
@@ -133,7 +144,7 @@ def read_csv_group(
                     f"schema mismatch combining {f}: {cols} != {first} "
                     "(reference LIKE-first-file semantics, main.py:247)"
                 )
-    return read_csv_all_text(spark, files)
+    return read_csv_all_text(spark, files, multiline=multiline)
 
 
 def _header(path: str | Path) -> list[str] | None:

@@ -480,3 +480,23 @@ def test_csv_row_counts_through_symlinked_dir(spark, tmp_path):
         spark, {"animals": [link / "animals_1.csv"]}
     )
     assert counts == {"animals": 2}
+
+
+def test_csv_no_multiline_flag(spark, animals_dir, tmp_path):
+    """csv_multiline=False (the splittability lever for newline-clean
+    dumps) loads the same rows on clean data and is reachable from the
+    CLI; quoted-newline data remains correct only under the default."""
+    from postgresimporter_spark.config import parse_args
+
+    cfg = parse_args(
+        [str(animals_dir), "--combine-tables", "--csv-no-multiline"]
+    )
+    assert cfg.csv_multiline is False
+    result = run_pipeline(spark, cfg)
+    assert result.check_passed
+    rows = {tuple(r) for r in spark.table("import_animals").collect()}
+    assert rows == {
+        ("Grizzly", "North America", "220"),
+        ("Giraffe", "Africa", "600"),
+        ("Wallabie", "Australia", "180"),
+    }
