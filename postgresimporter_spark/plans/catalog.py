@@ -1171,6 +1171,9 @@ _DRIVER_GREEN = {
     "q314_ensemble_dedup", "q315_schema_drift", "q316_dedup_eval",
     "q317_quantile_normalize", "q318_cluster_survivors",
     "q319_pair_overlap_spans",
+    # Green in CORRECTNESS_r09.json (round-9 driver window): q320 plus the
+    # q50-q96 re-verify slice (already listed above under their r03 rows).
+    "q320_spell_variants",
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
@@ -1178,7 +1181,7 @@ _SENTINELS = ["q01_pricing_summary", "q19_strip", "q23_table_counts"]
 
 # Round counter for the re-verification slice below.  Bumped once per
 # round alongside the _DRIVER_GREEN additions.
-_ROUND = 9
+_ROUND = 10
 
 # How many previously-green queries to rotate back into the head window
 # each round, so old greens keep getting re-sampled by the external gate
