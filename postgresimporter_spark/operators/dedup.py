@@ -1591,8 +1591,16 @@ def mih_match_index(
         )
         .dropDuplicates(["bv", "hist_id"])
     )
-    return vmatches.join(batch, vmatches.bv == batch.bfp).select(
-        "new_id", "hist_id", "hamming"
+    # Final pair-level dedup (ADVICE r9): a batch carrying duplicate
+    # (id, fingerprint) ROWS — an un-deduped ingest or a replayed
+    # micro-batch — would otherwise emit one row per duplicate through
+    # the expansion join. Cheap: it runs on matches only, preserving
+    # the distinct-(new_id, hist_id) output contract the pre-r9 code
+    # guaranteed.
+    return (
+        vmatches.join(batch, vmatches.bv == batch.bfp)
+        .select("new_id", "hist_id", "hamming")
+        .dropDuplicates(["new_id", "hist_id"])
     )
 
 

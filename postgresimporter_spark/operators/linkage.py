@@ -265,8 +265,10 @@ def deletion_neighborhood_pairs(
     # would only replicate identical neighborhoods — and the variant
     # equi-join is quadratic in a term's multiplicity (a term repeated
     # k times, the vocabulary-from-corpus shape, costs k^2 candidate
-    # rows per true pair before the dedup).
-    terms = terms.where(F.length(t) > 0).distinct()
+    # rows per true pair before the dedup). Distinct on the TERM
+    # column only (ADVICE r9): a multi-column frame (id + term) would
+    # otherwise keep duplicate terms and silently defeat the k^2 fix.
+    terms = terms.select(t.alias(term_col)).where(F.length(t) > 0).distinct()
     variants = F.concat(
         F.array(t),
         F.transform(

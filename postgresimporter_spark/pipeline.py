@@ -362,7 +362,7 @@ class Loader:
             # content never depends on the fast path. File tasks never
             # wait on anything, so a combined task blocking on its
             # members cannot deadlock the pool.
-            def _write_combined(view, df):
+            def _write_combined(view, csv_df):
                 table = view.removeprefix("import_")
                 members = [
                     import_view_name(file_table_name(f))
@@ -372,19 +372,45 @@ class Loader:
                     fut = file_futures.get(m)
                     if fut is not None:
                         fut.result()
+                # The fast path may only ever trade speed: a member
+                # parquet that fails to read back (corrupt or partially-
+                # committed dir, transient FS error, analysis error)
+                # falls back to the CSV-backed df instead of propagating
+                # through fut.result() and aborting the whole write_sink
+                # — the log-and-continue contract (reference
+                # main.py:376-404). Plan-time failures are caught here;
+                # an action-time failure inside _write_one (swallowed
+                # there) leaves the view out of sink_written, and the
+                # retry below re-writes it from the CSV-backed view.
+                df = csv_df
                 if members and all(
                     m in result.sink_written for m in members
                 ):
-                    parts = [
-                        self.spark.read.parquet(str(cfg.sink_dir / m))
-                        for m in members
-                    ]
-                    cols = df.columns
-                    df = functools.reduce(
-                        DataFrame.unionByName,
-                        [p.select(*cols) for p in parts],
-                    )
+                    try:
+                        parts = [
+                            self.spark.read.parquet(str(cfg.sink_dir / m))
+                            for m in members
+                        ]
+                        cols = csv_df.columns
+                        df = functools.reduce(
+                            DataFrame.unionByName,
+                            [p.select(*cols) for p in parts],
+                        )
+                    except Exception:  # noqa: BLE001
+                        log.exception(
+                            "combined fast path failed for %s; "
+                            "falling back to CSV-backed view",
+                            view,
+                        )
+                        df = csv_df
                 _write_one((view, df))
+                if df is not csv_df and view not in result.sink_written:
+                    log.warning(
+                        "combined fast-path write failed for %s; "
+                        "retrying from CSV-backed view",
+                        view,
+                    )
+                    _write_one((view, csv_df))
 
             with ThreadPoolExecutor(max_workers=16) as pool:
                 file_futures = {

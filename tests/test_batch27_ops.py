@@ -295,3 +295,24 @@ def test_deletion_neighborhood_duplicated_terms(spark):
     gen = plan.find("Generate")
     agg = plan.rfind("Aggregate")
     assert gen != -1 and agg != -1 and agg > gen, plan
+
+
+def test_deletion_neighborhood_multicolumn_frame(spark):
+    """A multi-column frame (id + term, the corpus shape) produces the
+    same pairs as the bare term column: distinct runs on the TERM
+    column only, so duplicate terms under different ids can't defeat
+    the k^2 candidate fix (ADVICE r9)."""
+    terms = ["cat", "cart", "cast", "dog", "dig"]
+    multi = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms * 4)], "id long, term string"
+    )
+    single = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        (r.term_a, r.term_b, r.dist)
+        for r in deletion_neighborhood_pairs(multi).collect()
+    }
+    want = {
+        (r.term_a, r.term_b, r.dist)
+        for r in deletion_neighborhood_pairs(single).collect()
+    }
+    assert got == want and got

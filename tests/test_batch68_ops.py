@@ -100,3 +100,32 @@ def test_mih_match_index_equals_oneshot_join(spark):
         if (r.id_a >= 100) != (r.id_b >= 100)
     }
     assert got == ref and got
+
+
+def test_mih_match_index_duplicate_batch_rows_distinct_pairs(spark):
+    """A batch carrying duplicate (id, fingerprint) ROWS (un-deduped
+    ingest / replayed micro-batch) still emits DISTINCT (new_id,
+    hist_id) pairs — the pre-value-level-dedup output contract,
+    restored by the final pair-level dropDuplicates (ADVICE r9)."""
+    from postgresimporter_spark.operators.dedup import (
+        mih_block_index,
+        mih_match_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, (i * 37) % 256) for i in range(40)], "id long, simhash long"
+    )
+    # every batch row duplicated 3x, including the id
+    rows = [(100 + i, ((i * 37) % 256) ^ 1) for i in range(10)]
+    batch = spark.createDataFrame(rows * 3, "id long, simhash long")
+    got = [
+        (r.new_id, r.hist_id)
+        for r in mih_match_index(
+            mih_block_index(hist, bits=16, blocks=2),
+            batch,
+            bits=16,
+            blocks=2,
+            max_hamming=4,
+        ).collect()
+    ]
+    assert got and len(got) == len(set(got))

@@ -500,3 +500,104 @@ def test_csv_no_multiline_flag(spark, animals_dir, tmp_path):
         ("Giraffe", "Africa", "600"),
         ("Wallabie", "Australia", "180"),
     }
+
+
+def _combined_rows(spark, path):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(str(path)).collect()
+    )
+
+
+def test_combined_sink_failure_paths_bench_scale(spark, tmp_path, monkeypatch):
+    """Failure injection on the combined-sink fast path at the
+    bench-shaped ingest corpus (VERDICT r09 #6 + ADVICE r9 medium):
+
+    1. Baseline clean run (fast path) — reference content.
+    2. One MEMBER parquet write fails -> member missing from
+       sink_written, combined falls back to the CSV-backed view, run
+       completes, combined content identical, and the per-run write
+       record localizes the failure to exactly that member.
+    3. The member READ-BACK fails at plan time (corrupt/partially-
+       committed dir shape) -> fast path falls back to CSV-backed df
+       instead of aborting write_sink (the ADVICE abort hazard),
+       combined content identical.
+    4. The combined fast-path WRITE fails at action time -> the view
+       is retried from the CSV-backed view, combined content
+       identical."""
+    import pyspark.sql.readwriter as rw
+
+    import bench
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_INGEST_DIR", str(tmp_path / "ingest_corpus")
+    )
+    csv_dir = bench._ensure_ingest_csv(spark, "/root/testdata/sf0.001")
+    assert csv_dir is not None
+
+    def run(sink):
+        cfg = PipelineConfig(
+            sources=[Path(csv_dir)], combine_tables=True, sink_dir=sink
+        )
+        return run_pipeline(spark, cfg)
+
+    # 1. clean baseline
+    r0 = run(tmp_path / "sink0")
+    assert r0.check_passed
+    want = _combined_rows(spark, tmp_path / "sink0" / "import_lineitem")
+
+    orig_write = rw.DataFrameWriter.parquet
+    orig_read = rw.DataFrameReader.parquet
+
+    # 2. one member write fails
+    def fail_member_write(self, path, *a, **k):
+        if str(path).rstrip("/").endswith("import_lineitem_3"):
+            raise RuntimeError("injected member write failure")
+        return orig_write(self, path, *a, **k)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", fail_member_write)
+    r2 = run(tmp_path / "sink2")
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", orig_write)
+    assert "import_lineitem_3" not in r2.sink_written  # localized
+    assert "import_lineitem" in r2.sink_written  # combined still landed
+    assert _combined_rows(
+        spark, tmp_path / "sink2" / "import_lineitem"
+    ) == want
+
+    # 3. member read-back fails at plan time (ADVICE: must not abort)
+    def fail_member_read(self, *paths, **k):
+        if any("sink3" in str(p) and "import_lineitem_" in str(p)
+               for p in paths):
+            raise RuntimeError("injected member read-back failure")
+        return orig_read(self, *paths, **k)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", fail_member_read)
+    r3 = run(tmp_path / "sink3")
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", orig_read)
+    assert r3.check_passed
+    assert "import_lineitem" in r3.sink_written
+    assert _combined_rows(
+        spark, tmp_path / "sink3" / "import_lineitem"
+    ) == want
+
+    # 4. combined fast-path write fails once at action time -> retried
+    # from the CSV-backed view
+    failed = []
+
+    def fail_combined_once(self, path, *a, **k):
+        if (
+            str(path).rstrip("/").endswith("import_lineitem")
+            and not failed
+        ):
+            failed.append(path)
+            raise RuntimeError("injected combined write failure")
+        return orig_write(self, path, *a, **k)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", fail_combined_once)
+    r4 = run(tmp_path / "sink4")
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", orig_write)
+    assert failed, "injection never triggered"
+    assert r4.check_passed
+    assert "import_lineitem" in r4.sink_written
+    assert _combined_rows(
+        spark, tmp_path / "sink4" / "import_lineitem"
+    ) == want
