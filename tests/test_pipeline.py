@@ -601,3 +601,39 @@ def test_combined_sink_failure_paths_bench_scale(spark, tmp_path, monkeypatch):
     assert _combined_rows(
         spark, tmp_path / "sink4" / "import_lineitem"
     ) == want
+
+
+def test_csv_no_multiline_probe_catches_quoted_newline(spark, tmp_path):
+    """The multiline=False splittability lever is self-guarding
+    (VERDICT r09 #5): a corpus whose sample window contains a quoted
+    embedded newline fails LOUDLY instead of silently shearing rows;
+    quote-free and quoted-but-newline-free corpora still load split."""
+    import pytest
+
+    from postgresimporter_spark.sources.csv import (
+        has_quoted_newline,
+        read_csv_all_text,
+    )
+
+    dirty = tmp_path / "dirty.csv"
+    dirty.write_text('name,notes\nGrizzly,"likes\nsalmon"\n')
+    clean = tmp_path / "clean.csv"
+    clean.write_text('name,notes\nGrizzly,"likes salmon, a lot"\n')
+
+    assert has_quoted_newline(dirty)
+    assert not has_quoted_newline(clean)
+    # "" escape does not confuse the quote state machine
+    escaped = tmp_path / "escaped.csv"
+    escaped.write_text('name,notes\nGrizzly,"says ""grr"" often"\n')
+    assert not has_quoted_newline(escaped)
+
+    with pytest.raises(ValueError, match="quoted embedded newline"):
+        read_csv_all_text(spark, dirty, multiline=False)
+    got = {
+        tuple(r)
+        for r in read_csv_all_text(spark, clean, multiline=False).collect()
+    }
+    assert got == {("Grizzly", "likes salmon, a lot")}
+    # the default (multiLine) path is untouched: dirty parses correctly
+    got_ml = {tuple(r) for r in read_csv_all_text(spark, dirty).collect()}
+    assert got_ml == {("Grizzly", "likes\nsalmon")}
