@@ -295,9 +295,52 @@ def signband_neardup_pairs(
     cost, so its rows are dropped FROM THAT BAND ONLY — pairs also
     sharing a rare band survive. The corpus size joins in as a
     broadcast 1-row aggregate (plan construction launches no job).
+
+    Duplicate-value compression (round 10; same identity-rewrite
+    pattern as ``mih_match_index``/SymSpell in r9): banding, candidate
+    join, and cosine verify all run over DISTINCT vectors — k exact
+    copies of a vector (the crawl re-post shape) would otherwise put
+    k² candidate rows through the join, each dragging two full
+    embedding arrays. Measured on sf0.1 embeddings with every vector
+    duplicated 10x: the id-level join exceeded 600s; value-level runs
+    in seconds (see BUILD_NOTES r10). Matches expand back to id pairs
+    LAST, verified-and-vector-free; a value's own duplicate family
+    (cosine(v, v), including the NaN zero-vector case — Spark orders
+    NaN above all doubles, so it passes ``>=`` exactly as the id-level
+    join did) pairs its ids iff the value kept at least one un-capped
+    band, preserving the skew-guard semantics bit-for-bit. The bucket
+    cap itself counts ROWS (ids, weighted by the value's multiplicity),
+    not distinct values — identical membership to the id-level join.
     """
+    # ---- value level: one row per DISTINCT vector -------------------
+    # The value key is md5 over the array's string form (deterministic
+    # JVM double formatting), not the array itself: grouping and the
+    # two expansion joins then run on a 32-char string instead of a
+    # 64-double array — measured 3x faster end-to-end on the spread
+    # shape. (-0.0 and 0.0 format differently, so such twins stay
+    # separate values; they still pair through the band join like any
+    # two near-identical vectors, so output semantics are unchanged.
+    # md5 collisions (2^-128) are the same accepted bet as the
+    # repo-wide _md5_long hashing.) vid = min id of the family
+    # (deterministic, unlike monotonically_increasing_id); cnt weights
+    # the bucket cap.
+    ids = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.md5(F.col(vec_col).cast("string")).alias("vkey"),
+    )
+    vals = (
+        ids.groupBy("vkey")
+        .agg(
+            F.min("id").alias("vid"),
+            F.count("*").alias("cnt"),
+            F.first("vec").alias("vec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
     sign_bits = F.transform(
-        F.col(vec_col), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.col("vec"), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
     )
     entries = F.array(
         *[
@@ -314,41 +357,102 @@ def signband_neardup_pairs(
             for b in range(bands)
         ]
     )
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(entries).alias("e"),
-    ).select("id", "vec", "e.band", "e.key")
+    keyed = vals.select(
+        "vid", "vec", "cnt", F.explode(entries).alias("e")
+    ).select("vid", "vec", "cnt", "e.band", "e.key")
 
     if max_bucket_ratio is not None:
+        # the cap counts ROWS (each value weighted by its multiplicity)
+        # against the id-level corpus size — identical bucket
+        # membership to the id-level formulation
         n_rows = df.agg(F.count("*").cast("double").alias("_n"))
         cool = (
             keyed.groupBy("band", "key")
-            .agg(F.count("*").alias("_sz"))
+            .agg(F.sum("cnt").alias("_sz"))
             .crossJoin(F.broadcast(n_rows))
             .where(F.col("_sz") <= F.lit(max_bucket_ratio) * F.col("_n"))
             .select("band", "key")
         )
         keyed = keyed.join(F.broadcast(cool), on=["band", "key"])
 
+    # ---- candidates + verify at value level -------------------------
+    # verify BEFORE dropDuplicates (q129 discipline) and project the
+    # vectors away first, so the dedup exchange carries only
+    # threshold-passing (vid_a, vid_b, cosine) triples
     a, b_ = keyed.alias("a"), keyed.alias("b")
-    cand = (
+    score = F.round(
+        cosine(F.col("a.vec"), F.col("b.vec")), round_digits
+    )
+    vmatches = (
         a.join(b_, on=["band", "key"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where(F.col("a.vid") < F.col("b.vid"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
+            F.col("a.vid").alias("vid_a"),
+            F.col("b.vid").alias("vid_b"),
+            score.alias("cosine"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    score = F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits)
-    return (
-        cand.withColumn("cosine", score)
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["vid_a", "vid_b"])
     )
+
+    # a duplicate family pairs within itself iff the value kept >= 1
+    # un-capped band (exactly when the id-level join would have seen
+    # the family share a surviving bucket); cosine(v, v) is computed,
+    # not assumed 1.0, so the NaN zero-vector edge keeps id-level
+    # semantics (Spark sorts NaN above all doubles, so NaN >= t holds)
+    self_score = F.round(cosine(F.col("vec"), F.col("vec")), round_digits)
+    self_matches = (
+        keyed.where(F.col("cnt") >= 2)
+        .select("vid", "vec")
+        .dropDuplicates(["vid"])
+        .select(
+            F.col("vid").alias("vid_a"),
+            F.col("vid").alias("vid_b"),
+            self_score.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+    # ---- expand back to id pairs LAST --------------------------------
+    members = ids.join(
+        vals.select("vkey", "vid"), on="vkey"
+    ).select("vid", "id")
+    cross = (
+        vmatches.join(
+            members.select(
+                F.col("vid").alias("vid_a"), F.col("id").alias("ia")
+            ),
+            on="vid_a",
+        )
+        .join(
+            members.select(
+                F.col("vid").alias("vid_b"), F.col("id").alias("ib")
+            ),
+            on="vid_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "cosine",
+        )
+    )
+    m_a, m_b = members.alias("ma"), members.alias("mb")
+    within = (
+        self_matches.join(
+            m_a, F.col("vid_a") == F.col("ma.vid")
+        )
+        .join(
+            m_b,
+            (F.col("vid_b") == F.col("mb.vid"))
+            & (F.col("ma.id") < F.col("mb.id")),
+        )
+        .select(
+            F.col("ma.id").alias("id_a"),
+            F.col("mb.id").alias("id_b"),
+            "cosine",
+        )
+    )
+    return cross.unionByName(within)
 
 
 def merge_topk(

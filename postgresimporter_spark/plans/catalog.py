@@ -1035,6 +1035,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch77_registry():
         out[q.name] = q
+    from .catalog_batch78 import batch78_registry
+
+    for q in batch78_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

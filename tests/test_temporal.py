@@ -232,6 +232,61 @@ def test_signband_candidates_via_shared_band_only(spark):
     assert S.signband_neardup_pairs(df, threshold=-2.0).count() == 0
 
 
+def test_signband_duplicate_families_exact_pairs(spark):
+    """Exact-duplicate families (the crawl re-post / sf1-construction
+    shape) emit exactly the C(k,2) within-family id pairs at cosine
+    1.0 plus planted cross pairs — the value-level rewrite (distinct
+    vectors band/verify, expand to ids last) must not change the pair
+    set, only remove the k^2 candidate work (round-10 repro: 10x
+    duplication pushed the id-level join past 600s at sf0.1)."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [x + 0.001 for x in base]
+    far = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = []
+    for j in range(4):  # 4 exact copies of base and of far
+        rows.append((10 + j, base))
+        rows.append((50 + j, far))
+    rows.append((99, near))  # near-dup of the base family
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.signband_neardup_pairs(df, threshold=0.99).collect()
+    }
+    want_pairs = set(itertools.combinations([10, 11, 12, 13], 2)) | {
+        (10, 99), (11, 99), (12, 99), (13, 99)
+    } | set(itertools.combinations([50, 51, 52, 53], 2))
+    assert set(got) == want_pairs
+    for (a, b), c in got.items():
+        assert c == 1.0 if b != 99 else c >= 0.99
+
+
+def test_signband_hot_bucket_cap_with_duplicates(spark):
+    """The bucket cap counts ROWS (ids), not distinct values: a value
+    duplicated past the cap threshold still trips the cap exactly as
+    the id-level formulation did, removing its family's pairs when
+    every band is hot."""
+    a = [1.0] * 16
+    rows = [(i, a) for i in range(10)]  # 10 copies -> every bucket 10/11
+    rows.append((100, [-1.0] * 16))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # cap at 50% of 11 rows: the 10-copy family's buckets (size 10) die
+    # in every band -> no pairs at all
+    assert (
+        S.signband_neardup_pairs(
+            df, threshold=-2.0, max_bucket_ratio=0.5
+        ).count()
+        == 0
+    )
+    # without the cap the family pairs among itself: C(10,2) = 45
+    # (the far vector shares no band, so threshold=-2 still can't
+    # pair it — candidates require a shared band key)
+    assert S.signband_neardup_pairs(df, threshold=-2.0).count() == 45
+
+
 def test_asof_forward_direction(spark):
     left = _events(spark, [(1, "a", _ts(5), 0.0)])
     right = spark.createDataFrame(
