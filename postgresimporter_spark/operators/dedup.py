@@ -82,6 +82,86 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _text_values(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate texts to one VALUE row (the round-10
+    extension of the r8/r9 distinct-before-expand pattern to the text
+    Jaccard family): returns ``(vals, members)`` where ``vals`` has one
+    row per distinct text — (vid = min id of the family, cnt =
+    multiplicity, _t = the text) — and ``members`` maps vid -> every
+    id. Keyed on md5(text) so the groupBy/joins move a 32-char string,
+    never the document body; NULL texts key to "" (md5 never returns
+    ""), so they group instead of dropping out of the equi-joins."""
+    ids = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("")).alias("_vk"),
+    )
+    vals = (
+        ids.groupBy("_vk")
+        .agg(
+            F.min("id").alias("vid"),
+            F.count("*").alias("cnt"),
+            F.first("_t").alias("_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    members = ids.join(vals.select("_vk", "vid"), on="_vk").select(
+        "vid", "id"
+    )
+    return vals, members
+
+
+def _expand_value_pairs(
+    vpairs: DataFrame,
+    self_vids: DataFrame,
+    members: DataFrame,
+    score_col: str,
+    self_score,
+) -> DataFrame:
+    """Expand value-level pair results back to id pairs: cross-value
+    matches via two equi-joins on vid (each unordered id pair appears
+    exactly once; least/greatest restores the id_a < id_b contract),
+    within-family pairs from ``self_vids`` (values whose duplicate
+    family qualifies) scored with the constant ``self_score``."""
+    cross = (
+        vpairs.join(
+            members.select(
+                F.col("vid").alias("vid_a"), F.col("id").alias("_ia")
+            ),
+            on="vid_a",
+        )
+        .join(
+            members.select(
+                F.col("vid").alias("vid_b"), F.col("id").alias("_ib")
+            ),
+            on="vid_b",
+        )
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            score_col,
+        )
+    )
+    ma, mb = members.alias("ma"), members.alias("mb")
+    within = (
+        self_vids.alias("sv")
+        .join(ma, F.col("sv.vid") == F.col("ma.vid"))
+        .join(
+            mb,
+            (F.col("sv.vid") == F.col("mb.vid"))
+            & (F.col("ma.id") < F.col("mb.id")),
+        )
+        .select(
+            F.col("ma.id").alias("id_a"),
+            F.col("mb.id").alias("id_b"),
+            self_score.alias(score_col),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -101,27 +181,49 @@ def ngram_jaccard_pairs(
     fraction of documents before the join (they generate candidate
     pairs without discriminating); the Jaccard is then computed over
     the surviving shingle space. AQE's skew handling covers the rest.
+
+    Duplicate-value compression (round 10): shingling, the shingle
+    join, and the intersection aggregate all run over DISTINCT texts —
+    k exact copies of a document (the crawl re-post shape) put
+    S-shared-shingles x k^2 rows through the join and aggregate in the
+    row-level formulation (measured 2.0s -> 25s on sf0.1 documents
+    duplicated 10x; value-level runs the same corpus in ~3s with the
+    identical pair set). A family pairs within itself (Jaccard exactly
+    1.0 — identical shingle sets) iff it kept >= 1 surviving shingle,
+    matching the row-level join's shared-shingle candidate
+    requirement; the hot-shingle document frequency weights each value
+    by its multiplicity, so the drop set is identical to row level.
+    Matches expand back to id pairs LAST.
     """
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
+    vals, members = _text_values(df, text_col, id_col)
+    sh = _spread(vals).select(
+        "vid", "cnt", shingles(F.col("_t"), n).alias("sh")
     )
-    exploded_raw = sh.select("id", F.explode("sh").alias("shingle"))
+    exploded_raw = sh.select(
+        "vid", "cnt", F.explode("sh").alias("shingle")
+    )
 
     if max_doc_ratio is not None:
-        exploded_raw = _drop_hot_shingles(
-            exploded_raw, df, max_doc_ratio
+        # document frequency = ids, not values: weight by multiplicity
+        n_docs = df.agg(F.count("*").cast("double").alias("_n_docs"))
+        rare = (
+            exploded_raw.groupBy("shingle")
+            .agg(F.sum("cnt").alias("_df"))
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("_df") <= F.lit(max_doc_ratio) * F.col("_n_docs"))
+            .select("shingle")
         )
+        exploded_raw = exploded_raw.join(rare, on="shingle")
 
-    sizes = exploded_raw.groupBy("id").agg(F.count("*").alias("n_sh"))
-    exploded = exploded_raw.join(sizes, on="id")
+    sizes = exploded_raw.groupBy("vid").agg(F.count("*").alias("n_sh"))
+    exploded = exploded_raw.select("vid", "shingle").join(sizes, on="vid")
     a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
+    vpairs = (
         a.join(b, on="shingle")
-        .where(F.col("a.id") < F.col("b.id"))
+        .where(F.col("a.vid") < F.col("b.vid"))
         .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.vid").alias("vid_a"),
+            F.col("b.vid").alias("vid_b"),
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
         )
@@ -130,10 +232,23 @@ def ngram_jaccard_pairs(
     jacc = F.col("n_common") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return (
-        pairs.withColumn("jaccard", F.round(jacc, 6))
+    vpairs = (
+        vpairs.withColumn("jaccard", F.round(jacc, 6))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("vid_a", "vid_b", "jaccard")
+    )
+    # identical texts have Jaccard exactly 1.0; the family self-pairs
+    # iff it kept >= 1 surviving shingle (the row-level candidate
+    # requirement) and 1.0 clears the threshold
+    self_vids = (
+        vals.where(F.col("cnt") >= 2)
+        .join(sizes, on="vid")
+        .select("vid")
+        if threshold <= 1.0
+        else vals.where(F.lit(False)).select("vid")
+    )
+    return _expand_value_pairs(
+        vpairs, self_vids, members, "jaccard", F.lit(1.0)
     )
 
 
@@ -344,6 +459,19 @@ def minhash_lsh_pairs(
     band's sub-signature matches exactly (bucket equi-join on the band
     hash — the scale path: no all-pairs comparison ever happens).
     ``max_doc_ratio`` is the boilerplate guard (see minhash_signatures).
+
+    Duplicated-input posture (round 10, measured): unlike the text
+    Jaccard family, this operator stays at ROW level — signatures are
+    short (num_hashes longs), so the 10x-duplicated sf0.1 probe cost
+    only 2.6s id-level, while a value-level rewrite (distinct
+    signatures + expansion joins) measured 6.9s on the same shape and
+    +78% on the spread shape; the compression machinery costs more
+    than the payload it saves (BUILD_NOTES r10). Exact-dup-heavy
+    corpora should route through ``exact_dedup`` first (the same
+    contract as the capped SimHash path). What IS taken from the q129
+    discipline: the agreement verify runs BEFORE dropDuplicates with
+    signatures projected away, so the dedup exchange carries only
+    threshold-passing (id_a, id_b, est_jaccard) triples.
     """
     rows_per_band = num_hashes // bands
     # Materialize signatures: they feed both sides of the self-join (and
@@ -359,7 +487,7 @@ def minhash_lsh_pairs(
     band_entries = _band_entries(sigs, bands, rows_per_band)
 
     a, b = band_entries.alias("a"), band_entries.alias("b")
-    cand = (
+    return (
         a.join(b, on=["band", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
@@ -368,12 +496,10 @@ def minhash_lsh_pairs(
             F.col("a.signature").alias("sig_a"),
             F.col("b.signature").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("est_jaccard", F.round(_sig_agreement(num_hashes), 6))
+        .withColumn("est_jaccard", F.round(_sig_agreement(num_hashes), 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -1035,25 +1161,39 @@ def _ranked_prefix(
     n: int,
     text_col: str,
     id_col: str,
+    weight_col: str | None = None,
 ):
     """Shared PPJoin prefix builder: the checkpointed (id, shingles)
     table and its rarest-first prefix rows (id, n_sh, shingle). Both
     ``prefix_jaccard_pairs`` and the ``prefix_candidate_count`` audit
     hook call this, so the prefix math (ceil formula, (df_cnt,
-    shingle) canonical order) exists exactly once."""
+    shingle) canonical order) exists exactly once.
+
+    ``weight_col`` (value-level callers): each input row counts as
+    that many documents in the frequency aggregate, so the canonical
+    rarest-first order over distinct texts matches the row-level
+    order over the duplicated corpus."""
     # checkpoint the narrow shingle table BEFORE fan-out (invariant 7):
     # frequency aggregate, prefix ranking, and the verify join all read
     # it — without this, projection collapse re-runs the shingle build
     # once per consumer
-    sh = df.select(
+    cols = [
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
-    ).localCheckpoint(eager=False)
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("_w"))
+    sh = df.select(*cols).localCheckpoint(eager=False)
     exploded = sh.select(
-        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+        "id",
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
+        *([F.col("_w")] if weight_col is not None else []),
     )
     freq = exploded.groupBy("shingle").agg(
-        F.count("*").alias("df_cnt")
+        (
+            F.sum("_w") if weight_col is not None else F.count("*")
+        ).alias("df_cnt")
     )
     w = Window.partitionBy("id").orderBy("df_cnt", "shingle")
     prefix_len = (
@@ -1106,9 +1246,22 @@ def prefix_jaccard_pairs(
 
     Integer prefix math (engine-portable): ceil(t*len) =
     (t_pct*len + 99) div 100.
+
+    Duplicate-value compression (round 10): prefix ranking, the prefix
+    join, and the full-shingle verify all run over DISTINCT texts — a
+    k-copy family shares its whole prefix, so the row-level prefix
+    join cost k^2 candidate rows per family and the verify re-joined
+    full shingle sets k^2 times (measured 3.3s -> 84s on sf0.1
+    documents duplicated 10x; value-level runs the same corpus in
+    seconds with the identical pair set). The frequency aggregate
+    weights each value by its multiplicity, so the canonical
+    rarest-first order — and therefore the candidate set — matches the
+    row-level formulation; identical texts verify at Jaccard exactly
+    1.0 (always >= t), and matches expand back to id pairs LAST.
     """
+    vals, members = _text_values(df, text_col, id_col)
     sh, ranked = _ranked_prefix(
-        _spread(df), threshold_pct, n, text_col, id_col
+        _spread(vals), threshold_pct, n, "_t", "vid", weight_col="cnt"
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     # positional filter (PPJoin's second lossless prune, Xiao et al.
@@ -1162,10 +1315,23 @@ def prefix_jaccard_pairs(
     jacc = F.col("n_common") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return (
+    vpairs = (
         inter.withColumn("jaccard", F.round(jacc, 6))
         .where(F.col("jaccard") >= threshold_pct / 100.0)
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            F.col("id_a").alias("vid_a"),
+            F.col("id_b").alias("vid_b"),
+            "jaccard",
+        )
+    )
+    # identical texts: Jaccard exactly 1.0 >= t for any t <= 100; the
+    # row-level join always found these (a non-NULL text yields >= 1
+    # shingle, so its prefix is non-empty and the family shares it)
+    self_vids = vals.where(
+        (F.col("cnt") >= 2) & F.col("_t").isNotNull()
+    ).select("vid")
+    return _expand_value_pairs(
+        vpairs, self_vids, members, "jaccard", F.lit(1.0)
     )
 
 

@@ -94,6 +94,61 @@ WHERE round(list_dot_product(va, vb) /
 """
 
 
+DOC_DUP_COPIES = 4
+DOC_DUP_SLICE = 200
+
+
+def q322_ppjoin_dupfamilies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered Jaccard over a corpus of exact-duplicate
+    document families: doc_id < 200, each text replicated 4x under
+    shifted ids — (id_a, id_b, jaccard), dominated by the
+    C(4,2)-per-family 1.0 pairs. Round-10 trigger (b): the row-level
+    prefix join measured 84s (vs 3.3s spread) on sf0.1 documents
+    duplicated 10x; the value-level rewrite runs it in ~4s with the
+    identical pair set (ngram_jaccard_pairs showed 25s -> 2.7s on the
+    same shape and shares the fix; this query pins the worse repro)."""
+    from ..operators.dedup import prefix_jaccard_pairs
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = docs.where(F.col("doc_id") < DOC_DUP_SLICE).select(
+        "doc_id", "text"
+    )
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(j * 1_000_000)).alias("doc_id"),
+            "text",
+        )
+        for j in range(DOC_DUP_COPIES)
+    ]
+    corpus = copies[0]
+    for c in copies[1:]:
+        corpus = corpus.unionByName(c)
+    return prefix_jaccard_pairs(corpus, threshold_pct=80)
+
+
+def _oracle_q322() -> str:
+    from .catalog_northstar import _SHINGLES
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {DOC_DUP_SLICE}),
+duped AS (
+  SELECT doc_id + j * 1000000 AS doc_id, text
+  FROM base, (SELECT unnest(range({DOC_DUP_COPIES})) AS j)),
+sh AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM duped),
+sized AS (SELECT id, sh, len(sh) AS n_sh FROM sh),
+ex AS (SELECT id, n_sh, unnest(sh) AS shingle FROM sized),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM pairs WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.8
+"""
+
+
 def batch78_registry() -> list[QueryDef]:
     return [
         QueryDef(
@@ -101,5 +156,11 @@ def batch78_registry() -> list[QueryDef]:
             q321_neardup_dupfamilies,
             ORACLE_Q321,
             "embedding near-dup over 5x exact-duplicate families",
+        ),
+        QueryDef(
+            "q322_ppjoin_dupfamilies",
+            q322_ppjoin_dupfamilies,
+            _oracle_q322(),
+            "PPJoin Jaccard over 4x exact-duplicate document families",
         ),
     ]

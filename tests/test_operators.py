@@ -513,3 +513,70 @@ def test_bloom_semi_join_exact_and_pruning(spark):
     words = build_bloom(dim, "k")
     pruned = fact.where(bloom_might_contain(F.col("k"), words)).count()
     assert 50 <= pruned < 500  # all 50 members + <10% false positives
+
+
+def test_jaccard_duplicate_families_match_row_level(spark):
+    """Exact-duplicate documents (the crawl re-post shape): the
+    value-level Jaccard join must emit exactly the row-level pair set
+    — C(k,2) within-family pairs at 1.0 plus cross pairs — for both
+    the full shingle join and the PPJoin prefix variant (round-10
+    repro: 10x duplication measured 25s / 84s row-level vs ~3s
+    value-level at sf0.1)."""
+    import itertools
+
+    from postgresimporter_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    t2 = "the quick brown fox jumps over the lazy dog tonight"  # near-dup
+    t3 = "completely different text about spark and parquet files"
+    rows = []
+    for j in range(3):  # t1 and t3 duplicated 3x; t2 once
+        rows.append((10 + j, t1))
+        rows.append((30 + j, t3))
+    rows.append((20, t2))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    want_within = set(itertools.combinations([10, 11, 12], 2)) | set(
+        itertools.combinations([30, 31, 32], 2)
+    )
+    want_cross = {(10, 20), (11, 20), (12, 20)}
+
+    for out in [
+        ngram_jaccard_pairs(df, threshold=0.5),
+        prefix_jaccard_pairs(df, threshold_pct=50),
+    ]:
+        got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+        assert set(got) == want_within | want_cross
+        for p in want_within:
+            assert got[p] == 1.0
+        for p in want_cross:
+            assert 0.5 <= got[p] < 1.0
+
+
+def test_jaccard_duplicates_with_hot_shingle_cap(spark):
+    """The hot-shingle document frequency weights each distinct text
+    by its multiplicity, so the drop set matches the row-level join's
+    count-distinct-ids semantics on duplicated corpora."""
+    from postgresimporter_spark.operators.dedup import ngram_jaccard_pairs
+
+    # one shared phrase appears in 6 of 7 docs (all copies), the rest
+    # of each text is unique
+    common = "click here to subscribe now"
+    rows = []
+    for j in range(3):
+        rows.append((10 + j, f"{common} alpha beta gamma delta{j} x"))
+        rows.append((20 + j, f"{common} epsilon zeta eta theta{j} y"))
+    rows.append((99, "totally unrelated closing document text here"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap at 0.5: shingles of the common phrase appear in 6/7 > 0.5 of
+    # docs -> dropped; within-group near-dup pairs survive on their
+    # unique tails only if those still clear the threshold (they
+    # don't at 0.5), so only exact-dup self pairs remain... none exist
+    # (texts differ by the j suffix) -> empty
+    assert ngram_jaccard_pairs(df, threshold=0.5, max_doc_ratio=0.5).count() == 0
+    # sanity: uncapped, the shared phrase creates candidates and the
+    # within-group pairs clear 0.5 via the common prefix
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() > 0
