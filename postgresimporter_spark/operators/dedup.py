@@ -1395,34 +1395,81 @@ def weighted_jaccard_pairs(
     The score is integer micro-units (1e6·Σmin div Σmax) — exact,
     hash-stable across engines. Returns (id_a < id_b, min_sum, tot_a,
     tot_b, wjacc_micro >= threshold_micro).
+
+    Duplicate-value compression (round 10): token counting, the
+    candidate join, and the min-sum rebuild run over DISTINCT texts —
+    identical texts have identical count multisets, so a k-copy family
+    cost k^2 candidate pairs, each rebuilding the min-sum over both
+    full count lists (and this operator's candidate stage — any shared
+    token — is already its heaviest; the r10 probe measured the
+    uncapped row-level join at 178s SPREAD on sf0.1, so the k^2
+    multiplier sits on top of an expensive base). A family self-pairs
+    at exactly (tot, tot, tot, 1000000) iff it has >= 1 token (the
+    row-level join needs a shared token; the hot-token cap does NOT
+    gate this — identical docs still share their uncapped tokens, and
+    when EVERY token is capped the candidate join finds nothing at row
+    level either... except that identical docs share capped tokens
+    too, so self-pairing requires >= 1 SURVIVING shared token exactly
+    like row level). Expansion back to id pairs is swap-aware: tot_a
+    always belongs to the smaller id, as at row level.
     """
     from .textstats import tokens as _tok
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_tok(F.col(text_col))).alias("tok"),
+    vals, members = _text_values(df, text_col, id_col)
+    toks = vals.select(
+        F.col("vid").alias("id"),
+        "cnt",
+        F.explode(_tok(F.col("_t"))).alias("tok"),
     )
     counts = (
         toks.groupBy("id", "tok")
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.first("cnt").alias("cnt"),
+        )
         .localCheckpoint(eager=False)
     )
     tots = counts.groupBy("id").agg(F.sum("c").cast("long").alias("tot"))
-    dist = counts.select("id", "tok")
+    dist = counts.select("id", "tok", "cnt")
     if max_doc_ratio is not None:
+        # document frequency counts ids, not values. The drop list is
+        # checkpointed (narrow, vocabulary-sized): dist fans out to
+        # both candidate-join sides and the self-pair probe, and the
+        # cap's 1-row corpus-size broadcast must not replicate per
+        # consumer — checkpointing dist itself measured 2.5x SLOWER
+        # (82 vs 34s sf0.1 spread): it materializes the fat exploded
+        # table and breaks join pipelining; the drop list is the
+        # right cut point.
         n_docs = df.agg(F.count("*").cast("double").alias("_n_docs"))
         rare = (
             dist.groupBy("tok")
-            .agg(F.count("*").alias("_df"))
+            .agg(F.sum("cnt").alias("_df"))
             .crossJoin(F.broadcast(n_docs))
             .where(F.col("_df") <= F.lit(max_doc_ratio) * F.col("_n_docs"))
             .select("tok")
+            .localCheckpoint(eager=False)
         )
         dist = dist.join(rare, on="tok")
+    # size filter (lossless, round 10): Σmin <= min(tot) and
+    # Σmax >= max(tot), so wjacc <= min(tot)/max(tot) — a pair whose
+    # total-length ratio can't reach the threshold is pruned INSIDE the
+    # candidate join, before the distinct exchange and the min-sum
+    # rebuild (the operator's dominant cost: any-shared-token
+    # candidates are near-all-pairs on natural text; measured 174 ->
+    # 34s min-of-3 at threshold 0.8, 5000 docs sf0.1, identical
+    # output)
+    dist = dist.join(tots, on="id")
     a, b = dist.alias("a"), dist.alias("b")
     cand = (
         a.join(b, on="tok")
-        .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.tot"), F.col("b.tot")) * 1_000_000
+                >= F.lit(int(threshold_micro))
+                * F.greatest(F.col("a.tot"), F.col("b.tot"))
+            )
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -1436,7 +1483,7 @@ def weighted_jaccard_pairs(
     )
     ta = tots.select(F.col("id").alias("id_a"), F.col("tot").alias("tot_a"))
     tb = tots.select(F.col("id").alias("id_b"), F.col("tot").alias("tot_b"))
-    scored = (
+    vpairs = (
         mins.join(ta, on="id_a")
         .join(tb, on="id_b")
         .withColumn(
@@ -1445,10 +1492,65 @@ def weighted_jaccard_pairs(
                 "(1000000 * min_sum) div (tot_a + tot_b - min_sum)"
             ).cast("long"),
         )
+        .where(F.col("wjacc_micro") >= threshold_micro)
+        .select(
+            F.col("id_a").alias("vid_a"),
+            F.col("id_b").alias("vid_b"),
+            "min_sum",
+            "tot_a",
+            "tot_b",
+            "wjacc_micro",
+        )
     )
-    return scored.where(
-        F.col("wjacc_micro") >= threshold_micro
-    ).select("id_a", "id_b", "min_sum", "tot_a", "tot_b", "wjacc_micro")
+    # swap-aware cross expansion: when the member ids land reversed,
+    # tot_a/tot_b swap with them (min_sum and the score are symmetric)
+    m_a = members.select(F.col("vid").alias("vid_a"), F.col("id").alias("_ia"))
+    m_b = members.select(F.col("vid").alias("vid_b"), F.col("id").alias("_ib"))
+    flipped = F.col("_ia") > F.col("_ib")
+    cross = (
+        vpairs.join(m_a, on="vid_a")
+        .join(m_b, on="vid_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "min_sum",
+            F.when(flipped, F.col("tot_b")).otherwise(F.col("tot_a")).alias("tot_a"),
+            F.when(flipped, F.col("tot_a")).otherwise(F.col("tot_b")).alias("tot_b"),
+            "wjacc_micro",
+        )
+    )
+    # a duplicate family self-pairs iff >= 1 of its tokens survives the
+    # cap (the row-level shared-token requirement) and the perfect
+    # score clears the threshold
+    self_base = (
+        vals.where(F.col("cnt") >= 2)
+        .join(dist.select("id").distinct(), F.col("vid") == F.col("id"))
+        .join(tots, on="id")
+        .select("vid", "tot")
+        if threshold_micro <= 1_000_000
+        else vals.where(F.lit(False)).select(
+            "vid", F.lit(0).cast("long").alias("tot")
+        )
+    )
+    ma2, mb2 = members.alias("ma"), members.alias("mb")
+    within = (
+        self_base.alias("sv")
+        .join(ma2, F.col("sv.vid") == F.col("ma.vid"))
+        .join(
+            mb2,
+            (F.col("sv.vid") == F.col("mb.vid"))
+            & (F.col("ma.id") < F.col("mb.id")),
+        )
+        .select(
+            F.col("ma.id").alias("id_a"),
+            F.col("mb.id").alias("id_b"),
+            F.col("sv.tot").alias("min_sum"),
+            F.col("sv.tot").alias("tot_a"),
+            F.col("sv.tot").alias("tot_b"),
+            F.lit(1_000_000).cast("long").alias("wjacc_micro"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 __all__ += ["weighted_jaccard_pairs"]

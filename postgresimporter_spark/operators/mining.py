@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _drop_hot_shingles, _md5_long, _spread, shingles
+from .dedup import _md5_long, _spread, shingles
 from .similarity import cosine
 from .textstats import tokens
 
@@ -60,33 +60,60 @@ def containment_pairs(
     shingles, optional hot-shingle cap, equi-join on the shingle key,
     per-pair shared-count aggregation. Returns (id_a, id_b, containment)
     with id_a < id_b.
-    """
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    )
-    exploded_raw = sh.select("id", F.explode("sh").alias("shingle"))
-    if max_doc_ratio is not None:
-        exploded_raw = _drop_hot_shingles(exploded_raw, df, max_doc_ratio)
 
-    sizes = exploded_raw.groupBy("id").agg(F.count("*").alias("n_sh"))
-    exploded = exploded_raw.join(sizes, on="id")
+    Duplicate-value compression (round 10, with ``ngram_jaccard_pairs``
+    — same probe, same blow-up: 3.1s -> 30.6s on sf0.1 documents
+    duplicated 10x at row level): shingling, the shingle join, and the
+    aggregate run over DISTINCT texts; identical-text families pair at
+    containment exactly 1.0 iff they keep >= 1 surviving shingle; the
+    hot-shingle document frequency weights each value by its
+    multiplicity; matches expand back to id pairs LAST.
+    """
+    from .dedup import _expand_value_pairs, _text_values
+
+    vals, members = _text_values(df, text_col, id_col)
+    sh = _spread(vals).select(
+        "vid", "cnt", shingles(F.col("_t"), n).alias("sh")
+    )
+    exploded_raw = sh.select("vid", "cnt", F.explode("sh").alias("shingle"))
+    if max_doc_ratio is not None:
+        n_docs = df.agg(F.count("*").cast("double").alias("_n_docs"))
+        rare = (
+            exploded_raw.groupBy("shingle")
+            .agg(F.sum("cnt").alias("_df"))
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("_df") <= F.lit(max_doc_ratio) * F.col("_n_docs"))
+            .select("shingle")
+        )
+        exploded_raw = exploded_raw.join(rare, on="shingle")
+
+    sizes = exploded_raw.groupBy("vid").agg(F.count("*").alias("n_sh"))
+    exploded = exploded_raw.select("vid", "shingle").join(sizes, on="vid")
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(b, on="shingle")
-        .where(F.col("a.id") < F.col("b.id"))
+        .where(F.col("a.vid") < F.col("b.vid"))
         .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.vid").alias("vid_a"),
+            F.col("b.vid").alias("vid_b"),
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("n_common"))
     )
     containment = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
-    return (
+    vpairs = (
         pairs.withColumn("containment", F.round(containment, round_digits))
         .where(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
+        .select("vid_a", "vid_b", "containment")
+    )
+    self_vids = (
+        vals.where(F.col("cnt") >= 2).join(sizes, on="vid").select("vid")
+        if threshold <= 1.0
+        else vals.where(F.lit(False)).select("vid")
+    )
+    return _expand_value_pairs(
+        vpairs, self_vids, members, "containment", F.lit(1.0)
     )
 
 

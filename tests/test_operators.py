@@ -580,3 +580,43 @@ def test_jaccard_duplicates_with_hot_shingle_cap(spark):
     # sanity: uncapped, the shared phrase creates candidates and the
     # within-group pairs clear 0.5 via the common prefix
     assert ngram_jaccard_pairs(df, threshold=0.5).count() > 0
+
+
+def test_containment_and_wjaccard_duplicate_families(spark):
+    """containment_pairs and weighted_jaccard_pairs under exact-dup
+    families: value-level compression must emit the row-level pair
+    set — within-family pairs at the perfect score (1.0 / 1,000,000
+    micro with min_sum = tot_a = tot_b) plus cross pairs, with
+    tot_a/tot_b following the id order (swap-aware expansion)."""
+    import itertools
+
+    from postgresimporter_spark.operators.dedup import weighted_jaccard_pairs
+    from postgresimporter_spark.operators.mining import containment_pairs
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "alpha beta gamma delta epsilon zeta eta iota"  # near-dup
+    rows = [(10 + j, t1) for j in range(3)] + [(20, t2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got_c = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    fam = set(itertools.combinations([10, 11, 12], 2))
+    assert fam <= set(got_c)
+    assert all(got_c[p] == 1.0 for p in fam)
+
+    got_w = {
+        (r.id_a, r.id_b): r
+        for r in weighted_jaccard_pairs(df, threshold_micro=500_000).collect()
+    }
+    assert fam <= set(got_w)
+    for p in fam:
+        r = got_w[p]
+        assert r.wjacc_micro == 1_000_000
+        assert r.min_sum == r.tot_a == r.tot_b == 8
+    # cross pair (near-dup, 7 of 8 tokens shared): 7/9 -> 777777 micro
+    for a in (10, 11, 12):
+        r = got_w[(a, 20)]
+        assert (r.tot_a, r.tot_b) == (8, 8)
+        assert r.wjacc_micro == 777_777
