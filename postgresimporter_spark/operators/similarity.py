@@ -540,12 +540,29 @@ def semdedup(
     (localCheckpointed — they feed both join sides and the final
     anti-join, and the K cosine evaluations must not be inlined into
     each consumer).
+
+    Duplicate-value compression (round 10): centroid assignment and
+    the within-cell pairwise join run over DISTINCT vectors — k exact
+    copies (the crawl re-post shape) made every cell k-fold bigger and
+    the pairwise join k^2-fold, each row dragging two full embedding
+    arrays (the 10x-duplicated sf0.1 probe ran 8.7s spread and did not
+    finish in 10+ minutes row-level; value-level is seconds). The
+    row-level drop rule decomposes exactly at value level: a member x
+    of value V is dropped iff (a) some tau-similar cellmate value has
+    STRICTLY greater centroid_sim (drops the whole family), or (b) a
+    tau-similar EQUAL-centroid_sim value W contains an id below x —
+    i.e. x.id > min over such W of vid_W — or (c) x is not its own
+    family's min id and the family's self-similarity (cosine(v, v),
+    computed not assumed, preserving the NaN zero-vector edge) clears
+    tau. All three reduce to per-value aggregates (any-greater flag,
+    min equal-csim dropper vid), so the expansion back to members is a
+    join plus row-local comparisons — no pairwise work at id level.
     """
     entries = F.array(
         *[
             F.struct(
                 cosine(
-                    F.col(vec_col),
+                    F.col("_v"),
                     F.array(*[F.lit(float(x)) for x in vec]),
                 ).alias("score"),
                 F.lit(-cid).alias("negcid"),
@@ -554,28 +571,72 @@ def semdedup(
         ]
     )
     best = F.array_max(entries)
-    assigned = corpus.select(
+    ids = corpus.select(
         F.col(corpus_id).alias("id"),
         F.col(vec_col).alias("_v"),
+        F.coalesce(
+            F.md5(F.col(vec_col).cast("string")), F.lit("")
+        ).alias("_vk"),
+    )
+    vals = ids.groupBy("_vk").agg(
+        F.min("id").alias("vid"),
+        F.count("*").alias("cnt"),
+        F.first("_v").alias("_v"),
+    )
+    assigned = vals.select(
+        "_vk",
+        "vid",
+        "cnt",
+        "_v",
         (-best["negcid"]).cast("int").alias("cell"),
         F.round(best["score"], round_digits).alias("centroid_sim"),
+        F.round(
+            cosine(F.col("_v"), F.col("_v")), round_digits
+        ).alias("_self_sim"),
     ).localCheckpoint(eager=False)
 
     a, b = assigned.alias("a"), assigned.alias("b")
-    sim = F.round(
-        cosine(F.col("a._v"), F.col("b._v")), round_digits
-    )
-    closer = (F.col("b.centroid_sim") > F.col("a.centroid_sim")) | (
-        (F.col("b.centroid_sim") == F.col("a.centroid_sim"))
-        & (F.col("b.id") < F.col("a.id"))
-    )
-    dropped = (
+    sim = F.round(cosine(F.col("a._v"), F.col("b._v")), round_digits)
+    eq_csim = F.col("b.centroid_sim") == F.col("a.centroid_sim")
+    droppers = (
         a.join(b, on="cell")
-        .where((F.col("a.id") != F.col("b.id")) & closer & (sim >= tau))
-        .select(F.col("a.id").alias("id"))
-        .distinct()
+        .where((F.col("a.vid") != F.col("b.vid")) & (sim >= tau))
+        .where(
+            (F.col("b.centroid_sim") > F.col("a.centroid_sim")) | eq_csim
+        )
+        .groupBy(F.col("a.vid").alias("vid"))
+        .agg(
+            F.max(
+                F.col("b.centroid_sim") > F.col("a.centroid_sim")
+            ).alias("_any_closer"),
+            F.min(F.when(eq_csim, F.col("b.vid"))).alias("_min_eq_vid"),
+        )
     )
-    return assigned.join(dropped, on="id", how="left_anti").select(
+    meta = assigned.join(droppers, on="vid", how="left")
+    members = ids.select("_vk", "id").join(
+        meta.select(
+            "_vk",
+            "vid",
+            "cell",
+            "centroid_sim",
+            "_self_sim",
+            "_any_closer",
+            "_min_eq_vid",
+        ),
+        on="_vk",
+    )
+    survives = (
+        ~F.coalesce(F.col("_any_closer"), F.lit(False))
+        & (
+            F.col("_min_eq_vid").isNull()
+            | (F.col("id") < F.col("_min_eq_vid"))
+        )
+        & (
+            (F.col("id") == F.col("vid"))
+            | ~(F.col("_self_sim") >= F.lit(tau))
+        )
+    )
+    return members.where(survives).select(
         F.col("id").alias(corpus_id), "cell", "centroid_sim"
     )
 

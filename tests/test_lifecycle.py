@@ -394,3 +394,74 @@ def test_minhash_match_index_stop_shingles_one_doc_batch(spark):
         index, batch, threshold=0.5, stop_shingles=stop
     )
     assert {(r.new_id, r.hist_id) for r in out.collect()} == {(100, 0)}
+
+
+def test_semdedup_duplicate_families_match_bruteforce(spark):
+    """Value-level SemDeDup must reproduce the row-level drop rule
+    exactly on a corpus with exact-duplicate families, including the
+    equal-centroid_sim id tie-breaks WITHIN and ACROSS families
+    (round-10 rewrite: the 10x-duplicated sf0.1 probe never finished
+    row-level; this pins output equality on the tricky shapes)."""
+    import itertools
+    import random
+
+    from postgresimporter_spark.operators.similarity import semdedup
+
+    rng = random.Random(42)
+    centroids = [
+        (0, [1.0] + [0.0] * 7),
+        (1, [0.0, 1.0] + [0.0] * 6),
+    ]
+    base = []
+    for i in range(12):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        base.append(v)
+    rows = []
+    rid = 0
+    for i, v in enumerate(base):
+        for _ in range(1 + (i % 3)):  # families of size 1, 2, 3
+            rows.append((rid, v))
+            rid += 1
+    # two distinct ids sharing ANOTHER doc's exact vector, interleaved
+    # ids -> cross-family equal-centroid_sim ties
+    rows.append((rid, base[0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = {
+        r.vec_id
+        for r in semdedup(df, centroids, tau=0.8).collect()
+    }
+
+    # brute force: the paper rule, row-at-a-time in python
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    def assign(v):
+        scored = [(cos(v, c), -cid) for cid, c in centroids]
+        s, negcid = max(scored)
+        return -negcid, round(s, 6)
+
+    meta = {i: assign(v) for i, v in rows and [(i, v) for i, v in rows]}
+    want = set()
+    for i, v in rows:
+        cell_i, cs_i = meta[i]
+        dropped = False
+        for j, w in rows:
+            if i == j:
+                continue
+            cell_j, cs_j = meta[j]
+            if cell_j != cell_i:
+                continue
+            if cos(v, w) < 0.8:
+                continue
+            if cs_j > cs_i or (cs_j == cs_i and j < i):
+                dropped = True
+                break
+        if not dropped:
+            want.add(i)
+    assert got == want and want
