@@ -208,6 +208,13 @@ SF1_HEADLINE = [
     # probe), so both incremental ingest-vs-history paths have a 10x
     # data point.
     "q129_incremental_minhash",
+    # r10: the sf1 embeddings table is 10 EXACT copies of every vector
+    # (the scale generator shifts only vec_id) — precisely the
+    # duplicate-family shape the round-10 value-level signband rewrite
+    # fixed (id-level formulation exceeded 600s on this corpus;
+    # value-level ~6s, identical pairs). This entry pins that fix in
+    # the official record at data scale.
+    "q85_embedding_neardup",
 ]
 SF1_COPIES = 10
 
