@@ -120,13 +120,24 @@ def _expand_value_pairs(
     score_col: str,
     self_score,
 ) -> DataFrame:
-    """Expand value-level pair results back to id pairs: cross-value
-    matches via two equi-joins on vid (each unordered id pair appears
-    exactly once; least/greatest restores the id_a < id_b contract),
-    within-family pairs from ``self_vids`` (values whose duplicate
-    family qualifies) scored with the constant ``self_score``."""
-    cross = (
-        vpairs.join(
+    """Expand value-level pair results back to id pairs through ONE
+    join tree: within-family rows (``self_vids``, scored with the
+    constant ``self_score``) union into the value-pair list as
+    (vid, vid) rows first, then two equi-joins on vid fan out to
+    members. Cross-value pairs appear exactly once (families are
+    disjoint; least/greatest restores the id_a < id_b contract);
+    same-value rows keep only the ia < ib half. One expansion path
+    instead of a cross/within pair of join trees — measured worth
+    ~0.3s of fixed stage overhead per query at sf0.1."""
+    allp = vpairs.unionByName(
+        self_vids.select(
+            F.col("vid").alias("vid_a"),
+            F.col("vid").alias("vid_b"),
+            self_score.alias(score_col),
+        )
+    )
+    return (
+        allp.join(
             members.select(
                 F.col("vid").alias("vid_a"), F.col("id").alias("_ia")
             ),
@@ -138,28 +149,16 @@ def _expand_value_pairs(
             ),
             on="vid_b",
         )
+        .where(
+            (F.col("vid_a") != F.col("vid_b"))
+            | (F.col("_ia") < F.col("_ib"))
+        )
         .select(
             F.least("_ia", "_ib").alias("id_a"),
             F.greatest("_ia", "_ib").alias("id_b"),
             score_col,
         )
     )
-    ma, mb = members.alias("ma"), members.alias("mb")
-    within = (
-        self_vids.alias("sv")
-        .join(ma, F.col("sv.vid") == F.col("ma.vid"))
-        .join(
-            mb,
-            (F.col("sv.vid") == F.col("mb.vid"))
-            & (F.col("ma.id") < F.col("mb.id")),
-        )
-        .select(
-            F.col("ma.id").alias("id_a"),
-            F.col("mb.id").alias("id_b"),
-            self_score.alias(score_col),
-        )
-    )
-    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(
@@ -1502,23 +1501,6 @@ def weighted_jaccard_pairs(
             "wjacc_micro",
         )
     )
-    # swap-aware cross expansion: when the member ids land reversed,
-    # tot_a/tot_b swap with them (min_sum and the score are symmetric)
-    m_a = members.select(F.col("vid").alias("vid_a"), F.col("id").alias("_ia"))
-    m_b = members.select(F.col("vid").alias("vid_b"), F.col("id").alias("_ib"))
-    flipped = F.col("_ia") > F.col("_ib")
-    cross = (
-        vpairs.join(m_a, on="vid_a")
-        .join(m_b, on="vid_b")
-        .select(
-            F.least("_ia", "_ib").alias("id_a"),
-            F.greatest("_ia", "_ib").alias("id_b"),
-            "min_sum",
-            F.when(flipped, F.col("tot_b")).otherwise(F.col("tot_a")).alias("tot_a"),
-            F.when(flipped, F.col("tot_a")).otherwise(F.col("tot_b")).alias("tot_b"),
-            "wjacc_micro",
-        )
-    )
     # a duplicate family self-pairs iff >= 1 of its tokens survives the
     # cap (the row-level shared-token requirement) and the perfect
     # score clears the threshold
@@ -1532,25 +1514,39 @@ def weighted_jaccard_pairs(
             "vid", F.lit(0).cast("long").alias("tot")
         )
     )
-    ma2, mb2 = members.alias("ma"), members.alias("mb")
-    within = (
-        self_base.alias("sv")
-        .join(ma2, F.col("sv.vid") == F.col("ma.vid"))
-        .join(
-            mb2,
-            (F.col("sv.vid") == F.col("mb.vid"))
-            & (F.col("ma.id") < F.col("mb.id")),
-        )
-        .select(
-            F.col("ma.id").alias("id_a"),
-            F.col("mb.id").alias("id_b"),
-            F.col("sv.tot").alias("min_sum"),
-            F.col("sv.tot").alias("tot_a"),
-            F.col("sv.tot").alias("tot_b"),
+    allp = vpairs.unionByName(
+        self_base.select(
+            F.col("vid").alias("vid_a"),
+            F.col("vid").alias("vid_b"),
+            F.col("tot").alias("min_sum"),
+            F.col("tot").alias("tot_a"),
+            F.col("tot").alias("tot_b"),
             F.lit(1_000_000).cast("long").alias("wjacc_micro"),
         )
     )
-    return cross.unionByName(within)
+    # swap-aware fused expansion (one join tree, same shape as
+    # _expand_value_pairs): when the member ids land reversed,
+    # tot_a/tot_b swap with them (min_sum and the score are
+    # symmetric); same-value rows keep only the ia < ib half
+    m_a = members.select(F.col("vid").alias("vid_a"), F.col("id").alias("_ia"))
+    m_b = members.select(F.col("vid").alias("vid_b"), F.col("id").alias("_ib"))
+    flipped = F.col("_ia") > F.col("_ib")
+    return (
+        allp.join(m_a, on="vid_a")
+        .join(m_b, on="vid_b")
+        .where(
+            (F.col("vid_a") != F.col("vid_b"))
+            | (F.col("_ia") < F.col("_ib"))
+        )
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "min_sum",
+            F.when(flipped, F.col("tot_b")).otherwise(F.col("tot_a")).alias("tot_a"),
+            F.when(flipped, F.col("tot_a")).otherwise(F.col("tot_b")).alias("tot_b"),
+            "wjacc_micro",
+        )
+    )
 
 
 __all__ += ["weighted_jaccard_pairs"]

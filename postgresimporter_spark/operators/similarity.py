@@ -413,12 +413,15 @@ def signband_neardup_pairs(
         .where(F.col("cosine") >= threshold)
     )
 
-    # ---- expand back to id pairs LAST --------------------------------
+    # ---- expand back to id pairs LAST (one fused join tree: within-
+    # family rows union into the value-pair list as (vid, vid) rows,
+    # the same shape as dedup._expand_value_pairs) ---------------------
     members = ids.join(
         vals.select("vkey", "vid"), on="vkey"
     ).select("vid", "id")
-    cross = (
-        vmatches.join(
+    allp = vmatches.unionByName(self_matches)
+    return (
+        allp.join(
             members.select(
                 F.col("vid").alias("vid_a"), F.col("id").alias("ia")
             ),
@@ -430,29 +433,16 @@ def signband_neardup_pairs(
             ),
             on="vid_b",
         )
+        .where(
+            (F.col("vid_a") != F.col("vid_b"))
+            | (F.col("ia") < F.col("ib"))
+        )
         .select(
             F.least("ia", "ib").alias("id_a"),
             F.greatest("ia", "ib").alias("id_b"),
             "cosine",
         )
     )
-    m_a, m_b = members.alias("ma"), members.alias("mb")
-    within = (
-        self_matches.join(
-            m_a, F.col("vid_a") == F.col("ma.vid")
-        )
-        .join(
-            m_b,
-            (F.col("vid_b") == F.col("mb.vid"))
-            & (F.col("ma.id") < F.col("mb.id")),
-        )
-        .select(
-            F.col("ma.id").alias("id_a"),
-            F.col("mb.id").alias("id_b"),
-            "cosine",
-        )
-    )
-    return cross.unionByName(within)
 
 
 def merge_topk(
