@@ -1039,6 +1039,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch78_registry():
         out[q.name] = q
+    from .catalog_batch79 import batch79_registry
+
+    for q in batch79_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

@@ -78,3 +78,114 @@ def test_audio_neardup_pipeline(spark):
     for off, n in pairs.values():
         assert off == -AFP_SHIFT_FRAMES
         assert n >= 8
+
+
+def _row_level_reference(media, min_matched=8):
+    """The pre-r10 row-level layout, kept as the brute reference for
+    the value-level rewrite (same discipline as semdedup's brute
+    equality test)."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.audiofp import audio_landmarks
+
+    lm = audio_landmarks(media)
+    a, b = lm.alias("a"), lm.alias("b")
+    votes = (
+        a.join(b, on="lm_hash")
+        .where(F.col("a.path") < F.col("b.path"))
+        .groupBy(
+            F.col("a.path").alias("track_a"),
+            F.col("b.path").alias("track_b"),
+            (F.col("a.t") - F.col("b.t")).alias("offset"),
+        )
+        .agg(F.count_distinct(F.col("a.t")).cast("long").alias("n_matched"))
+    )
+    best = F.array_min(
+        F.collect_list(
+            F.struct(
+                (-F.col("n_matched")).alias("neg"),
+                F.col("offset").alias("off"),
+            )
+        )
+    )
+    return (
+        votes.groupBy("track_a", "track_b")
+        .agg(best.alias("_b"))
+        .select(
+            "track_a",
+            "track_b",
+            F.col("_b.off").alias("offset"),
+            (-F.col("_b.neg")).cast("long").alias("n_matched"),
+        )
+        .where(F.col("n_matched") >= min_matched)
+    )
+
+
+def test_audio_neardup_duplicate_families(spark):
+    """The r10 value-level rewrite must match the row-level join
+    EXACTLY (full tuples, offsets included) on a duplicate-family
+    corpus. The copy prefixes interleave the path order across
+    families ("01_trk00.wav" > "00_trk00_re.wav"), so the swap-aware
+    offset expansion — sign flip AND flipped tie-break — is exercised,
+    and an amplitude-scaled re-master (different bytes, identical
+    landmark set) lands in the same value family."""
+    from postgresimporter_spark.operators.audiofp import audio_neardup_pairs
+    from postgresimporter_spark.operators.mediagen import (
+        AFP_RATE,
+        _afp_samples,
+        audio_fp_corpus,
+        wav_bytes,
+    )
+    from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    for path, mod, content, meta in audio_fp_corpus(n_base=4):
+        for c in range(3):
+            rows.append((f"{c:02d}_{path}", mod, content, meta))
+    rows.append(
+        (
+            "remaster_trk00.wav",
+            "audio",
+            bytearray(wav_bytes(_afp_samples(0, amp_scale=0.5), rate=AFP_RATE)),
+            None,
+        )
+    )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    ref = sorted(tuple(r) for r in _row_level_reference(media).collect())
+    got = sorted(tuple(r) for r in audio_neardup_pairs(media).collect())
+    assert got == ref
+    assert len(got) > 0
+    # the remaster merged into trk00's family: it pairs with every
+    # byte-identical copy at offset 0 with the full anchor count
+    zero = [t for t in got if "remaster_trk00.wav" in (t[0], t[1]) and t[2] == 0]
+    assert len(zero) == 3
+
+
+def test_audio_neardup_hash_cap(spark):
+    """max_hash_ratio drops hot hashes LOUDLY: cap 1.0 is a no-op,
+    a vanishing cap kills every pair (same-value pairs included —
+    their anchor count is defined over the surviving hash space), and
+    hot_landmark_hashes reports a non-empty drop set on a
+    duplicate-family corpus."""
+    from postgresimporter_spark.operators.audiofp import (
+        audio_neardup_pairs,
+        hot_landmark_hashes,
+    )
+    from postgresimporter_spark.operators.mediagen import audio_fp_corpus
+    from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    for path, mod, content, meta in audio_fp_corpus(n_base=4):
+        for c in range(3):
+            rows.append((f"{c:02d}_{path}", mod, content, meta))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    uncapped = sorted(tuple(r) for r in audio_neardup_pairs(media).collect())
+    noop = sorted(
+        tuple(r) for r in audio_neardup_pairs(media, max_hash_ratio=1.0).collect()
+    )
+    assert noop == uncapped and len(uncapped) > 0
+    assert audio_neardup_pairs(media, max_hash_ratio=1e-9).count() == 0
+    assert hot_landmark_hashes(media, 1e-9).count() > 0
+    assert hot_landmark_hashes(media, 1.0).count() == 0
