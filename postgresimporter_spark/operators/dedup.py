@@ -117,7 +117,7 @@ def _expand_value_pairs(
     vpairs: DataFrame,
     self_vids: DataFrame,
     members: DataFrame,
-    score_col: str,
+    score_col,
     self_score,
 ) -> DataFrame:
     """Expand value-level pair results back to id pairs through ONE
@@ -128,12 +128,23 @@ def _expand_value_pairs(
     disjoint; least/greatest restores the id_a < id_b contract);
     same-value rows keep only the ia < ib half. One expansion path
     instead of a cross/within pair of join trees — measured worth
-    ~0.3s of fixed stage overhead per query at sf0.1."""
+    ~0.3s of fixed stage overhead per query at sf0.1.
+
+    ``score_col``/``self_score`` accept a single name/Column or
+    parallel lists of them (weighted MinHash carries the sketch
+    estimate AND the exact score). Scores must be SYMMETRIC in the
+    pair — anything direction-dependent needs the swap-aware
+    expansion (``audiofp.audio_neardup_pairs``)."""
+    score_cols = [score_col] if isinstance(score_col, str) else list(score_col)
+    self_scores = (
+        [self_score] if not isinstance(self_score, (list, tuple))
+        else list(self_score)
+    )
     allp = vpairs.unionByName(
         self_vids.select(
             F.col("vid").alias("vid_a"),
             F.col("vid").alias("vid_b"),
-            self_score.alias(score_col),
+            *[s.alias(c) for s, c in zip(self_scores, score_cols)],
         )
     )
     return (
@@ -156,7 +167,7 @@ def _expand_value_pairs(
         .select(
             F.least("_ia", "_ib").alias("id_a"),
             F.greatest("_ia", "_ib").alias("id_b"),
-            score_col,
+            *score_cols,
         )
     )
 
@@ -1579,15 +1590,32 @@ def weighted_minhash_pairs(
     rows, signatures O(docs x num_hashes), candidates come from
     ``num_hashes / band_size`` banded equi-joins — never an all-pairs
     path; the exact score is rebuilt only for banded candidates.
+    Candidates, the estimate, and the exact-score rebuild all run over
+    DISTINCT texts (r10 value-level pattern, ``_text_values``): k
+    exact copies of a document band-match everywhere, so they cost
+    k² candidate pairs EACH dragging num_hashes signature rows plus a
+    token-level min-sum join — measured on sf0.1 documents (a corpus
+    already dense in near-dup families: 5,000 docs -> 562k banded
+    pairs, 16.4s) duplicated 10x, the row-level layout did not finish
+    in 590s while value-level runs it in the spread-cost band. Both
+    output scores are symmetric, so expansion is the plain
+    ``_expand_value_pairs`` with (1.0, 1.0) self scores; same-text
+    pairs agree on every band by construction, so they are candidates
+    with every hash agreeing (est exactly 1.0) — emitted without the vote, gated on the
+    same ``threshold`` and on the value actually producing tokens
+    (a NULL text yields no units row-level, hence never pairs).
 
     Returns (id_a, id_b, est_wjaccard, wjaccard) for candidate pairs
     whose SIGNATURE agreement >= ``threshold``."""
     n_bands, rem = divmod(num_hashes, band_size)
     if rem:
         raise ValueError("band_size must divide num_hashes")
-    ids = F.col(id_col).alias("id")
+    vals, members = _text_values(docs, text_col, id_col)
     cnts = (
-        docs.select(ids, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        vals.select(
+            F.col("vid").alias("id"),
+            F.explode(F.split(F.trim(F.col("_t")), r"\s+")).alias("tok"),
+        )
         .groupBy("id", "tok")
         .agg(F.least(F.count("*"), F.lit(max_rep)).cast("int").alias("c"))
         .localCheckpoint(eager=False)
@@ -1675,13 +1703,13 @@ def weighted_minhash_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.least("_ca", "_cb")).cast("long").alias("_ms"))
     )
-    return (
+    vpairs = (
         est.join(minsum, on=["id_a", "id_b"])
         .join(tot.select(F.col("id").alias("id_a"), F.col("t").alias("_ta")), on="id_a")
         .join(tot.select(F.col("id").alias("id_b"), F.col("t").alias("_tb2")), on="id_b")
         .select(
-            "id_a",
-            "id_b",
+            F.col("id_a").alias("vid_a"),
+            F.col("id_b").alias("vid_b"),
             F.round("_frac", 4).alias("est_wjaccard"),
             F.round(
                 F.col("_ms")
@@ -1691,6 +1719,18 @@ def weighted_minhash_pairs(
                 6,
             ).alias("wjaccard"),
         )
+    )
+    self_vids = vals.where(F.col("cnt") >= 2).join(
+        cnts.select(F.col("id").alias("vid")).distinct(), on="vid"
+    )
+    if 1.0 < threshold:  # row-level gate applied to the self pairs too
+        self_vids = self_vids.where(F.lit(False))
+    return _expand_value_pairs(
+        vpairs,
+        self_vids,
+        members,
+        ["est_wjaccard", "wjaccard"],
+        [F.lit(1.0), F.lit(1.0)],
     )
 
 
