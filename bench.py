@@ -34,7 +34,10 @@ MIH join. ``ingest_sf*`` (VERDICT r07 #3) times the reference-shaped
 ingest spine end-to-end: 12 prefix-grouped CSV files (lineitem x8 +
 orders x4, generated once from the bench-scale parquet) through
 discovery -> all-text load -> prefix combine -> parquet sink ->
-row-count reconciliation.
+row-count reconciliation. ``wmh_dup4`` (r10) times weighted MinHash
+over the sf documents replicated 4x exactly — the duplicate-family
+shape whose row-level layout never finished at 3x before the
+value-level rewrite.
 
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed
@@ -384,6 +387,39 @@ def _video_neardup(spark, video_dir: str):
 
     media = spark.read.parquet(f"{video_dir}/videos.parquet")
     return video_neardup_pairs(media, every_ms=400, max_hamming=10)
+
+
+WMH_DUP_COPIES = 4
+
+
+def _wmh_dup(spark, sf_dir: str):
+    """Weighted MinHash over the sf documents replicated EXACTLY
+    (the re-upload shape) — the r10 duplicate-family guard for the
+    heaviest per-candidate verify in the dedup family (num_hashes
+    signature rows + a token min-sum join per banded pair). Pre-fix
+    the row-level layout did not finish 590s at 3x on the sf0.1
+    corpus; value-level is output-bound (~6.6M id pairs at 4x)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.dedup import (
+        weighted_minhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(j * 10_000_000)).alias("doc_id"),
+            "text",
+        )
+        for j in range(WMH_DUP_COPIES)
+    ]
+    corpus = functools.reduce(DataFrame.unionAll, parts)
+    return weighted_minhash_pairs(
+        corpus, num_hashes=16, band_size=4, threshold=0.5, max_rep=8
+    )
 
 
 def _ensure_ingest_csv(spark, base_dir: str, allow_env: bool = True) -> str | None:
@@ -787,6 +823,17 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[f"ingest_sf{sf}"] = round(best, 3)
         run_counts[f"ingest_sf{sf}"] = n_runs
+
+    # r10 duplicate-family guard (min-of-2: output-bound, data
+    # dominates): weighted MinHash over 4x exact-copy documents.
+    wmh_runs = min(2, n_runs)
+    best = float("inf")
+    for _ in range(wmh_runs):
+        t0 = time.perf_counter()
+        _wmh_dup(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    timings[f"wmh_dup{WMH_DUP_COPIES}"] = round(best, 3)
+    run_counts[f"wmh_dup{WMH_DUP_COPIES}"] = wmh_runs
 
     out = {
         "metric": "headline_queries_total_sec",
