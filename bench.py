@@ -37,7 +37,12 @@ discovery -> all-text load -> prefix combine -> parquet sink ->
 row-count reconciliation. ``wmh_dup4`` (r10) times weighted MinHash
 over the sf documents replicated 4x exactly — the duplicate-family
 shape whose row-level layout never finished at 3x before the
-value-level rewrite.
+value-level rewrite. ``align_static`` (r10) times the alignment-keyed
+MIH join on the two-family static-video shape (60 "videos" x 400
+frames, two near-match fingerprint values) — pre-rewrite the frame
+alignment was a residual join condition on an fp-only key and this
+shape enumerated its family cross-product on one task (measured 54x
+at the probe scale).
 
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed
@@ -419,6 +424,52 @@ def _wmh_dup(spark, sf_dir: str):
     corpus = functools.reduce(DataFrame.unionAll, parts)
     return weighted_minhash_pairs(
         corpus, num_hashes=16, band_size=4, threshold=0.5, max_rep=8
+    )
+
+
+ALIGN_VIDEOS = 60
+ALIGN_FRAMES = 400
+
+
+def _align_static(spark):
+    """Alignment-keyed exact Hamming join on the two-family
+    static-video shape (the r10 q325 repro, decode-free): 60 synthetic
+    videos of 400 frames each, half carrying fingerprint 0 on every
+    frame and half fingerprint 1 (Hamming 1 — one corpus-wide
+    near-match value pair). Pre-rewrite the near-match expansion keyed
+    on fp alone with the frame offset as a residual condition: the
+    family cross-product (12k x 12k here) enumerated inside one
+    sort-merge key group on one task — ~29s at this size, 505.6s at
+    the 100x1000 probe scale vs 9.3s align-keyed (identical output)."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.dedup import hamming_pairs_mih
+
+    rows = spark.range(ALIGN_VIDEOS).select(
+        F.concat(F.lit("v"), F.format_string("%04d", "id")).alias("p"),
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("phash"),
+    ).join(
+        spark.range(ALIGN_FRAMES).select(
+            (F.col("id") * 250).alias("frame_ms")
+        ),
+        how="cross",
+    )
+    pairs = hamming_pairs_mih(
+        rows,
+        bits=64,
+        blocks=4,
+        max_hamming=10,
+        id_col="p",
+        hash_col="phash",
+        align_cols=["frame_ms"],
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count_distinct("frame_ms").alias("n_matched"))
+        .where(F.col("n_matched") >= 2)
     )
 
 
@@ -834,6 +885,16 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings[f"wmh_dup{WMH_DUP_COPIES}"] = round(best, 3)
     run_counts[f"wmh_dup{WMH_DUP_COPIES}"] = wmh_runs
+
+    # r10 static-video guard: alignment-keyed MIH join, two hot
+    # near-match fingerprint families (decode-free, see _align_static)
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        _align_static(spark).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["align_static"] = round(best, 3)
+    run_counts["align_static"] = n_runs
 
     out = {
         "metric": "headline_queries_total_sec",

@@ -862,6 +862,7 @@ def hamming_pairs_mih(
     id_col: str = "id",
     hash_col: str = "simhash",
     max_probe_masks: int = 4096,
+    align_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact Hamming join via multi-index hashing (Norouzi et al.,
     "Fast Exact Search in Hamming Space with Multi-Index Hashing",
@@ -889,6 +890,21 @@ def hamming_pairs_mih(
     all-pairs. ``max_probe_masks`` bounds the enumerated neighborhood
     and RAISES when exceeded (no silent cap) — the fix is more blocks
     (smaller per-block radius), not a trimmed mask set.
+
+    ``align_cols``: extra columns that must be EQUAL between the two
+    rows of a pair (e.g. a frame timestamp for timeline-aligned video
+    matching). They do not change the banded candidate join — banding
+    stays over distinct fingerprint VALUES — but they become part of
+    the join keys of the id expansion and the equal-fingerprint self
+    join, so misaligned pairs are never materialized and a single hot
+    fingerprint value (a corpus-wide static frame) no longer funnels
+    its whole row set through one join key: the equal-value join key
+    becomes (fp, align...), whose skew is bounded by the per-align
+    bucket instead of the corpus-wide value count. Output gains the
+    align columns (equal across the pair, emitted once). A caller
+    that filters pair alignment AFTER this join should pass the
+    column here instead — same result, none of the quadratic
+    cross-align waste.
     """
     if bits % blocks:
         raise ValueError("bits must divide evenly into blocks")
@@ -915,8 +931,14 @@ def hamming_pairs_mih(
                 m |= 1 << b
             xor_masks.append(m)
 
+    acols = list(align_cols or [])
+    reserved = {"id", "fp", "fp_a", "fp_b", "id_a", "id_b", "hamming",
+                "_ia", "_ib", "block", "val"}
+    bad = reserved.intersection(acols)
+    if bad:
+        raise ValueError(f"align_cols collide with internal names: {bad}")
     fps = fingerprints.select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp"), *acols
     ).localCheckpoint(eager=False)
 
     # MIH runs over DISTINCT fingerprint VALUES, not rows: on a dedup
@@ -973,22 +995,37 @@ def hamming_pairs_mih(
         )
         .dropDuplicates(["fp_a", "fp_b"])
     )
+    # the second expansion join carries the align columns in its key,
+    # so cross-align id pairs are never materialized; the first join
+    # fans out linearly (rows carrying fp_a), never quadratically
     cross = (
-        vpairs.join(fps.select(F.col("fp").alias("fp_a"), F.col("id").alias("_ia")), on="fp_a")
-        .join(fps.select(F.col("fp").alias("fp_b"), F.col("id").alias("_ib")), on="fp_b")
+        vpairs.join(
+            fps.select(
+                F.col("fp").alias("fp_a"), F.col("id").alias("_ia"), *acols
+            ),
+            on="fp_a",
+        )
+        .join(
+            fps.select(
+                F.col("fp").alias("fp_b"), F.col("id").alias("_ib"), *acols
+            ),
+            on=["fp_b", *acols],
+        )
         .select(
             F.least("_ia", "_ib").alias("id_a"),
             F.greatest("_ia", "_ib").alias("id_b"),
+            *acols,
             "hamming",
         )
     )
     same = (
         fps.alias("x")
-        .join(fps.alias("y"), on="fp")
+        .join(fps.alias("y"), on=["fp", *acols])
         .where(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
+            *acols,
             F.lit(0).cast("long").alias("hamming"),
         )
     )

@@ -240,18 +240,35 @@ def video_frame_phashes(
 
 
 def cross_modal_neardup_pairs(
-    media: DataFrame, every_ms: int = 400, max_hamming: int = 10
+    media: DataFrame,
+    every_ms: int = 400,
+    max_hamming: int = 10,
+    broadcast_images: bool = True,
 ) -> DataFrame:
     """Still images reused inside videos: every (image, video frame)
     pair whose perceptual hashes land within ``max_hamming`` bits —
     the cross-MODALITY leg of the near-dup family (image-image q281,
     video-video q300, audio-audio q307). Stills hash via the image
     scan, sampled frames via the video scan (pHash is resize-
-    invariant, so a 64x64 still matches its 32x32 frame exactly);
-    candidates come from the same exact MIH Hamming join over the
-    tagged union of both hash tables, cross-modality pairs kept.
-    Returns (image_path, video_path, frame_ms, hamming)."""
-    from .dedup import hamming_pairs_mih
+    invariant, so a 64x64 still matches its 32x32 frame exactly).
+
+    The match is BIPARTITE, so it runs as an index probe
+    (``mih_block_index`` over the frame hashes, ``mih_match_index``
+    with the image hashes as the batch) rather than a self-join over
+    the tagged union of both tables: the old union self-join generated
+    every within-modality pair — frame-frame near-dups dominate any
+    corpus with near-duplicate or static video content — only to
+    discard them with a post-filter, and paid the 548-row probe
+    explode on FRAME values too. The probe explodes only distinct
+    IMAGE values; frames contribute 4 short index rows each, and every
+    surviving join row is true output. With ``broadcast_images`` the
+    exploded image probe broadcasts (D x 4 x 137 rows at this config,
+    D = distinct image hashes); past ~10M such rows pass False so the
+    probe shuffles instead (``mih_match_index`` size rule).
+    Returns (image_path, video_path, frame_ms, hamming). Image paths
+    are never split, so they may contain '|'; video paths must not
+    (``video_frame_phashes`` raises)."""
+    from .dedup import mih_block_index, mih_match_index
 
     imgs = image_phash(media.where(F.col("modality") == "image")).where(
         F.col("phash").isNotNull()
@@ -259,53 +276,32 @@ def cross_modal_neardup_pairs(
     vf = video_frame_phashes(
         media.where(F.col("modality") == "video"), every_ms=every_ms
     )
-    # Same separator discipline as video_frame_phashes: an image id
-    # containing '|' would silently truncate image_path (last-segment
-    # split) AND corrupt the positional video_path parse below, so
-    # offending rows RAISE at execution rather than mis-split.
-    safe_img_id = F.when(
-        ~F.col("id").contains(_FID_SEP), F.col("id")
-    ).otherwise(
-        F.raise_error(
-            F.lit("cross_modal_neardup_pairs: image id contains the "
-                  "frame-id separator '|'")
-        )
-    )
-    tagged = imgs.select(
-        F.concat_ws(_FID_SEP, F.lit("i"), safe_img_id).alias("tid"), "phash"
-    ).unionByName(
+    index = mih_block_index(
         vf.select(
-            F.concat_ws(
-                _FID_SEP, F.lit("v"), "path", F.col("frame_ms")
-            ).alias("tid"),
-            "phash",
-        )
+            F.concat_ws(_FID_SEP, "path", "frame_ms").alias("fid"), "phash"
+        ),
+        bits=PHASH_BITS,
+        blocks=4,
+        id_col="fid",
+        hash_col="phash",
     )
-    pairs = hamming_pairs_mih(
-        tagged,
+    matches = mih_match_index(
+        index,
+        imgs,
         bits=PHASH_BITS,
         blocks=4,
         max_hamming=max_hamming,
-        id_col="tid",
+        id_col="id",
         hash_col="phash",
+        broadcast_batch=broadcast_images,
     )
-    kind = lambda c: F.substring_index(c, _FID_SEP, 1)  # noqa: E731
-    img_side = F.when(kind(F.col("id_a")) == "i", F.col("id_a")).otherwise(
-        F.col("id_b")
-    )
-    vid_side = F.when(kind(F.col("id_a")) == "v", F.col("id_a")).otherwise(
-        F.col("id_b")
-    )
-    return (
-        pairs.where(kind(F.col("id_a")) != kind(F.col("id_b")))
-        .select(
-            F.substring_index(img_side, _FID_SEP, -1).alias("image_path"),
-            F.split(vid_side, r"\|").getItem(1).alias("video_path"),
-            F.substring_index(vid_side, _FID_SEP, -1)
-            .cast("long")
-            .alias("frame_ms"),
-            "hamming",
-        )
+    return matches.select(
+        F.col("new_id").alias("image_path"),
+        F.substring_index(F.col("hist_id"), _FID_SEP, 1).alias("video_path"),
+        F.substring_index(F.col("hist_id"), _FID_SEP, -1)
+        .cast("long")
+        .alias("frame_ms"),
+        "hamming",
     )
 
 
@@ -317,37 +313,38 @@ def video_neardup_pairs(
 ) -> DataFrame:
     """Video near-duplicate pairs: two videos qualify when at least
     ``min_matched`` timeline-ALIGNED sampled frames land within
-    ``max_hamming`` perceptual bits. Candidates come from the exact
-    MIH Hamming join over ALL frame fingerprints with an
-    offset-equality post-filter — banding yields a superset of the
-    aligned matches, so the result is exact, and no path compares all
-    frame pairs. One long per sampled frame is all that ever joins —
-    pixels never shuffle."""
+    ``max_hamming`` perceptual bits. The frame timestamp rides the
+    exact MIH Hamming join as an alignment key
+    (``hamming_pairs_mih(align_cols=["frame_ms"])``): banding still
+    runs over distinct pHash values, but misaligned frame pairs are
+    never materialized — the old offset-equality POST-filter made the
+    equal-hash self-join quadratic in the per-hash row count with the
+    cross-offset bulk discarded, and a long static video (lecture
+    slides, color bars: thousands of identical frames under ONE hash
+    value) funneled its whole frame set through a single join key —
+    zero parallelism at cluster scale. With the timestamp in the key,
+    equal-hash work is bounded per (hash, offset) bucket and exactly
+    output-shaped. One long per sampled frame is all that ever joins —
+    pixels never shuffle; paths need no separator encoding here.
+    Exactness is unchanged: the post-filtered relation and the
+    align-keyed relation are the same set."""
     from .dedup import hamming_pairs_mih
 
     fp = video_frame_phashes(media, every_ms=every_ms)
-    fid = F.concat_ws(_FID_SEP, "path", "frame_ms")
     pairs = hamming_pairs_mih(
-        fp.select(fid.alias("fid"), "phash"),
+        fp.select(F.col("path").alias("p"), "frame_ms", "phash"),
         bits=PHASH_BITS,
         blocks=4,
         max_hamming=max_hamming,
-        id_col="fid",
+        id_col="p",
         hash_col="phash",
+        align_cols=["frame_ms"],
     )
-    pa = F.substring_index(F.col("id_a"), _FID_SEP, 1)
-    pb = F.substring_index(F.col("id_b"), _FID_SEP, 1)
-    ma = F.substring_index(F.col("id_a"), _FID_SEP, -1).cast("long")
-    mb = F.substring_index(F.col("id_b"), _FID_SEP, -1).cast("long")
-    aligned = pairs.select(
-        F.least(pa, pb).alias("video_a"),
-        F.greatest(pa, pb).alias("video_b"),
-        ma.alias("ms_a"),
-        mb.alias("ms_b"),
-    ).where((F.col("ms_a") == F.col("ms_b")) & (pa != pb))
     return (
-        aligned.groupBy("video_a", "video_b")
-        .agg(F.count_distinct("ms_a").cast("long").alias("n_matched"))
+        pairs.groupBy(
+            F.col("id_a").alias("video_a"), F.col("id_b").alias("video_b")
+        )
+        .agg(F.count_distinct("frame_ms").cast("long").alias("n_matched"))
         .where(F.col("n_matched") >= min_matched)
     )
 

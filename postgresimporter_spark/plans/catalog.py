@@ -1043,6 +1043,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch79_registry():
         out[q.name] = q
+    from .catalog_batch80 import batch80_registry
+
+    for q in batch80_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

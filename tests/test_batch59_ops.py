@@ -142,3 +142,57 @@ def test_trigram_plan_shape(spark, reg):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Cartesian" not in plan
     assert "BatchEvalPython" not in plan  # no row-wise Python anywhere
+
+
+def test_mih_align_cols_vs_brute_force(spark):
+    """align_cols semantics: exactly the pairs of the plain MIH join
+    whose align column is EQUAL on both rows — including duplicate
+    fingerprint values spread across and within align groups (the hot
+    static-frame shape the align key exists for)."""
+    import random
+
+    from postgresimporter_spark.operators.dedup import hamming_pairs_mih
+
+    rnd = random.Random(7)
+    base = [rnd.getrandbits(64) for _ in range(12)]
+    near = []
+    for i in range(4):  # near partners at radii 1/3/7/10
+        v = base[i]
+        for b in rnd.sample(range(64), [1, 3, 7, 10][i]):
+            v ^= 1 << b
+        near.append(v)
+    vals = base + near
+    rows = []
+    for i in range(120):  # duplicates: each value recurs ~7x
+        v = vals[i % len(vals)]
+        rows.append(
+            (f"id{i:03d}", i % 5, v - (1 << 64) if v >= 1 << 63 else v)
+        )
+    df = spark.createDataFrame(rows, "id string, slot int, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.slot, r.hamming)
+        for r in hamming_pairs_mih(
+            df,
+            bits=64,
+            blocks=4,
+            max_hamming=10,
+            id_col="id",
+            hash_col="simhash",
+            align_cols=["slot"],
+        ).collect()
+    }
+    want = set()
+    for i, (ia, sa, va) in enumerate(rows):
+        for ib, sb, vb in rows[i + 1 :]:
+            if sa == sb and _hamming(va, vb) <= 10:
+                want.add((min(ia, ib), max(ia, ib), sa, _hamming(va, vb)))
+    assert got == want
+    assert len(want) > 50  # dup families + near partners both present
+
+
+def test_mih_align_cols_rejects_reserved_names(spark):
+    from postgresimporter_spark.operators.dedup import hamming_pairs_mih
+
+    df = spark.createDataFrame([(1, 2, 7)], "id long, fp long, simhash long")
+    with pytest.raises(ValueError, match="align_cols"):
+        hamming_pairs_mih(df, align_cols=["fp"])

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from postgresimporter_spark.operators.imagehash import (
     image_neardup_pairs,
@@ -152,14 +153,13 @@ def test_cross_modal_neardup(spark):
     assert "still_bad.bin" not in by_img
 
 
-def test_cross_modal_rejects_separator_in_image_id(spark):
-    """An image path containing '|' (the internal tid separator) RAISES
-    at execution instead of silently truncating image_path and
-    corrupting the positional video_path parse (ADVICE r8) — the same
-    guard video_frame_phashes already applies to video paths."""
-    import pytest
-    from py4j.protocol import Py4JJavaError
-
+def test_cross_modal_image_id_may_contain_separator(spark):
+    """An image path containing '|' flows through INTACT: the bipartite
+    rewrite never splits image ids (only video fids are '|'-encoded,
+    and video_frame_phashes still raises on '|' video paths), so the
+    r8 ADVICE truncation hazard is eliminated structurally rather than
+    guarded — the renamed still must keep its full name in the output
+    and match exactly what it matched under its clean name."""
     from postgresimporter_spark.operators.imagehash import (
         cross_modal_neardup_pairs,
     )
@@ -168,11 +168,82 @@ def test_cross_modal_rejects_separator_in_image_id(spark):
     )
     from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
 
+    clean = spark.createDataFrame(cross_modal_corpus(), MEDIA_SCHEMA)
+    base = {
+        (r["video_path"], r["frame_ms"], r["hamming"])
+        for r in cross_modal_neardup_pairs(clean, max_hamming=10)
+        .where(F.col("image_path") == "still_tex0.png")
+        .collect()
+    }
+    assert base, "fixture must match something under the clean name"
     rows = [
         r if r[0] != "still_tex0.png" else ("bad|name.png", *r[1:])
         for r in cross_modal_corpus()
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    with pytest.raises(Exception) as exc:
-        cross_modal_neardup_pairs(media, max_hamming=10).collect()
-    assert "separator" in str(exc.value)
+    got = {
+        (r["video_path"], r["frame_ms"], r["hamming"])
+        for r in cross_modal_neardup_pairs(media, max_hamming=10)
+        .where(F.col("image_path") == "bad|name.png")
+        .collect()
+    }
+    assert got == base
+
+
+def test_video_neardup_static_families_vs_brute_force(spark):
+    """The long-static-video shape (r10 probe: every frame of a video
+    identical, two near-match families across videos): the align-keyed
+    join must reproduce exactly the brute-force aligned relation over
+    the operator's own frame-hash table. Pre-rewrite this shape ran
+    the ms-equality as a residual condition on an fp_b-only join key —
+    54x slower at the probe scale with the cross-family enumeration
+    pinned to one task."""
+    from postgresimporter_spark.operators.imagehash import (
+        video_frame_phashes,
+        video_neardup_pairs,
+    )
+    from postgresimporter_spark.operators.mediagen import textured, _noisy
+    from postgresimporter_spark.operators.mjpeg import build_avi_mjpeg
+    from postgresimporter_spark.operators.multimodal import MEDIA_SCHEMA
+
+    base = textured(seed=777, size=32)
+    fam_a = encode_jpeg(base, quant=2)
+    fam_b = encode_jpeg(_noisy(base, 778), quant=4)  # near, not equal
+    rows = []
+    for v in range(6):
+        frm = fam_a if v % 2 == 0 else fam_b
+        rows.append(
+            (
+                f"sv{v}.avi",
+                "video",
+                bytearray(build_avi_mjpeg([frm] * 5, fps_milli=4_000)),
+                None,
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fp = {
+        (r["path"], r["frame_ms"]): r["phash"]
+        for r in video_frame_phashes(media, every_ms=250).collect()
+    }
+    from collections import defaultdict
+
+    matched = defaultdict(set)
+    keys = sorted(fp)
+    for i, (pa, ms_a) in enumerate(keys):
+        for pb, ms_b in keys[i + 1 :]:
+            if pa == pb or ms_a != ms_b:
+                continue
+            d = bin((fp[(pa, ms_a)] ^ fp[(pb, ms_b)]) & ((1 << 64) - 1))
+            if d.count("1") <= 10:
+                matched[(min(pa, pb), max(pa, pb))].add(ms_a)
+    want = {
+        (a, b, len(ms)) for (a, b), ms in matched.items() if len(ms) >= 2
+    }
+    got = {
+        (r["video_a"], r["video_b"], r["n_matched"])
+        for r in video_neardup_pairs(
+            media, every_ms=250, max_hamming=10, min_matched=2
+        ).collect()
+    }
+    assert got == want
+    assert len(want) == 15  # all 6 static videos pair: C(6,2)
