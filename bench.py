@@ -42,7 +42,9 @@ MIH join on the two-family static-video shape (60 "videos" x 400
 frames, two near-match fingerprint values) — pre-rewrite the frame
 alignment was a residual join condition on an fp-only key and this
 shape enumerated its family cross-product on one task (measured 54x
-at the probe scale).
+at the probe scale). ``sessionize_hot`` (r10) times two-phase
+bucketed sessionization under bot skew (one user owns 4M of 4.4M
+events) — the plain per-user window pins that user to one task.
 
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed
@@ -473,6 +475,47 @@ def _align_static(spark):
     )
 
 
+SESS_BOT_EVENTS = 4_000_000
+SESS_SPREAD_EVENTS = 400_000
+
+
+def _sessionize_hot(spark):
+    """Two-phase bucketed sessionization under bot skew (the r10 q326
+    shape at guard scale, decode-free): one synthetic user owns 4M of
+    4.4M events over 30 days. The plain per-user window pins that user
+    to ONE task (measured 74.7s warm at 20M bot events with 31 idle
+    cores; ~15s at this size); the bucketed path windows within
+    (user, 6h bucket) and resolves boundaries over summary rows —
+    ~3.5s warm here, identical sessions (row-level identity
+    unit-tested)."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.sessionize import session_stats
+
+    span_us = 30 * 24 * 3600 * 1_000_000
+    bot = spark.range(SESS_BOT_EVENTS).select(
+        F.lit("bot").alias("user_id"),
+        F.timestamp_micros(
+            (F.xxhash64("id") % span_us + span_us) % span_us
+        ).alias("ts"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    spread = spark.range(SESS_SPREAD_EVENTS).select(
+        F.concat(F.lit("u"), (F.col("id") % 10000).cast("string")).alias(
+            "user_id"
+        ),
+        F.timestamp_micros(
+            (F.xxhash64(F.col("id") + 99) % span_us + span_us) % span_us
+        ).alias("ts"),
+        (F.col("id") + 100_000_000).alias("event_id"),
+        (F.col("id") % 5).cast("double").alias("value"),
+    )
+    return session_stats(
+        bot.unionByName(spread), gap_minutes=30, bucket_hours=6
+    )
+
+
 def _ensure_ingest_csv(spark, base_dir: str, allow_env: bool = True) -> str | None:
     """Generate (once, cached) a multi-file CSV corpus from the bench
     scale's lineitem + orders tables — 8 + 4 prefix-grouped files, the
@@ -895,6 +938,16 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["align_static"] = round(best, 3)
     run_counts["align_static"] = n_runs
+
+    # r10 bot-skew guard: two-phase bucketed sessionization (4M-event
+    # hot user; see _sessionize_hot)
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        _sessionize_hot(spark).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["sessionize_hot"] = round(best, 3)
+    run_counts["sessionize_hot"] = n_runs
 
     out = {
         "metric": "headline_queries_total_sec",

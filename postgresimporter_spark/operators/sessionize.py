@@ -38,30 +38,110 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    bucket_hours: int | None = None,
+) -> DataFrame:
     """Assign session ids per user: a session breaks when the gap from
-    the previous event exceeds ``gap_minutes``."""
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    the previous event exceeds ``gap_minutes``.
+
+    Default path: one window partitioned by user — a single shuffle,
+    correct and cheapest when per-user event counts are moderate. Its
+    100 TB failure mode is the HOT USER (bot/scraper traffic): the
+    per-user window puts every event of a user into one task, so a
+    billion-event user serializes — measured locally, a 20M-event user
+    pinned the whole job on its one straggler task (75s warm with 31
+    idle cores).
+
+    ``bucket_hours`` switches to the two-phase time-sliced
+    formulation, identical output by construction (unit-tested
+    row-for-row against the plain path): events window within
+    (user, time-bucket) — bounded, parallel — and bucket summaries
+    (first/last timestamp, internal break count) resolve the
+    cross-boundary breaks per user over BUCKET rows, metadata scale
+    (a 20M-event month at 6h buckets is ~120 summary rows). The
+    session id is the user's exclusive running break total over prior
+    buckets plus the within-bucket running break count. Gaps never
+    straddle more than one boundary resolution because the previous
+    event of a bucket's first event IS the previous non-empty
+    bucket's last event (buckets partition time; floor(ts/bucket) is
+    monotone, and tied timestamps share a bucket so the event_id
+    tiebreak never crosses buckets). Cost: two extra bounded shuffles
+    (summary aggregate + the summary join, co-partitioned with the
+    event windows). Pick ``bucket_hours`` a few times the expected
+    session length; correctness does not depend on the choice."""
     gap_us = gap_minutes * 60 * 1_000_000
-    prev_ts = F.lag("ts").over(by_user)
-    # microsecond epoch diff: exact integer arithmetic, no seconds
-    # truncation ambiguity (oracle uses epoch_us identically)
-    new_session = F.when(
-        prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us),
-        1,
-    ).otherwise(0)
-    return events.withColumn(
-        "session_id",
-        F.sum(new_session).over(
-            by_user.rowsBetween(Window.unboundedPreceding, 0)
+    if bucket_hours is None:
+        by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev_ts = F.lag("ts").over(by_user)
+        # microsecond epoch diff: exact integer arithmetic, no seconds
+        # truncation ambiguity (oracle uses epoch_us identically)
+        new_session = F.when(
+            prev_ts.isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us),
+            1,
+        ).otherwise(0)
+        return events.withColumn(
+            "session_id",
+            F.sum(new_session).over(
+                by_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    cols = events.columns
+    ev = events.withColumn("_ts_us", F.unix_micros(F.col("ts"))).withColumn(
+        "_bkt", F.floor(F.col("_ts_us") / F.lit(bucket_us))
+    )
+    wb = Window.partitionBy("user_id", "_bkt").orderBy("ts", "event_id")
+    prev_us = F.lag("_ts_us").over(wb)
+    # null marks the bucket's first event: its break flag is resolved
+    # at the boundary phase, not here
+    ev = ev.withColumn(
+        "_iflag",
+        F.when(prev_us.isNull(), F.lit(None).cast("int")).otherwise(
+            (F.col("_ts_us") - prev_us > gap_us).cast("int")
         ),
+    )
+    summ = ev.groupBy("user_id", "_bkt").agg(
+        F.min("_ts_us").alias("_first_us"),
+        F.max("_ts_us").alias("_last_us"),
+        F.coalesce(F.sum("_iflag"), F.lit(0)).alias("_ibreaks"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("_bkt")
+    prev_last = F.lag("_last_us").over(wu)
+    bflag = F.when(
+        prev_last.isNull() | (F.col("_first_us") - prev_last > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    started = F.col("_ibreaks") + bflag
+    base = (
+        F.sum(started).over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        - started
+    )
+    summ = summ.select(
+        "user_id",
+        "_bkt",
+        bflag.cast("int").alias("_bflag"),
+        base.cast("long").alias("_base"),
+    )
+    joined = ev.join(summ, on=["user_id", "_bkt"])
+    resolved = F.coalesce(F.col("_iflag"), F.col("_bflag"))
+    session_id = F.col("_base") + F.sum(resolved).over(
+        wb.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.withColumn("session_id", session_id).select(
+        *cols, "session_id"
     )
 
 
-def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    bucket_hours: int | None = None,
+) -> DataFrame:
     """Per-session aggregates (start/end/n_events/total value)."""
-    s = sessionize(events, gap_minutes)
+    s = sessionize(events, gap_minutes, bucket_hours=bucket_hours)
     return s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),

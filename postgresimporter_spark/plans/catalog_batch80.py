@@ -99,6 +99,88 @@ HAVING COUNT(DISTINCT slot) >= {ALIGN_MIN_MATCHED}
 """
 
 
+HOT_COPIES = 4
+SESS_GAP_MIN = 30
+SESS_BUCKET_HOURS = 6
+
+
+def _hot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table plus a synthetic HOT user (id -1) carrying
+    ``HOT_COPIES`` shifted copies of every event — the bot/scraper
+    skew shape: one user owns 4x the whole corpus's events."""
+    from ..sources.parquet import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id", "ts", "event_id", "value"
+    )
+    hot = None
+    for j in range(HOT_COPIES):
+        part = ev.select(
+            F.lit(-1).alias("user_id"),
+            # spread the copies by j seconds so the hot timeline is
+            # dense but not all-ties
+            (F.col("ts") + F.make_interval(secs=F.lit(j))).alias("ts"),
+            (F.col("event_id") + F.lit((j + 1) * 10_000_000)).alias(
+                "event_id"
+            ),
+            "value",
+        )
+        hot = part if hot is None else hot.unionByName(part)
+    return ev.unionByName(hot)
+
+
+def q326_sessionize_hot_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-session aggregates over the hot-user corpus via the
+    TWO-PHASE time-bucketed sessionization
+    (``sessionize(bucket_hours=...)``): event windows partition by
+    (user, 6h bucket) — bounded, parallel — and cross-boundary breaks
+    resolve over per-bucket summary rows (metadata scale). The oracle
+    replays the PLAIN per-user gaps-and-islands definition in SQL, so
+    any decomposition error (boundary break, base renumbering,
+    threshold strictness, tie ordering) is an external mismatch."""
+    from ..operators.sessionize import session_stats
+
+    return session_stats(
+        _hot_user_events(spark, sf_dir),
+        gap_minutes=SESS_GAP_MIN,
+        bucket_hours=SESS_BUCKET_HOURS,
+    )
+
+
+ORACLE_Q326 = f"""
+WITH hot AS (
+  SELECT -1 AS user_id,
+         ts + to_seconds(j) AS ts,
+         event_id + (j + 1) * 10000000 AS event_id, value
+  FROM events, (SELECT unnest(range({HOT_COPIES})) AS j)),
+corpus AS (
+  SELECT user_id, ts, event_id, value FROM events
+  UNION ALL SELECT * FROM hot),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+              > {SESS_GAP_MIN * 60 * 1_000_000}
+         THEN 1 ELSE 0 END AS new_session
+  FROM corpus
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 def batch80_registry() -> list[QueryDef]:
     return [
         QueryDef(
@@ -106,5 +188,11 @@ def batch80_registry() -> list[QueryDef]:
             q325_hamming_aligned_static,
             ORACLE_Q325,
             "alignment-keyed MIH Hamming join on the static-video shape",
+        ),
+        QueryDef(
+            "q326_sessionize_hot_user",
+            q326_sessionize_hot_user,
+            ORACLE_Q326,
+            "two-phase bucketed sessionization under bot-user skew",
         ),
     ]

@@ -1,0 +1,124 @@
+"""Two-phase (time-bucketed) sessionization must equal the plain
+per-user-window path ROW FOR ROW — the r10 hot-user scale fix
+(a 20M-event bot user pinned the plain path on one straggler task;
+bucketed ran 5.2x faster with identical sessions at the probe scale).
+
+The fixture stresses every boundary the decomposition introduces:
+gaps exactly equal to the threshold (NOT a break — strict >), events
+exactly on bucket boundaries, tied timestamps (event_id tiebreak,
+always inside one bucket), a hot user owning most rows, sessions
+spanning several empty buckets, and single-event users.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from postgresimporter_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+
+GAP_MIN = 30
+BASE = datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _corpus() -> list[tuple]:
+    rnd = random.Random(99)
+    rows = []
+    eid = 0
+
+    def emit(user, ts):
+        nonlocal eid
+        rows.append((user, ts, eid, float(eid % 7)))
+        eid += 1
+
+    # hot user: 3000 events, gaps drawn to straddle the 30-min
+    # threshold (including exact 30:00 gaps) and 6h bucket boundaries
+    t = BASE
+    for _ in range(3000):
+        emit("bot", t)
+        r = rnd.random()
+        if r < 0.30:
+            t = t + timedelta(minutes=30)  # exactly the gap: no break
+        elif r < 0.45:
+            t = t + timedelta(minutes=30, microseconds=1)  # break
+        elif r < 0.55:
+            t = t  # tied timestamp (event_id tiebreak)
+        elif r < 0.65:
+            t = t + timedelta(hours=rnd.choice([6, 12, 18]))  # on-boundary
+        elif r < 0.75:
+            t = t + timedelta(hours=rnd.uniform(7, 40))  # empty buckets
+        else:
+            t = t + timedelta(seconds=rnd.uniform(1, 1200))
+    # spread users, incl. single-event users
+    for u in range(40):
+        t = BASE + timedelta(minutes=rnd.uniform(0, 10000))
+        for _ in range(rnd.randint(1, 25)):
+            emit(f"u{u}", t)
+            t = t + timedelta(minutes=rnd.uniform(0.1, 90))
+    return rows
+
+
+SCHEMA = "user_id string, ts timestamp, event_id long, value double"
+
+
+def test_bucketed_equals_plain_rowwise(spark):
+    ev = spark.createDataFrame(_corpus(), SCHEMA)
+    plain = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize(ev, GAP_MIN).collect()
+    }
+    for bh in (1, 6, 48):
+        bucketed = {
+            (r.user_id, r.event_id): r.session_id
+            for r in sessionize(ev, GAP_MIN, bucket_hours=bh).collect()
+        }
+        assert bucketed == plain, f"bucket_hours={bh}"
+    assert len(plain) == len(_corpus())
+    assert max(v for (u, _), v in plain.items() if u == "bot") > 100
+
+
+def test_bucketed_stats_equal_plain(spark):
+    ev = spark.createDataFrame(_corpus(), SCHEMA)
+    key = ["user_id", "session_id"]
+    plain = (
+        session_stats(ev, GAP_MIN).orderBy(*key).toPandas()
+    )
+    bucketed = (
+        session_stats(ev, GAP_MIN, bucket_hours=6).orderBy(*key).toPandas()
+    )
+    assert plain.equals(bucketed)
+
+
+def test_bucketed_output_schema_matches_plain(spark):
+    ev = spark.createDataFrame(_corpus()[:50], SCHEMA)
+    a = sessionize(ev, GAP_MIN)
+    b = sessionize(ev, GAP_MIN, bucket_hours=6)
+    assert a.columns == b.columns
+    assert a.schema == b.schema
+
+
+def test_bucketed_plan_has_no_per_user_event_window(spark):
+    """The event-level windows must partition by (user_id, bucket) —
+    the whole point; only the bucket-SUMMARY window (metadata scale)
+    may partition by user_id alone. The plain path keeps the per-user
+    event window."""
+    ev = spark.createDataFrame(_corpus()[:200], SCHEMA)
+    plan = sessionize(ev, GAP_MIN, bucket_hours=6)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # event-level windows are exactly the ones ORDERING by event_id;
+    # each of their partition specs must include the bucket column
+    event_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln and "event_id" in ln
+    ]
+    assert event_windows, "expected event-level window nodes"
+    for ln in event_windows:
+        assert "windowspecdefinition(user_id" in ln and "_bkt" in ln.split(
+            "windowspecdefinition("
+        )[1], f"event window not bucket-partitioned: {ln}"
