@@ -45,6 +45,8 @@ shape enumerated its family cross-product on one task (measured 54x
 at the probe scale). ``sessionize_hot`` (r10) times two-phase
 bucketed sessionization under bot skew (one user owns 4M of 4.4M
 events) — the plain per-user window pins that user to one task.
+``asof_hot`` (r10) times the bucketed as-of join under the same skew
+(one symbol owns 3M right + 300k left rows).
 
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed
@@ -516,6 +518,54 @@ def _sessionize_hot(spark):
     )
 
 
+ASOF_HOT_RIGHT = 3_000_000
+ASOF_HOT_LEFT = 300_000
+
+
+def _asof_hot(spark):
+    """Bucketed as-of join under hot-instrument skew (the r10 q327
+    shape at guard scale, decode-free): one synthetic symbol owns 3M
+    right rows and 300k left rows over 30 days (plus a 10% spread tail
+    over 500 symbols). The plain per-key window pins the hot key to
+    ONE task (measured 81s warm at 22M rows with 31 idle cores); the
+    bucketed path fills within (key, 6h bucket) and carries per-bucket
+    summaries — 3.4x at the probe scale, identical output (row-level
+    identity unit-tested)."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.temporal import asof_join
+
+    span_us = 30 * 24 * 3600 * 1_000_000
+
+    def mk(n, key_expr, idoff, valcol):
+        return spark.range(n).select(
+            key_expr.alias("sym"),
+            F.timestamp_micros(
+                (F.xxhash64(F.col("id") + idoff) % span_us + span_us)
+                % span_us
+            ).alias("ts"),
+            (F.col("id") + idoff).alias("rid"),
+            (F.col("id") % 97).cast("double").alias(valcol),
+        )
+
+    spread_key = F.concat(F.lit("s"), (F.col("id") % 500).cast("string"))
+    right = mk(ASOF_HOT_RIGHT, F.lit("HOT"), 0, "px").unionByName(
+        mk(ASOF_HOT_RIGHT // 10, spread_key, 50_000_000, "px")
+    )
+    left = mk(ASOF_HOT_LEFT, F.lit("HOT"), 200_000_000, "qty").unionByName(
+        mk(ASOF_HOT_LEFT // 10, spread_key, 300_000_000, "qty")
+    )
+    return asof_join(
+        left,
+        right,
+        on="sym",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["px"],
+        bucket_hours=6,
+    )
+
+
 def _ensure_ingest_csv(spark, base_dir: str, allow_env: bool = True) -> str | None:
     """Generate (once, cached) a multi-file CSV corpus from the bench
     scale's lineitem + orders tables — 8 + 4 prefix-grouped files, the
@@ -948,6 +998,15 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["sessionize_hot"] = round(best, 3)
     run_counts["sessionize_hot"] = n_runs
+
+    # r10 hot-instrument guard: bucketed as-of join (see _asof_hot)
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        _asof_hot(spark).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["asof_hot"] = round(best, 3)
+    run_counts["asof_hot"] = n_runs
 
     out = {
         "metric": "headline_queries_total_sec",

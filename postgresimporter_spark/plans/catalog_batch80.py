@@ -181,6 +181,70 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+ASOF_BUCKET_HOURS = 6
+
+
+def q327_asof_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q82's purchase->last-click as-of join under HOT-KEY skew: every
+    even user id collapses onto one synthetic key (-1), so one key
+    carries half the tape — the hot-instrument shape — and the join
+    runs through the bucketed path (``asof_join(bucket_hours=...)``:
+    within-(key, 6h-bucket) fills + per-bucket carry-in). Clicks are
+    pre-aggregated to one row per (key, ts) so the as-of tie rule is
+    deterministic on both engines. The oracle replays the PLAIN
+    definition with DuckDB's native ASOF LEFT JOIN."""
+    from ..operators import temporal as TP
+    from ..sources.parquet import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hot_uid = F.when(F.col("user_id") % 2 == 0, F.lit(-1)).otherwise(
+        F.col("user_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", hot_uid.alias("user_id"), "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(hot_uid.alias("user_id"), "ts", "value")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return TP.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        strict=True,
+        bucket_hours=ASOF_BUCKET_HOURS,
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_value").alias("last_click_value"),
+        F.col("asof_ts").alias("last_click_ts"),
+    )
+
+
+ORACLE_Q327 = """
+WITH p AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS user_id,
+         ts, value
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS user_id,
+         ts, MAX(value) AS value
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.value AS last_click_value, c.ts AS last_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
+
 def batch80_registry() -> list[QueryDef]:
     return [
         QueryDef(
@@ -194,5 +258,11 @@ def batch80_registry() -> list[QueryDef]:
             q326_sessionize_hot_user,
             ORACLE_Q326,
             "two-phase bucketed sessionization under bot-user skew",
+        ),
+        QueryDef(
+            "q327_asof_hot_key",
+            q327_asof_hot_key,
+            ORACLE_Q327,
+            "bucketed as-of join under hot-instrument skew",
         ),
     ]
