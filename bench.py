@@ -46,7 +46,9 @@ at the probe scale). ``sessionize_hot`` (r10) times two-phase
 bucketed sessionization under bot skew (one user owns 4M of 4.4M
 events) — the plain per-user window pins that user to one task.
 ``asof_hot`` (r10) times the bucketed as-of join under the same skew
-(one symbol owns 3M right + 300k left rows).
+(one symbol owns 3M right + 300k left rows). ``quantile_hot`` (r10)
+times range-ranked quantile normalization with one source owning 1M
+of 1.1M rows.
 
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed
@@ -566,6 +568,38 @@ def _asof_hot(spark):
     )
 
 
+QUANT_HOT_ROWS = 1_000_000
+
+
+def _quantile_hot(spark):
+    """Range-ranked quantile normalization under hot-group skew (the
+    r10 q328 shape at guard scale, decode-free): one source owns 1M of
+    1.1M rows. The plain per-group window pins that group to ONE task
+    (rank-stage A/B at 8M rows: 22-27s plain vs 6.6-8.5s
+    range-ranked, identical ranks); the range_ranked path recovers the
+    group rank from the global (group, score, id) ranking."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.curation import (
+        quantile_normalize,
+    )
+
+    rows = spark.range(QUANT_HOT_ROWS).select(
+        F.col("id").alias("_id"),
+        F.lit("web").alias("src"),
+        (F.xxhash64("id") % 1000000).alias("score"),
+    ).unionByName(
+        spark.range(QUANT_HOT_ROWS // 10).select(
+            (F.col("id") + 100_000_000).alias("_id"),
+            F.concat(F.lit("s"), (F.col("id") % 100).cast("string")).alias(
+                "src"
+            ),
+            (F.xxhash64(F.col("id") + 7) % 1000000).alias("score"),
+        )
+    )
+    return quantile_normalize(rows, "src", "score", "_id", range_ranked=True)
+
+
 def _ensure_ingest_csv(spark, base_dir: str, allow_env: bool = True) -> str | None:
     """Generate (once, cached) a multi-file CSV corpus from the bench
     scale's lineitem + orders tables — 8 + 4 prefix-grouped files, the
@@ -1007,6 +1041,16 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["asof_hot"] = round(best, 3)
     run_counts["asof_hot"] = n_runs
+
+    # r10 hot-group guard: range-ranked quantile normalization
+    # (see _quantile_hot)
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        _quantile_hot(spark).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["quantile_hot"] = round(best, 3)
+    run_counts["quantile_hot"] = n_runs
 
     out = {
         "metric": "headline_queries_total_sec",

@@ -48,6 +48,7 @@ def inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     postings_sample: int = 5,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Token-keyed index: document frequency ``df``, collection
     frequency ``cf``, and the first ``postings_sample`` doc ids
@@ -57,30 +58,68 @@ def inverted_index(
     sample is capped by a row_number inside the token partition before
     any list is collected — bounded memory per token regardless of how
     hot the token is.
-    """
+
+    ``salt_buckets`` (r10 hot-key guard): the default sample window
+    still puts a token's whole tf row set through ONE task — a
+    stopword present in every document serializes at corpus scale
+    (memory stays bounded; wall-clock does not). With salting, the
+    sample routes through ``ranking.topk_per_key``'s two-phase min-k
+    (per-(token, salt) row_number, then a final rank over at most
+    ``salt_buckets * postings_sample`` survivors per token) and the
+    df/cf aggregates — plain map-side-combining groupBys, skew-immune
+    already — join the sample back on token. Identical output
+    (unit-tested); costs one extra exchange, so the default stays
+    plain."""
     tf = (
         _token_stream(docs, id_col, text_col)
         .groupBy("token", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
-    w = Window.partitionBy("token").orderBy("doc_id")
-    capped = tf.withColumn("rn", F.row_number().over(w))
-    return (
-        capped.groupBy("token")
-        .agg(
-            F.count("*").cast("long").alias("df"),
-            F.sum("tf").alias("cf"),
-            F.concat_ws(
-                ",",
-                F.sort_array(
-                    F.collect_list(
-                        F.when(
-                            F.col("rn") <= postings_sample, F.col("doc_id")
+    if salt_buckets is None:
+        w = Window.partitionBy("token").orderBy("doc_id")
+        capped = tf.withColumn("rn", F.row_number().over(w))
+        return (
+            capped.groupBy("token")
+            .agg(
+                F.count("*").cast("long").alias("df"),
+                F.sum("tf").alias("cf"),
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= postings_sample,
+                                F.col("doc_id"),
+                            )
                         )
-                    )
-                ),
-            ).alias("postings_sample"),
+                    ),
+                ).alias("postings_sample"),
+            )
         )
+    from .ranking import topk_per_key
+
+    stats = tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+    sample = (
+        topk_per_key(
+            tf.select("token", "doc_id"),
+            ["token"],
+            [F.col("doc_id").asc()],
+            postings_sample,
+            salt_buckets=salt_buckets,
+            salt_on=["doc_id"],
+        )
+        .groupBy("token")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("postings_sample")
+        )
+    )
+    return stats.join(sample, on="token").select(
+        "token", "df", "cf", "postings_sample"
     )
 
 

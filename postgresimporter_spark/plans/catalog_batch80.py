@@ -245,6 +245,109 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
 """
 
 
+def q328_quantile_hot_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q317's cross-source score calibration under HOT-GROUP skew —
+    the operator's NORMAL shape (one dominant web-crawl source is why
+    cross-source calibration exists): every source except the
+    lexicographically first collapses onto 'web', and the within-group
+    rank runs through ``quantile_normalize(range_ranked=True)`` (group
+    rank recovered from the global (group, score, id) ranking instead
+    of a one-task-per-group window). The oracle replays the PLAIN
+    per-group window definition."""
+    from ..operators.curation import quantile_normalize
+    from ..sources.parquet import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    hot = docs.select(
+        "doc_id",
+        F.when(F.col("source") <= "a", F.col("source"))
+        .otherwise(F.lit("web"))
+        .alias("source"),
+        "n_chars",
+    )
+    return quantile_normalize(
+        hot, "source", "n_chars", "doc_id", range_ranked=True
+    )
+
+
+ORACLE_Q328 = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN source <= 'a' THEN source ELSE 'web' END AS source,
+         CAST(n_chars AS BIGINT) AS score
+  FROM documents),
+s AS (
+  SELECT doc_id, source, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score, doc_id) AS s_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM d),
+g AS (
+  SELECT score AS norm_score,
+         ROW_NUMBER() OVER (ORDER BY score, doc_id) AS g_rank
+  FROM d),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
+SELECT s.doc_id, s.source, s.score, g.norm_score
+FROM s CROSS JOIN n
+JOIN g ON g.g_rank = CASE WHEN s.n_s = 1 THEN 1 + (n.n_total - 1) // 2
+                          ELSE 1 + ((s.s_rank - 1) * (n.n_total - 1))
+                               // (s.n_s - 1) END
+"""
+
+
+IDX_SAMPLE = 5
+IDX_SALT = 16
+
+
+def q329_index_hot_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over documents with a corpus-wide STOPWORD
+    prepended to every text (the hot-posting-list shape), built via
+    the salted sample path (``inverted_index(salt_buckets=...)``:
+    df/cf as plain aggregates, the postings sample through
+    topk_per_key's two-phase min-k). Output restricted to tokens with
+    df >= 50 to keep the oracle comparison focused on the hot tier.
+    The oracle replays the plain window definition in SQL."""
+    from ..operators.textindex import inverted_index
+    from ..sources.parquet import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", F.concat(F.lit("zzcommon "), F.col("text")).alias("text")
+    )
+    idx = inverted_index(
+        docs, postings_sample=IDX_SAMPLE, salt_buckets=IDX_SALT
+    )
+    return idx.where(F.col("df") >= 50).select(
+        "token", "df", F.col("cf").cast("long").alias("cf"),
+        "postings_sample",
+    )
+
+
+ORACLE_Q329 = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(trim('zzcommon ' || text), '\\s+'),
+           t -> t != '')) AS token
+  FROM documents),
+tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+rn AS (
+  SELECT token, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM tf)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       array_to_string(
+         list_transform(
+           list_sort(list(doc_id) FILTER (rn <= {IDX_SAMPLE})),
+           x -> CAST(x AS VARCHAR)),
+         ',') AS postings_sample
+FROM rn
+GROUP BY token
+HAVING COUNT(*) >= 50
+"""
+
+
 def batch80_registry() -> list[QueryDef]:
     return [
         QueryDef(
@@ -264,5 +367,17 @@ def batch80_registry() -> list[QueryDef]:
             q327_asof_hot_key,
             ORACLE_Q327,
             "bucketed as-of join under hot-instrument skew",
+        ),
+        QueryDef(
+            "q328_quantile_hot_group",
+            q328_quantile_hot_group,
+            ORACLE_Q328,
+            "range-ranked quantile normalization under hot-group skew",
+        ),
+        QueryDef(
+            "q329_index_hot_token",
+            q329_index_hot_token,
+            ORACLE_Q329,
+            "salted-sample inverted index under stopword skew",
         ),
     ]

@@ -215,3 +215,35 @@ def test_quantile_normalize_rejects_fractional_scores(spark):
     ).collect()
     assert len(rows) == 3  # distinct values survive quantization
     assert len({r.norm_score for r in rows if r[1] == "a"}) == 2
+
+
+def test_quantile_normalize_range_ranked_equals_plain(spark):
+    """range_ranked=True (the r10 hot-group path: within-group rank
+    recovered from the global (group, score, id) ranking) must equal
+    the plain per-group window row for row — including a dominant
+    group, tied scores resolved by id, and single-row groups (pooled
+    median rule). Rank-stage A/B on an 8M-row hot group measured
+    22-27s plain vs 6.6-8.5s ranged, identical ranks."""
+    import random
+
+    from postgresimporter_spark.operators.curation import (
+        quantile_normalize,
+    )
+
+    rnd = random.Random(5)
+    rows = [(i, "web", rnd.randint(0, 40)) for i in range(900)]
+    rows += [(1000 + i, f"s{i % 7}", rnd.randint(0, 40)) for i in range(140)]
+    rows.append((5000, "lonely", 13))  # single-row group
+    df = spark.createDataFrame(rows, "doc_id long, src string, score long")
+    plain = {
+        r.doc_id: (r.score, r.norm_score)
+        for r in quantile_normalize(df, "src", "score", "doc_id").collect()
+    }
+    ranged = {
+        r.doc_id: (r.score, r.norm_score)
+        for r in quantile_normalize(
+            df, "src", "score", "doc_id", range_ranked=True
+        ).collect()
+    }
+    assert ranged == plain
+    assert len(plain) == len(rows)

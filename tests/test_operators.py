@@ -620,3 +620,33 @@ def test_containment_and_wjaccard_duplicate_families(spark):
         r = got_w[(a, 20)]
         assert (r.tot_a, r.tot_b) == (8, 8)
         assert r.wjacc_micro == 777_777
+
+
+def test_inverted_index_salted_equals_plain(spark):
+    """salt_buckets (the r10 hot-token path: postings sample via
+    topk_per_key's two-phase min-k, df/cf via plain aggregates) must
+    equal the plain single-window index row for row — including a
+    stopword present in every doc and repeated tokens within a doc
+    (cf > df)."""
+    from postgresimporter_spark.operators.textindex import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"the quick w{i} the " + ("fox " * (i % 3)))
+            for i in range(200)
+        ],
+        "doc_id long, text string",
+    )
+    plain = {
+        r.token: (r.df, r.cf, r.postings_sample)
+        for r in inverted_index(docs, postings_sample=3).collect()
+    }
+    salted = {
+        r.token: (r.df, r.cf, r.postings_sample)
+        for r in inverted_index(
+            docs, postings_sample=3, salt_buckets=8
+        ).collect()
+    }
+    assert salted == plain
+    assert plain["the"][0] == 200 and plain["the"][1] == 400
+    assert plain["the"][2] == "0,1,2"
