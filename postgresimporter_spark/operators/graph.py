@@ -91,14 +91,28 @@ def cooccurrence_edges(
             )
         return joined.distinct()
     # no pre-distinct in this path: collect_set dedups per container,
-    # so the groupBy is the ONE shuffle over the input
+    # so the groupBy is the ONE shuffle over the input. The size cap
+    # is enforced BEFORE the collect (r10): a count_distinct
+    # pre-filter is a two-phase skew-immune aggregate, so an
+    # over-cap mega-hub container (one container holding a large
+    # fraction of the input) is dropped without ever building its
+    # collect_set buffer — the buffer is a single unspillable agg
+    # state, and filtering after collecting would bound the pair
+    # array but not the memory that builds it. Survivor buffers are
+    # <= max_container_size elements by construction.
+    keyed = items.select(
+        F.col(container_col).alias("_c"), F.col(item_col).alias("src")
+    )
+    small = (
+        keyed.groupBy("_c")
+        .agg(F.count_distinct("src").alias("_n"))
+        .where(F.col("_n") <= max_container_size)
+        .select("_c")
+    )
     sets = (
-        items.select(
-            F.col(container_col).alias("_c"), F.col(item_col).alias("src")
-        )
+        keyed.join(small, on="_c")
         .groupBy("_c")
         .agg(F.sort_array(F.collect_set("src")).alias("_items"))
-        .where(F.size("_items") <= max_container_size)
     )
     pairs = sets.select(
         F.explode(

@@ -217,3 +217,39 @@ def test_random_walks_max_degree_cap_hub(spark):
         for r in hot_degrees(df, 5).collect()
     }
     assert hot == {0: (40, 5, 35)}
+
+
+def test_cooccurrence_cap_prefilter_semantics(spark):
+    """The r10 mega-hub fix pre-filters containers by COUNT DISTINCT
+    before any collect_set buffer builds (a 40M-item container OOM'd a
+    5g heap post-filter; pre-filtered it completes). The cap must
+    still count DISTINCT items — a container with many duplicate rows
+    but few distinct items survives — and over-cap containers drop
+    with identical output to the uncapped join path on the survivors.
+    """
+    from postgresimporter_spark.operators.graph import cooccurrence_edges
+
+    rows = []
+    # 200 rows, 4 distinct items (duplicates must not trip the cap)
+    for i in range(200):
+        rows.append(("dupes", f"i{i % 4}"))
+    # over-cap container: 12 distinct items, cap 8 -> dropped
+    rows += [("big", f"b{i}") for i in range(12)]
+    # normal container
+    rows += [("ok", x) for x in ["a", "b", "c"]]
+    df = spark.createDataFrame(rows, "c string, item string")
+    got = {
+        (r.src, r.dst)
+        for r in cooccurrence_edges(
+            df, "c", "item", max_container_size=8
+        ).collect()
+    }
+    want = {("i0", "i1"), ("i0", "i2"), ("i0", "i3"), ("i1", "i2"),
+            ("i1", "i3"), ("i2", "i3"), ("a", "b"), ("a", "c"), ("b", "c")}
+    assert got == want
+    # uncapped join path over the same data keeps the big container
+    uncapped = {
+        (r.src, r.dst)
+        for r in cooccurrence_edges(df, "c", "item").collect()
+    }
+    assert len(uncapped) == len(want) + 12 * 11 // 2
