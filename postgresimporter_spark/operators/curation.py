@@ -708,8 +708,13 @@ def quantile_normalize(
         grp_info = ranked.groupBy("_grp").agg(
             F.min("_gr").alias("_gr0"),
             F.count("*").alias("_ns"),
-        )
-        s = ranked.join(F.broadcast(grp_info), on="_grp").select(
+        ).select(F.col("_grp").alias("_g_grp"), "_gr0", "_ns")
+        # null-safe on the group key: a null group is a real window
+        # partition in the plain path, so a plain inner equi-join
+        # would silently drop its rows
+        s = ranked.join(
+            F.broadcast(grp_info), F.col("_grp").eqNullSafe(F.col("_g_grp"))
+        ).select(
             "_id",
             "_grp",
             "score",

@@ -51,16 +51,19 @@ def cooccurrence_edges(
     """Distinct undirected co-occurrence edges ``(src < dst)`` from a
     (container, item) relation.
 
-    With ``max_container_size`` set (the recommended mode): ONE shuffle
-    (groupBy container, collecting the distinct item set with map-side
-    partials) plus the final edge-distinct — the pairwise expansion
-    happens executor-side over the per-container sorted array, no
-    self-join, no second pass over the input. Measured at sf0.1 this
-    beats the distinct→self-join→distinct layout 1.8s vs 2.8s with
-    identical output. The cap is applied BEFORE the expansion and is
-    mandatory for this path: the expansion builds each container's
-    O(n²) pair set as a single in-row array value, which is NOT
-    spillable — the cap bounds it (cap 1000 → ≤ ~500k structs/row).
+    With ``max_container_size`` set (the recommended mode): a
+    count_distinct pre-filter (two-phase, skew-immune) drops over-cap
+    containers BEFORE anything collects, then one groupBy collects
+    each survivor's distinct item set (<= cap elements per buffer by
+    construction) and the pairwise expansion happens executor-side
+    over the per-container sorted array — no self-join over the
+    items. Measured at sf0.1 this beats the
+    distinct→self-join→distinct layout with identical output, and the
+    pre-filter is what makes the cap protect MEMORY, not just the
+    array: both the O(n²) in-row pair array and the collect_set
+    buffer are single unspillable values (a 40M-item mega-hub
+    container OOM'd a 5g heap when the cap was applied after the
+    collect; pre-filtered, the same input completes).
 
     Without a cap, the operator falls back to the container-key
     self-equi-join: the same pairs emerge as ordinary join-output ROWS
@@ -100,9 +103,10 @@ def cooccurrence_edges(
     # state, and filtering after collecting would bound the pair
     # array but not the memory that builds it. Survivor buffers are
     # <= max_container_size elements by construction.
+    # both the pre-filter aggregate and the join read this branch
     keyed = items.select(
         F.col(container_col).alias("_c"), F.col(item_col).alias("src")
-    )
+    ).localCheckpoint(eager=False)
     small = (
         keyed.groupBy("_c")
         .agg(F.count_distinct("src").alias("_n"))

@@ -70,7 +70,11 @@ def sessionize(
     tiebreak never crosses buckets). Cost: two extra bounded shuffles
     (summary aggregate + the summary join, co-partitioned with the
     event windows). Pick ``bucket_hours`` a few times the expected
-    session length; correctness does not depend on the choice."""
+    session length; correctness does not depend on the choice. Null
+    ``user_id`` rows sessionize identically to the plain path (the
+    summary join is null-safe); null ``ts`` rows RAISE — the plain
+    path's NULLS FIRST ordering has no well-defined boundary-gap
+    counterpart, and a silent drop would be worse."""
     gap_us = gap_minutes * 60 * 1_000_000
     if bucket_hours is None:
         by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -88,21 +92,48 @@ def sessionize(
                 by_user.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-    bucket_us = bucket_hours * 3600 * 1_000_000
+    if bucket_hours < 1:
+        raise ValueError(
+            f"bucket_hours must be >= 1, got {bucket_hours} (0 would "
+            "null every bucket via division, negative would reverse "
+            "the boundary-resolution order)"
+        )
     cols = events.columns
-    ev = events.withColumn("_ts_us", F.unix_micros(F.col("ts"))).withColumn(
+    clash = {"_ts_us", "_bkt", "_iflag", "session_id"}.intersection(cols)
+    if clash:
+        raise ValueError(
+            f"bucketed sessionize: input columns collide with internal "
+            f"names: {sorted(clash)}"
+        )
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    # null timestamps are rejected loudly: the plain path gives them a
+    # defined (if degenerate) NULLS FIRST ordering, but the bucketed
+    # decomposition's boundary-gap arithmetic is undefined on them —
+    # a silent drop or a divergent session id would both be worse
+    ts_us = F.when(
+        F.col("ts").isNotNull(), F.unix_micros(F.col("ts"))
+    ).otherwise(
+        F.raise_error(
+            F.lit("sessionize(bucket_hours=...): null ts; filter or "
+                  "impute timestamps before bucketed sessionization")
+        )
+    )
+    ev = events.withColumn("_ts_us", ts_us).withColumn(
         "_bkt", F.floor(F.col("_ts_us") / F.lit(bucket_us))
     )
     wb = Window.partitionBy("user_id", "_bkt").orderBy("ts", "event_id")
     prev_us = F.lag("_ts_us").over(wb)
     # null marks the bucket's first event: its break flag is resolved
     # at the boundary phase, not here
+    # both the summary aggregate and the final join read this branch:
+    # checkpoint so the window runs once (and tie resolution, were the
+    # order not total, could never diverge between the two readers)
     ev = ev.withColumn(
         "_iflag",
         F.when(prev_us.isNull(), F.lit(None).cast("int")).otherwise(
             (F.col("_ts_us") - prev_us > gap_us).cast("int")
         ),
-    )
+    ).localCheckpoint(eager=False)
     summ = ev.groupBy("user_id", "_bkt").agg(
         F.min("_ts_us").alias("_first_us"),
         F.max("_ts_us").alias("_last_us"),
@@ -120,12 +151,19 @@ def sessionize(
         - started
     )
     summ = summ.select(
-        "user_id",
-        "_bkt",
+        F.col("user_id").alias("_s_uid"),
+        F.col("_bkt").alias("_s_bkt"),
         bflag.cast("int").alias("_bflag"),
         base.cast("long").alias("_base"),
     )
-    joined = ev.join(summ, on=["user_id", "_bkt"])
+    # null-safe on the user key: a null user_id is a real window
+    # partition in the plain path (and a real group here), so a plain
+    # inner equi-join would silently drop those rows
+    joined = ev.join(
+        summ,
+        F.col("user_id").eqNullSafe(F.col("_s_uid"))
+        & (F.col("_bkt") == F.col("_s_bkt")),
+    ).drop("_s_uid", "_s_bkt")
     resolved = F.coalesce(F.col("_iflag"), F.col("_bflag"))
     session_id = F.col("_base") + F.sum(resolved).over(
         wb.rowsBetween(Window.unboundedPreceding, 0)

@@ -139,6 +139,12 @@ def asof_join(
     else:
         from pyspark.sql.types import TimestampType
 
+        if bucket_hours < 1:
+            raise ValueError(
+                f"bucket_hours must be >= 1, got {bucket_hours} (0 "
+                "would null every bucket via division, negative would "
+                "reverse the carry order)"
+            )
         for df, col in ((left, left_ts), (right, right_ts)):
             if not isinstance(df.schema[col].dataType, TimestampType):
                 raise ValueError(
@@ -146,14 +152,30 @@ def asof_join(
                     f"timestamps; {col!r} is "
                     f"{df.schema[col].dataType.simpleString()}"
                 )
+        clash = {"_ts_us", "_bkt", "_skey"}.intersection(lcols)
+        if clash:
+            raise ValueError(
+                "bucketed asof_join: left columns collide with "
+                f"internal names: {sorted(clash)}"
+            )
         bucket_us = bucket_hours * 3600 * 1_000_000
+        # null timestamps are rejected loudly: the docstring requires
+        # non-null join timestamps for this path, and a silent drop
+        # through the bucket join would be worse than the error
+        ts_us = F.when(
+            F.col("_ts").isNotNull(), F.unix_micros(F.col("_ts"))
+        ).otherwise(
+            F.raise_error(
+                F.lit("asof_join(bucket_hours=...): null join "
+                      "timestamp; filter or impute before the "
+                      "bucketed as-of join")
+            )
+        )
         # one long sort key equal to (ts_order, tag asc): backward
         # 2*ts_us + tag ascending; forward -2*ts_us + tag ascending
         # (smaller ts -> larger key -> later in scan order)
         sgn = 2 if direction == "backward" else -2
-        unioned = unioned.withColumn(
-            "_ts_us", F.unix_micros(F.col("_ts"))
-        ).withColumn(
+        unioned = unioned.withColumn("_ts_us", ts_us).withColumn(
             "_bkt", F.floor(F.col("_ts_us") / F.lit(bucket_us))
         ).withColumn(
             "_skey", F.col("_ts_us") * sgn + F.col("_tag")
@@ -163,13 +185,17 @@ def asof_join(
             .orderBy("_skey")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # both the summary aggregate and the final join read this
+        # branch: checkpoint so the fill window runs once and tie
+        # resolution (non-total (ts, tag) orders are caller territory
+        # per the Ties paragraph) can never diverge between readers
         within = unioned.select(
             "*",
             *[
                 F.last(src, ignorenulls=True).over(wb).alias(f"_wf{i}")
                 for i, (src, _) in enumerate(fill_cols)
             ],
-        )
+        ).localCheckpoint(eager=False)
         # per-bucket summary: each column's value at the bucket's last
         # scan row (max _skey) = the bucket's last non-null, since the
         # within fill has already carried it there
@@ -190,8 +216,8 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         carry = summ.select(
-            "_k",
-            "_bkt",
+            F.col("_k").alias("_c_k"),
+            F.col("_bkt").alias("_c_bkt"),
             *[
                 F.last(f"_bl{i}", ignorenulls=True)
                 .over(wu)
@@ -199,7 +225,14 @@ def asof_join(
                 for i in range(len(fill_cols))
             ],
         )
-        filled = within.join(carry, on=["_k", "_bkt"]).select(
+        # null-safe on the join key: a null key is a real window
+        # partition in the plain path, so a plain inner equi-join
+        # would silently drop its rows and break how='left'
+        filled = within.join(
+            carry,
+            F.col("_k").eqNullSafe(F.col("_c_k"))
+            & (F.col("_bkt") == F.col("_c_bkt")),
+        ).select(
             "*",
             *[
                 F.coalesce(F.col(f"_wf{i}"), F.col(f"_ci{i}")).alias(dst)

@@ -118,8 +118,14 @@ def inverted_index(
             ).alias("postings_sample")
         )
     )
-    return stats.join(sample, on="token").select(
-        "token", "df", "cf", "postings_sample"
+    # left join: with postings_sample=0 (or a k=0 survivor set) the
+    # sample side is empty and an inner join would drop every token;
+    # the plain path returns '' for an empty sample, so coalesce
+    return stats.join(sample, on="token", how="left").select(
+        "token",
+        "df",
+        "cf",
+        F.coalesce("postings_sample", F.lit("")).alias("postings_sample"),
     )
 
 

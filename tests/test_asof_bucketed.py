@@ -16,6 +16,7 @@ import random
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 
 from postgresimporter_spark.operators.temporal import asof_join
 
@@ -113,10 +114,16 @@ def test_bucketed_asof_rejects_non_timestamp(spark):
                   value_cols=["px"], bucket_hours=6)
 
 
-def test_bucketed_asof_plan_buckets_the_row_window(spark):
-    """The row-level fill window must partition by (_k, _bkt); only the
-    bucket-summary carry window (metadata scale) may partition by _k
-    alone."""
+def test_bucketed_asof_plan_shape(spark):
+    """The visible plan (the fill window sits behind a localCheckpoint
+    since the r10 review pass — it feeds both the summary and the
+    final join) must contain only metadata-scale per-key windows: any
+    Window ordering by the row-level sort key `_skey` must partition
+    by `_bkt` too, and the carry window may partition by `_k` alone
+    only while ordering by `_bkt` (bucket-summary rows). A
+    row-per-event per-key window reappearing here is the hot-key
+    regression; the `asof_hot` bench guard is the wall-clock sentinel
+    for the checkpointed section."""
     lrows, rrows = _corpus()
     ldf = spark.createDataFrame(lrows[:20], L_SCHEMA)
     rdf = spark.createDataFrame(rrows[:20], R_SCHEMA)
@@ -124,10 +131,57 @@ def test_bucketed_asof_plan_buckets_the_row_window(spark):
         ldf, rdf, on="k", left_ts="ts", right_ts="ts",
         value_cols=["px"], bucket_hours=6,
     )._jdf.queryExecution().executedPlan().toString()
-    row_windows = [
-        ln for ln in plan.splitlines()
-        if "Window [" in ln and "_skey" in ln and "last(_rv" in ln
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, "expected the carry window at least"
+    for ln in windows:
+        spec = ln.split("windowspecdefinition(")[1]
+        if "_skey" in spec:
+            assert "_bkt" in spec, f"row-level window not bucketed: {ln}"
+        else:
+            # carry window: per key over bucket-summary rows only
+            assert "_bkt" in ln, f"unexpected per-key window: {ln}"
+
+
+def test_bucketed_asof_null_key_and_validation(spark):
+    """Null join-key rows are a real window partition in the plain
+    path and must survive the bucketed carry join (null-safe, r10
+    review fix); bucket_hours=0, internal-name collisions, and null
+    timestamps raise loudly instead of silently dropping rows or
+    reversing the carry order."""
+    lrows, rrows = _corpus()
+    lrows = lrows[:40] + [
+        (9000 + i, None, BASE + timedelta(minutes=30 * i), 1.0)
+        for i in range(4)
     ]
-    assert row_windows, "expected the row-level fill window"
-    for ln in row_windows:
-        assert "_bkt" in ln.split("windowspecdefinition(")[1], ln
+    rrows = rrows[:40] + [
+        (None, BASE + timedelta(minutes=10 + 60 * i), 5.0 + i, 2.0)
+        for i in range(3)
+    ]
+    ldf = spark.createDataFrame(lrows, L_SCHEMA)
+    rdf = spark.createDataFrame(rrows, R_SCHEMA)
+    kw = dict(on="k", left_ts="ts", right_ts="ts", value_cols=["px"])
+    plain = {
+        r.lid: (r.asof_px, r.asof_ts)
+        for r in asof_join(ldf, rdf, **kw).collect()
+    }
+    bucketed = {
+        r.lid: (r.asof_px, r.asof_ts)
+        for r in asof_join(ldf, rdf, bucket_hours=6, **kw).collect()
+    }
+    assert bucketed == plain
+    assert len(plain) == len(lrows)  # the null-key left rows survive
+    assert any(plain[9000 + i][0] is not None for i in range(4))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_hours"):
+        asof_join(ldf, rdf, bucket_hours=0, **kw)
+    with pytest.raises(ValueError, match="internal names"):
+        asof_join(
+            ldf.withColumn("_bkt", F.lit(1)), rdf, bucket_hours=6, **kw
+        )
+    null_ts_l = spark.createDataFrame(
+        [(1, "k", None, 1.0)], L_SCHEMA
+    )
+    with pytest.raises(Exception, match="null join"):
+        asof_join(null_ts_l, rdf, bucket_hours=6, **kw).collect()

@@ -247,3 +247,28 @@ def test_quantile_normalize_range_ranked_equals_plain(spark):
     }
     assert ranged == plain
     assert len(plain) == len(rows)
+
+
+def test_quantile_normalize_range_ranked_keeps_null_group(spark):
+    """A null group is a real window partition in the plain path; the
+    range_ranked group-info join is null-safe so those rows normalize
+    identically instead of silently dropping (r10 review fix)."""
+    from postgresimporter_spark.operators.curation import (
+        quantile_normalize,
+    )
+
+    rows = [(i, "web", i % 17) for i in range(60)]
+    rows += [(100 + i, None, (i * 3) % 17) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score long")
+    plain = {
+        r.doc_id: (r.src, r.norm_score)
+        for r in quantile_normalize(df, "src", "score", "doc_id").collect()
+    }
+    ranged = {
+        r.doc_id: (r.src, r.norm_score)
+        for r in quantile_normalize(
+            df, "src", "score", "doc_id", range_ranked=True
+        ).collect()
+    }
+    assert ranged == plain
+    assert sum(1 for s, _ in plain.values() if s is None) == 9

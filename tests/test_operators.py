@@ -650,3 +650,27 @@ def test_inverted_index_salted_equals_plain(spark):
     assert salted == plain
     assert plain["the"][0] == 200 and plain["the"][1] == 400
     assert plain["the"][2] == "0,1,2"
+
+
+def test_inverted_index_salted_empty_sample(spark):
+    """postings_sample=0: the plain path returns every token with an
+    empty sample string; the salted path must too (left join +
+    coalesce — an inner join dropped every token; r10 review fix)."""
+    from postgresimporter_spark.operators.textindex import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    plain = {
+        r.token: (r.df, r.cf, r.postings_sample)
+        for r in inverted_index(docs, postings_sample=0).collect()
+    }
+    salted = {
+        r.token: (r.df, r.cf, r.postings_sample)
+        for r in inverted_index(
+            docs, postings_sample=0, salt_buckets=4
+        ).collect()
+    }
+    assert salted == plain
+    assert set(plain) == {"a", "b", "c"}
+    assert all(s == "" for _, _, s in plain.values())

@@ -122,3 +122,40 @@ def test_bucketed_plan_has_no_per_user_event_window(spark):
         assert "windowspecdefinition(user_id" in ln and "_bkt" in ln.split(
             "windowspecdefinition("
         )[1], f"event window not bucket-partitioned: {ln}"
+
+
+def test_bucketed_null_user_and_validation(spark):
+    """Null user_id rows are a real window partition in the plain path
+    and must survive the bucketed summary join (null-safe, r10 review
+    fix); null ts and bad bucket_hours raise loudly instead of
+    silently dropping or mis-bucketing."""
+    import pytest
+    from datetime import timedelta
+
+    rows = _corpus()[:80] + [
+        (None, BASE + timedelta(minutes=m), 9000 + m, 1.0)
+        for m in (0, 10, 200, 205)
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    plain = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize(ev, GAP_MIN).collect()
+    }
+    bucketed = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize(ev, GAP_MIN, bucket_hours=6).collect()
+    }
+    assert bucketed == plain
+    assert sum(1 for (u, _) in plain if u is None) == 4
+
+    with pytest.raises(ValueError, match="bucket_hours"):
+        sessionize(ev, GAP_MIN, bucket_hours=0)
+    with pytest.raises(ValueError, match="internal names"):
+        sessionize(
+            ev.withColumn("_bkt", F.lit(1)), GAP_MIN, bucket_hours=6
+        )
+    null_ts = spark.createDataFrame(
+        [("u", None, 1, 1.0)], SCHEMA
+    )
+    with pytest.raises(Exception, match="null ts"):
+        sessionize(null_ts, GAP_MIN, bucket_hours=6).collect()
