@@ -258,6 +258,7 @@ def interval_join(
     granularity_s: int,
     broadcast_intervals: bool = False,
     key_cols: Sequence[str] = (),
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join each point row to every interval row whose half-open range
     ``[start, end)`` contains the point's timestamp.
@@ -279,6 +280,17 @@ def interval_join(
     busy global time bucket no longer crosses entities. This is the
     shape to use whenever the interval semantics are keyed; the keyed
     join also spreads the shuffle across the key space.
+
+    ``max_buckets_per_interval`` (r10): an interval RAISES at
+    execution when it would explode into more than this many buckets
+    — an interval much longer than the granularity (a year-long
+    maintenance window at 60s buckets = 525,600 bucket rows, built as
+    one in-row sequence array BEFORE exploding) OOMs silently
+    otherwise (measured: 200 such intervals killed an 8g heap before
+    the join ran). The error names the fix: coarser granularity, or
+    split long intervals, or route mixed-duration corpora through a
+    multi-resolution formulation (BUILD_NOTES round-11 pointer). Loud
+    failure, never a silent cap: no interval is dropped or trimmed.
     """
     bucket = (F.unix_micros(F.col(point_ts).cast("timestamp")) / F.lit(1_000_000)).cast(
         "long"
@@ -294,14 +306,30 @@ def interval_join(
         (F.unix_micros(F.col(end_col).cast("timestamp")) - F.lit(1))
         / F.lit(1_000_000)
     ).cast("long")
+    b_lo = F.floor(s_sec / F.lit(granularity_s)).cast("long")
+    b_hi = F.floor(e_sec / F.lit(granularity_s)).cast("long")
+    n_buckets = b_hi - b_lo + 1
+    checked_hi = F.when(
+        n_buckets <= F.lit(max_buckets_per_interval), b_hi
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_join: an interval spans more than "
+                    f"{max_buckets_per_interval} buckets at "
+                    f"granularity_s={granularity_s} ("
+                ),
+                n_buckets.cast("string"),
+                F.lit(
+                    " buckets); coarsen granularity_s, split long "
+                    "intervals, or raise max_buckets_per_interval"
+                ),
+            )
+        )
+    )
     iv = intervals.withColumn(
         "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(s_sec / F.lit(granularity_s)).cast("long"),
-                F.floor(e_sec / F.lit(granularity_s)).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(b_lo, checked_hi)),
     )
     if broadcast_intervals:
         iv = F.broadcast(iv)

@@ -388,3 +388,35 @@ def test_ewma_hand_computed(spark):
     # s = 10 -> 0.25*20+0.75*10 = 12.5 -> 0.25*30+0.75*12.5 = 16.875
     assert got[1].n_events == 3 and abs(got[1].ewma - 16.875) < 1e-9
     assert got[2].n_events == 1 and got[2].ewma == 7.5
+
+
+def test_interval_join_raises_on_bucket_explosion(spark):
+    """An interval spanning more than max_buckets_per_interval buckets
+    raises loudly at execution (r10: a year-long interval at 60s
+    granularity builds a 525,600-element in-row sequence array before
+    exploding — 200 of them OOM'd an 8g heap silently). Sane inputs
+    and a raised limit are unaffected."""
+    import pytest
+
+    from postgresimporter_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [("2024-01-05 00:00:00",)], "ts string"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts")
+    ivs = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2025-01-01 00:00:00")],
+        "s string, e string",
+    ).selectExpr(
+        "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e"
+    )
+    with pytest.raises(Exception, match="more than 1000 buckets"):
+        interval_join(
+            pts, ivs, "ts", "s", "e", granularity_s=60,
+            max_buckets_per_interval=1000,
+        ).collect()
+    # same join succeeds with the budget raised
+    n = interval_join(
+        pts, ivs, "ts", "s", "e", granularity_s=60,
+        max_buckets_per_interval=1_000_000,
+    ).count()
+    assert n == 1
