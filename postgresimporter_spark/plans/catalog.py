@@ -1186,6 +1186,13 @@ _DRIVER_GREEN = {
     # Green in CORRECTNESS_r09.json (round-9 driver window): q320 plus the
     # q50-q96 re-verify slice (already listed above under their r03 rows).
     "q320_spell_variants",
+    # Green in CORRECTNESS_r10.json (round-10 driver window): the nine
+    # skew-hardening queries q321-q329 plus the q90-q127 re-verify slice
+    # (already listed above under their r04 rows).
+    "q321_neardup_dupfamilies", "q322_ppjoin_dupfamilies",
+    "q323_audio_neardup_dupfamilies", "q324_audio_neardup_capped",
+    "q325_hamming_aligned_static", "q326_sessionize_hot_user",
+    "q327_asof_hot_key", "q328_quantile_hot_group", "q329_index_hot_token",
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
@@ -1193,7 +1200,7 @@ _SENTINELS = ["q01_pricing_summary", "q19_strip", "q23_table_counts"]
 
 # Round counter for the re-verification slice below.  Bumped once per
 # round alongside the _DRIVER_GREEN additions.
-_ROUND = 10
+_ROUND = 11
 
 # How many previously-green queries to rotate back into the head window
 # each round, so old greens keep getting re-sampled by the external gate
