@@ -48,7 +48,11 @@ events) — the plain per-user window pins that user to one task.
 ``asof_hot`` (r10) times the bucketed as-of join under the same skew
 (one symbol owns 3M right + 300k left rows). ``quantile_hot`` (r10)
 times range-ranked quantile normalization with one source owning 1M
-of 1.1M rows.
+of 1.1M rows. ``interval_mixed`` (r11) times the multi-level interval
+join on the mixed-duration corpus (2M points, 2,000 ten-minute + 200
+year-long intervals at 60s base granularity) — the shape single-level
+bucketing OOM'd on at fine granularity and funneled into ~37 global
+buckets at coarse.
 
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed
@@ -600,6 +604,62 @@ def _quantile_hot(spark):
     return quantile_normalize(rows, "src", "score", "_id", range_ranked=True)
 
 
+IVM_POINTS = 2_000_000
+IVM_SHORT = 2_000
+IVM_LONG = 200
+
+
+def _interval_mixed(spark):
+    """Multi-level interval join on the mixed-duration shape (the r11
+    q330 repro at probe scale, decode-free): 2M points, 2,000
+    ten-minute intervals plus 200 YEAR-LONG maintenance windows, keyed
+    over 50 keys, at 60s base granularity. Single-level at this
+    granularity built a 525,600-element in-row sequence array per long
+    interval and OOM'd an 8g heap before the join ran (r10 probe;
+    since 2b3335d it raises loudly instead); multi-level lands each
+    interval at its duration's bucket level (<= 2 rows each, points
+    probe one bucket per level present) — measured ~7.6s, 1%-sample
+    brute-force identical."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.temporal import interval_join
+
+    t0 = 1_700_000_000
+    pts = spark.range(IVM_POINTS).select(
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(F.lit(t0) + F.col("id") * 30).alias("ts"),
+        (F.col("id") % 50).alias("k"),
+    )
+    iv_short = (
+        spark.range(IVM_SHORT)
+        .select(
+            F.col("id").alias("iid"),
+            (F.col("id") % 50).alias("k"),
+            F.timestamp_seconds(F.lit(t0) + F.col("id") * 25_000).alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    iv_long = (
+        spark.range(IVM_LONG)
+        .select(
+            (F.col("id") + 1_000_000).alias("iid"),
+            (F.col("id") % 50).alias("k"),
+            F.timestamp_seconds(F.lit(t0) + F.col("id") * 86_400).alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 365 DAYS"))
+    )
+    return interval_join(
+        pts,
+        iv_short.unionByName(iv_long),
+        "ts",
+        "s",
+        "e",
+        granularity_s=60,
+        key_cols=["k"],
+        multi_level=True,
+    )
+
+
 def _ensure_ingest_csv(spark, base_dir: str, allow_env: bool = True) -> str | None:
     """Generate (once, cached) a multi-file CSV corpus from the bench
     scale's lineitem + orders tables — 8 + 4 prefix-grouped files, the
@@ -1051,6 +1111,16 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["quantile_hot"] = round(best, 3)
     run_counts["quantile_hot"] = n_runs
+
+    # r11 mixed-duration guard: multi-level interval join (2M points,
+    # minute + year intervals; see _interval_mixed)
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        _interval_mixed(spark).count()
+        best = min(best, time.perf_counter() - t0)
+    timings["interval_mixed"] = round(best, 3)
+    run_counts["interval_mixed"] = n_runs
 
     out = {
         "metric": "headline_queries_total_sec",

@@ -259,6 +259,7 @@ def interval_join(
     broadcast_intervals: bool = False,
     key_cols: Sequence[str] = (),
     max_buckets_per_interval: int = 100_000,
+    multi_level: bool = False,
 ) -> DataFrame:
     """Join each point row to every interval row whose half-open range
     ``[start, end)`` contains the point's timestamp.
@@ -289,9 +290,54 @@ def interval_join(
     otherwise (measured: 200 such intervals killed an 8g heap before
     the join ran). The error names the fix: coarser granularity, or
     split long intervals, or route mixed-duration corpora through a
-    multi-resolution formulation (BUILD_NOTES round-11 pointer). Loud
+    multi-resolution formulation (``multi_level=True``). Loud
     failure, never a silent cap: no interval is dropped or trimmed.
+
+    ``multi_level=True`` (r11): the MIXED-duration formulation. A
+    single global granularity has no good value when interval lengths
+    span orders of magnitude (the maintenance-window shape: thousands
+    of 10-minute incidents plus a few year-long windows): fine buckets
+    explode each long interval into span/granularity in-row sequence
+    rows (measured r10: 200 year-long intervals at 60s buckets =
+    525,600-element arrays each, OOM on an 8g heap before the join
+    ran), while coarse buckets funnel every point into a handful of
+    global bucket keys. The multi-resolution rewrite (the standard
+    binned range-join technique from the interval-tree literature)
+    removes the global knob:
+
+    * level-``l`` buckets are ``granularity_s * 2**l`` seconds wide;
+    * each interval is assigned to the SMALLEST level whose bucket
+      width >= its duration, so it covers AT MOST 2 buckets at its own
+      level — the explosion factor is <= 2 regardless of duration;
+    * each point probes exactly one bucket per DISTINCT LEVEL PRESENT
+      in the interval side (the level set is collected driver-side —
+      it is bounded by ~60 values and typically 1-3);
+    * the join is an equi-join on (level, bucket) [+ ``key_cols``]
+      refined by the exact range predicate. An interval lives at
+      exactly one level and a point probes one bucket per level, so
+      each matching pair is emitted exactly once.
+
+    ``granularity_s`` becomes the FINEST width (match it to the
+    SHORTEST typical interval); ``max_buckets_per_interval`` is
+    irrelevant (nothing ever explodes past 2 rows). Level assignment
+    and bucketing use exact integer microsecond arithmetic (float
+    ``log2`` is used only as a first guess, then corrected against
+    exact powers of two), so boundary durations can never land on a
+    level too fine for them. The distinct-level collect evaluates the
+    interval side once before the join — cache ``intervals`` first if
+    it is expensive to recompute (it is metadata-scale in this shape).
     """
+    if multi_level:
+        return _interval_join_multilevel(
+            points,
+            intervals,
+            point_ts,
+            start_col,
+            end_col,
+            granularity_s,
+            broadcast_intervals,
+            key_cols,
+        )
     bucket = (F.unix_micros(F.col(point_ts).cast("timestamp")) / F.lit(1_000_000)).cast(
         "long"
     ) / F.lit(granularity_s)
@@ -340,6 +386,186 @@ def interval_join(
             & (F.col(point_ts) < F.col(end_col))
         )
         .drop("_bucket")
+    )
+
+
+def _floor_div_expr(col_name: str, divisor: int) -> Column:
+    """Exact floor division of a long column by a positive int literal.
+
+    Pure integer arithmetic: SQL ``div`` truncates toward zero, so the
+    quotient is corrected down when the remainder is negative. Never
+    routed through doubles — epoch-microsecond magnitudes sit near
+    2**53 where double division can mis-floor by one at multiples.
+    """
+    q = F.expr(f"{col_name} div CAST({divisor} AS BIGINT)")
+    r = F.expr(f"{col_name} % CAST({divisor} AS BIGINT)")
+    return F.when(r < 0, q - 1).otherwise(q)
+
+
+def _interval_join_multilevel(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    granularity_s: int,
+    broadcast_intervals: bool,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Multi-resolution bucketed interval join (see ``interval_join``
+    docstring, ``multi_level=True``). Exact-integer level assignment:
+    float ``log2`` only proposes a level; the final pick is the
+    smallest of {l0-1, l0, l0+1} whose exact power of two covers the
+    duration ratio, so an interval can never land on a level whose
+    bucket is narrower than the interval (which would make it span 3
+    buckets and silently miss middle-bucket points).
+    """
+    if granularity_s < 1:
+        raise ValueError(
+            f"granularity_s must be >= 1, got {granularity_s}"
+        )
+    p_internal = {"_pbase", "_probe", "_lvl", "_bucket"}
+    iv_internal = {
+        "_s_us", "_e_us", "_ratio", "_l0", "_lvl", "_base_lo",
+        "_base_hi", "_bucket",
+    }
+    for side, df, names in (
+        ("points", points, p_internal),
+        ("intervals", intervals, iv_internal),
+    ):
+        clash = names.intersection(df.columns)
+        if clash:
+            raise ValueError(
+                f"interval_join(multi_level=True): {side} columns "
+                f"clash with internal names {sorted(clash)}; rename "
+                "them before the join"
+            )
+    g_us = granularity_s * 1_000_000
+    # Largest level whose bucket width g_us * 2**l still fits in a
+    # long. For granularity_s=60 this is level 36 (~4 million years of
+    # bucket width) — unreachable by sane data, but a malformed
+    # timestamp pair must raise with attribution, not overflow.
+    max_level = 62 - g_us.bit_length()
+
+    def p2(lvl: Column) -> Column:
+        # 2**l exactly: powers of two are exact in double up to 2**62,
+        # and the cast back to long is exact below 2**63.
+        return F.pow(F.lit(2.0), lvl.cast("double")).cast("long")
+
+    iv = intervals.withColumn(
+        "_s_us", F.unix_micros(F.col(start_col).cast("timestamp"))
+    ).withColumn(
+        "_e_us", F.unix_micros(F.col(end_col).cast("timestamp"))
+    )
+    # ratio = ceil(duration / g) in pure integer arithmetic; empty or
+    # null intervals clamp to 1 (level 0) and match nothing downstream,
+    # identical to the exact range predicate's SQL semantics.
+    iv = iv.withColumn(
+        "_ratio",
+        F.greatest(
+            F.expr(
+                f"(_e_us - _s_us + CAST({g_us - 1} AS BIGINT)) "
+                f"div CAST({g_us} AS BIGINT)"
+            ),
+            F.lit(1).cast("long"),
+        ),
+    ).withColumn("_l0", F.ceil(F.log2(F.col("_ratio"))).cast("int"))
+    lvl = (
+        F.when(
+            (F.col("_l0") > 0) & (p2(F.col("_l0") - 1) >= F.col("_ratio")),
+            F.col("_l0") - 1,
+        )
+        .when(p2(F.col("_l0")) >= F.col("_ratio"), F.col("_l0"))
+        .otherwise(F.col("_l0") + 1)
+    )
+    lvl_checked = F.when(lvl <= F.lit(max_level), lvl).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_join(multi_level=True): an interval's "
+                    f"duration needs bucket level "
+                ),
+                lvl.cast("string"),
+                F.lit(
+                    f" but level {max_level} is the widest that fits "
+                    f"in a long at granularity_s={granularity_s}; the "
+                    "interval's timestamps are almost certainly "
+                    "corrupt (a multi-million-year span)"
+                ),
+            )
+        )
+    )
+    iv = iv.withColumn("_lvl", lvl_checked.cast("int"))
+    # Nested-floor identity: floor(x / (g * 2**l)) equals the level-0
+    # bucket arithmetically shifted right by l (arithmetic shift floors
+    # negatives), so one exact div per timestamp serves every level.
+    iv = (
+        iv.withColumn("_base_lo", _floor_div_expr("_s_us", g_us))
+        .withColumn(
+            "_base_hi",
+            F.when(
+                F.col("_e_us").isNotNull(),
+                _floor_div_expr("(_e_us - 1)", g_us),
+            ),
+        )
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr("shiftright(_base_lo, _lvl)"),
+                        F.expr("shiftright(_base_hi, _lvl)"),
+                    )
+                )
+            ),
+        )
+        .drop("_s_us", "_e_us", "_ratio", "_l0", "_base_lo", "_base_hi")
+    )
+
+    # Metadata-scale collect: the level set is bounded by max_level
+    # (~60) values and typically 1-3. This evaluates the interval side
+    # once before the join — it is the small side in this shape; cache
+    # it first if it is expensive to recompute.
+    level_rows = iv.select("_lvl").distinct().collect()
+    levels = sorted(r["_lvl"] for r in level_rows if r["_lvl"] is not None)
+    if not levels:
+        # Empty interval side: keep the plan shape (and output schema)
+        # with a single dead probe level; the inner join against zero
+        # interval rows returns the correctly-typed empty result.
+        levels = [0]
+
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+
+    p = points.withColumn(
+        "_pbase",
+        _floor_div_expr(
+            f"unix_micros(CAST({point_ts} AS TIMESTAMP))", g_us
+        ),
+    )
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(l).cast("int").alias("_lvl"),
+                    F.shiftright(F.col("_pbase"), l).alias("_bucket"),
+                )
+                for l in levels
+            ]
+        )
+    ).alias("_probe")
+    p = p.select("*", probe).select(
+        *points.columns,
+        F.col("_probe._lvl").alias("_lvl"),
+        F.col("_probe._bucket").alias("_bucket"),
+    )
+    return (
+        p.join(iv, on=[*key_cols, "_lvl", "_bucket"])
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_lvl", "_bucket")
     )
 
 

@@ -1047,6 +1047,10 @@ def registry() -> dict[str, QueryDef]:
 
     for q in batch80_registry():
         out[q.name] = q
+    from .catalog_batch81 import batch81_registry
+
+    for q in batch81_registry():
+        out[q.name] = q
     return _rotate_for_verification(out)
 
 

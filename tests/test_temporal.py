@@ -420,3 +420,168 @@ def test_interval_join_raises_on_bucket_explosion(spark):
         max_buckets_per_interval=1_000_000,
     ).count()
     assert n == 1
+
+
+# interval_join multi_level ---------------------------------------------------
+
+
+def test_interval_join_multilevel_identity_vs_single_level(spark):
+    """On a corpus the single-level path handles, multi_level=True must
+    return the identical pair set (the decomposition is an identity
+    rewrite, not an approximation)."""
+    base = dt.datetime(2024, 1, 1)
+
+    def m(n: int) -> dt.datetime:
+        return base + dt.timedelta(minutes=n)
+
+    pts = spark.createDataFrame(
+        [(i, m(3 * i)) for i in range(40)], ["pid", "ts"]
+    )
+    iv = _intervals(
+        spark,
+        [
+            (100, m(2), m(12)),
+            (200, m(4), m(6)),
+            (300, m(50), m(90)),
+            (400, m(0), m(120)),
+        ],
+    )
+    a = sorted(
+        (r.pid, r.iid)
+        for r in TP.interval_join(
+            pts, iv, "ts", "start_ts", "end_ts", granularity_s=60
+        ).collect()
+    )
+    b = sorted(
+        (r.pid, r.iid)
+        for r in TP.interval_join(
+            pts, iv, "ts", "start_ts", "end_ts", granularity_s=60,
+            multi_level=True,
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_interval_join_multilevel_mixed_durations(spark):
+    """The shape the single-level path REJECTS (r10 bucket-budget
+    guard): minute-scale intervals mixed with a year-long window at
+    60s base granularity. Multi-level must match a brute-force range
+    join exactly, including half-open boundaries at every level."""
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=7 * i)) for i in range(600)],
+        ["pid", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(hours=14), base + dt.timedelta(hours=14, minutes=10)),
+            (2, base + dt.timedelta(days=2), base + dt.timedelta(days=3)),
+            (3, base - dt.timedelta(days=10), base + dt.timedelta(days=400)),
+            (4, base, base),  # empty: matches nothing
+        ],
+        ["iid", "start_ts", "end_ts"],
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in TP.interval_join(
+            pts, iv, "ts", "start_ts", "end_ts", granularity_s=60,
+            multi_level=True,
+        ).collect()
+    )
+    exp = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(
+            iv,
+            (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("end_ts")),
+        ).collect()
+    )
+    assert got == exp and len(got) > 0
+    assert not any(i == 4 for _, i in got)
+
+
+def test_interval_join_multilevel_level_boundary_durations(spark):
+    """Durations exactly at bucket-width powers of two (where a float
+    log2 could mis-level): an interval of exactly g*2^l seconds may
+    start mid-bucket and span two buckets — every contained point must
+    still match exactly once."""
+    base = dt.datetime(2024, 1, 1)
+    ivs = []
+    for j, secs in enumerate([60, 120, 240, 480, 960, 61, 119, 241]):
+        s = base + dt.timedelta(seconds=30 + 1000 * j)
+        ivs.append((j, s, s + dt.timedelta(seconds=secs)))
+    iv = spark.createDataFrame(ivs, ["iid", "start_ts", "end_ts"])
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=i)) for i in range(0, 9000, 7)],
+        ["pid", "ts"],
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in TP.interval_join(
+            pts, iv, "ts", "start_ts", "end_ts", granularity_s=60,
+            multi_level=True,
+        ).collect()
+    )
+    exp = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(
+            iv,
+            (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("end_ts")),
+        ).collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_interval_join_multilevel_keyed_and_nulls(spark):
+    """key_cols joins per (key, level, bucket); null timestamps on
+    either side match nothing (SQL range-predicate semantics), and
+    pre-1970 (negative-epoch) timestamps bucket correctly (arithmetic
+    shift floors negatives)."""
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [
+            (1, "a", base + dt.timedelta(minutes=5)),
+            (2, "b", base + dt.timedelta(minutes=5)),
+            (3, "a", None),
+            (4, "a", dt.datetime(1969, 6, 15)),
+        ],
+        ["pid", "k", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [
+            (10, "a", base, base + dt.timedelta(minutes=10)),
+            (20, "b", base, base + dt.timedelta(minutes=10)),
+            (30, "a", dt.datetime(1969, 6, 1), dt.datetime(1969, 7, 1)),
+            (40, "a", base, None),
+        ],
+        ["iid", "k", "start_ts", "end_ts"],
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in TP.interval_join(
+            pts, iv, "ts", "start_ts", "end_ts", granularity_s=60,
+            key_cols=["k"], multi_level=True,
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 20), (4, 30)]
+
+
+def test_interval_join_multilevel_empty_intervals_and_clash(spark):
+    import pytest
+
+    pts = spark.createDataFrame([(1, _ts(5))], ["pid", "ts"])
+    iv = _intervals(spark, [(1, _ts(0), _ts(10))]).where(F.lit(False))
+    out = TP.interval_join(
+        pts, iv, "ts", "start_ts", "end_ts", granularity_s=60,
+        multi_level=True,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"pid", "ts", "iid", "start_ts", "end_ts"}
+    with pytest.raises(ValueError, match="_bucket"):
+        TP.interval_join(
+            pts.withColumn("_bucket", F.lit(1)),
+            _intervals(spark, [(1, _ts(0), _ts(10))]),
+            "ts", "start_ts", "end_ts", granularity_s=60,
+            multi_level=True,
+        )
