@@ -51,19 +51,43 @@ def cooccurrence_edges(
     """Distinct undirected co-occurrence edges ``(src < dst)`` from a
     (container, item) relation.
 
-    With ``max_container_size`` set (the recommended mode): a
-    count_distinct pre-filter (two-phase, skew-immune) drops over-cap
-    containers BEFORE anything collects, then one groupBy collects
-    each survivor's distinct item set (<= cap elements per buffer by
-    construction) and the pairwise expansion happens executor-side
-    over the per-container sorted array — no self-join over the
-    items. Measured at sf0.1 this beats the
-    distinct→self-join→distinct layout with identical output, and the
-    pre-filter is what makes the cap protect MEMORY, not just the
-    array: both the O(n²) in-row pair array and the collect_set
-    buffer are single unspillable values (a 40M-item mega-hub
-    container OOM'd a 5g heap when the cap was applied after the
-    collect; pre-filtered, the same input completes).
+    Rows whose container key is NULL are EXCLUDED in both paths (a
+    NULL container is not a container: two rows with NULL keys are
+    not known to share anything, the same semantics the uncapped
+    path's equi-join always had). The exclusion is an explicit
+    pushdown-friendly filter, pinned by test — before r11 the capped
+    path's behavior at null keys was an undocumented join side effect
+    (ADVICE r10).
+
+    With ``max_container_size`` set (the recommended mode): over-cap
+    containers are dropped BEFORE anything collects — the collect_set
+    buffer is a single unspillable agg state, and filtering after
+    collecting bounds the O(n²) pair array but not the memory that
+    builds it (a 40M-item mega-hub container OOM'd a 5g heap when the
+    cap was applied after the collect; pre-filtered, the same input
+    completes). The gate is two-stage so hub safety costs ~nothing on
+    hub-free inputs (r11; the always-on count_distinct + sort-merge
+    join gate cost the graph tier ~2.2x at sf1):
+
+    1. raw row count per container (map-side partials, tiny shuffle);
+       containers at <= cap raw rows are provably under the distinct
+       cap and skip straight to the collect;
+    2. distinct-count ONLY the suspects (raw > cap — duplicates may
+       still put them under the distinct cap), keeping the drop rule
+       identical to the old gate: DISTINCT item count > cap;
+    3. the drop set broadcasts into one anti-join (container keys
+       only, a few bytes per mega-hub). Contract: over-cap containers
+       are anomalies (crawler traps, catch-all playlists) — a corpus
+       with millions of them exceeds the anomaly-guard design and
+       fails LOUDLY in the broadcast exchange, never silently;
+       survivor buffers stay <= cap distinct elements by
+       construction either way.
+
+    Survivors collect in one groupBy (collect_set dedups in the agg,
+    so no pre-distinct pass) and the pairwise expansion happens
+    executor-side over the per-container sorted array — no self-join
+    over the items. Measured at sf0.1 this beats the
+    distinct→self-join→distinct layout with identical output.
 
     Without a cap, the operator falls back to the container-key
     self-equi-join: the same pairs emerge as ordinary join-output ROWS
@@ -76,12 +100,13 @@ def cooccurrence_edges(
     recommendation weight) — via the same single-shuffle layout, with
     the final distinct replaced by a count aggregate.
     """
+    keyed = items.select(
+        F.col(container_col).alias("_c"), F.col(item_col).alias("src")
+    ).where(F.col("_c").isNotNull())
     if max_container_size is None:
         # distinct is needed here (the join would pair duplicate item
         # rows); checkpoint it — both join sides read it
-        a = items.select(
-            F.col(container_col).alias("_c"), F.col(item_col).alias("src")
-        ).distinct().localCheckpoint(eager=False)
+        a = keyed.distinct().localCheckpoint(eager=False)
         b = a.select("_c", F.col("src").alias("dst"))
         joined = (
             a.join(b, on="_c")
@@ -93,28 +118,26 @@ def cooccurrence_edges(
                 F.count("*").cast("long").alias("n_shared")
             )
         return joined.distinct()
-    # no pre-distinct in this path: collect_set dedups per container,
-    # so the groupBy is the ONE shuffle over the input. The size cap
-    # is enforced BEFORE the collect (r10): a count_distinct
-    # pre-filter is a two-phase skew-immune aggregate, so an
-    # over-cap mega-hub container (one container holding a large
-    # fraction of the input) is dropped without ever building its
-    # collect_set buffer — the buffer is a single unspillable agg
-    # state, and filtering after collecting would bound the pair
-    # array but not the memory that builds it. Survivor buffers are
-    # <= max_container_size elements by construction.
-    # both the pre-filter aggregate and the join read this branch
-    keyed = items.select(
-        F.col(container_col).alias("_c"), F.col(item_col).alias("src")
-    ).localCheckpoint(eager=False)
-    small = (
+    # Two-stage hub gate (see docstring). No checkpoint of the full
+    # input: every branch is a deterministic projection of the same
+    # scan, and materializing the whole (container, item) relation
+    # cost more than the reads it saved (r11 A/B: 5.7s -> 2.6s at
+    # sf1 with identical output).
+    suspects = (
         keyed.groupBy("_c")
+        .agg(F.count("*").alias("_nr"))
+        .where(F.col("_nr") > max_container_size)
+        .select("_c")
+    )
+    over_cap = (
+        keyed.join(F.broadcast(suspects), on="_c")
+        .groupBy("_c")
         .agg(F.count_distinct("src").alias("_n"))
-        .where(F.col("_n") <= max_container_size)
+        .where(F.col("_n") > max_container_size)
         .select("_c")
     )
     sets = (
-        keyed.join(small, on="_c")
+        keyed.join(F.broadcast(over_cap), on="_c", how="left_anti")
         .groupBy("_c")
         .agg(F.sort_array(F.collect_set("src")).alias("_items"))
     )

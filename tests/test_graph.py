@@ -253,3 +253,37 @@ def test_cooccurrence_cap_prefilter_semantics(spark):
         for r in cooccurrence_edges(df, "c", "item").collect()
     }
     assert len(uncapped) == len(want) + 12 * 11 // 2
+
+
+def test_cooccurrence_null_container_excluded_both_paths(spark):
+    """NULL container keys are excluded in BOTH paths (explicit
+    filter, r11): a NULL container is not a container, matching the
+    equi-join semantics the uncapped path always had. Before r11 the
+    capped path's null behavior was an undocumented side effect of its
+    gate join (ADVICE r10: the r10 gate dropped nulls, the pre-r10
+    gate kept them — neither documented nor tested)."""
+    from postgresimporter_spark.operators.graph import cooccurrence_edges
+
+    rows = [
+        ("c1", "a"), ("c1", "b"),
+        (None, "x"), (None, "y"), (None, "z"),
+    ]
+    df = spark.createDataFrame(rows, "c string, item string")
+    want = {("a", "b")}
+    capped = {
+        (r.src, r.dst)
+        for r in cooccurrence_edges(
+            df, "c", "item", max_container_size=10
+        ).collect()
+    }
+    uncapped = {
+        (r.src, r.dst) for r in cooccurrence_edges(df, "c", "item").collect()
+    }
+    counted = {
+        (r.src, r.dst, r.n_shared)
+        for r in cooccurrence_edges(
+            df, "c", "item", max_container_size=10, count_pairs=True
+        ).collect()
+    }
+    assert capped == want and uncapped == want
+    assert counted == {("a", "b", 1)}
