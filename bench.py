@@ -72,10 +72,22 @@ divided by the overlap's MEDIAN raw ratio (``median_raw_ratio``, also
 emitted) — the robust environment estimator, since most overlap
 queries are bit-identical code round-over-round. 1.0 means "moved
 with the session", a high outlier means a real per-query regression.
-The calibration probe is emitted for reference but is NOT the
-denominator (measured ±40% between same-machine runs). Sub-second
-headline queries run min-of-5 (SPARK_GRAFT_SUBSEC_RUNS) so one noisy
-run can't masquerade as a regression.
+Sub-second headline queries run min-of-5 (SPARK_GRAFT_SUBSEC_RUNS) so
+one noisy run can't masquerade as a regression.
+
+Drift-signal precedence (VERDICT r10 #4): (1) ``median_raw_ratio``
+over the identically-timed overlap is THE denominator — most overlap
+queries are bit-identical code round-over-round, so their median ratio
+is the most representative environment estimator available. (2)
+``spark_calibration_rel`` (the r11 shuffle-representative probe: a
+fixed two-shuffle groupBy job, min-of-5) is the tiebreaker when the
+median's basis is small or a delta needs attribution independent of
+the query code — it pays scheduler + exchange costs like real queries
+do. (3) ``calibration_rel`` (the CPU-only codegen probe) is kept for
+cross-round continuity but is the WEAKEST signal: it measures raw CPU
+only and disagreed in sign with the query median in r10 (0.854 vs
+1.122) precisely because the drift was not CPU-shaped; when (2) and
+(3) disagree, trust (2).
 
 Denominator bias fix (VERDICT r09 #3): min-of-5 applies only to
 sub-second queries, so a round that INTRODUCES it (or a query that
@@ -790,6 +802,36 @@ def _calibration(spark, n_runs: int) -> float:
     return round(best, 3)
 
 
+def _spark_calibration(spark, n_runs: int) -> float:
+    """Shuffle-representative calibration probe (VERDICT r10 #4): a
+    fixed small Spark job over deterministic input that pays the costs
+    the catalog's queries actually pay — two shuffles (a wide groupBy
+    then a re-aggregation), hash exchange, multi-stage scheduling —
+    unlike ``_calibration`` above, which is pure whole-stage-codegen
+    CPU and can move OPPOSITE to real queries when the environment
+    shift is in scheduler latency or shuffle I/O rather than raw CPU
+    (r10: probe 0.854 vs query median 1.122, sign disagreement, so the
+    official record could not self-adjudicate). Min-of-5+ like the CPU
+    probe, same session, no data dependency."""
+    from pyspark.sql import functions as F
+
+    if n_runs > 1:
+        n_runs = max(n_runs, 5)
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).select(
+            (F.col("id") % 500_000).alias("k"),
+            (F.xxhash64("id") % 97).alias("v"),
+        ).groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("*").alias("n")
+        ).groupBy((F.col("k") % 1_000).alias("b")).agg(
+            F.sum("s").alias("s"), F.sum("n").alias("n")
+        ).orderBy("b").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _time_queries(
     spark,
     reg,
@@ -954,6 +996,7 @@ def _compact_record(out: dict, sidecar_name: str | None) -> dict:
         "sf": out["sf"],
         "calibration_sec": out["calibration_sec"],
         "calibration_ratio": out["calibration_ratio"],
+        "spark_calibration_sec": out.get("spark_calibration_sec"),
     }
     if "sf1" in out:
         compact["sf1"] = {
@@ -970,6 +1013,7 @@ def _compact_record(out: dict, sidecar_name: str | None) -> dict:
                 "median_raw_ratio",
                 "median_basis_n",
                 "calibration_rel",
+                "spark_calibration_rel",
                 "sf1_median_raw_ratio",
             )
             if k in nd
@@ -1023,6 +1067,7 @@ def main() -> None:
         else 0
     )
     calibration = _calibration(spark, n_runs)
+    spark_calibration = _spark_calibration(spark, n_runs)
     timings, run_counts = _time_queries(
         spark, reg, HEADLINE, sf_dir, n_runs, subsec_runs=subsec_runs
     )
@@ -1130,6 +1175,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
         "calibration_ratio": round(calibration / CALIBRATION_REF_SEC, 3),
+        "spark_calibration_sec": spark_calibration,
         "runs": run_counts,
     }
 
@@ -1213,6 +1259,11 @@ def main() -> None:
             "median_basis_n": basis_n,
             "excluded_from_median": excluded,
             "calibration_rel": round(calibration / pcal, 3) if pcal else None,
+            "spark_calibration_rel": (
+                round(spark_calibration / pdata["spark_calibration_sec"], 3)
+                if pdata.get("spark_calibration_sec")
+                else None
+            ),
             "queries": deltas,
         }
         if "sf1" in out:
