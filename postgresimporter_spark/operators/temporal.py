@@ -185,24 +185,32 @@ def asof_join(
             .orderBy("_skey")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        # both the summary aggregate and the final join read this
-        # branch: checkpoint so the fill window runs once and tie
-        # resolution (non-total (ts, tag) orders are caller territory
-        # per the Ties paragraph) can never diverge between readers
         within = unioned.select(
             "*",
             *[
                 F.last(src, ignorenulls=True).over(wb).alias(f"_wf{i}")
                 for i, (src, _) in enumerate(fill_cols)
             ],
-        ).localCheckpoint(eager=False)
-        # per-bucket summary: each column's value at the bucket's last
-        # scan row (max _skey) = the bucket's last non-null, since the
-        # within fill has already carried it there
-        summ = within.groupBy("_k", "_bkt").agg(
+        )
+        # per-bucket summary: each column's last non-null RAW value in
+        # scan order — max_by over (skey where the value is non-null),
+        # a plain aggregate of the pre-window branch. This equals the
+        # fill window's value at the bucket's last row BY DEFINITION
+        # whenever _skey is total per (key, bucket), i.e. no duplicate
+        # (ts, tag) rows per key — the same tie contract the Ties
+        # paragraph already places on callers (and on which the plain
+        # path's own output is order-unstable anyway). Computing it
+        # window-free keeps ONE window evaluation in the whole plan
+        # without checkpointing the full union (r11: the full-row
+        # localCheckpoint materialized every column of left+right and
+        # cost more than the second read it saved — asof_hot 2.38s ->
+        # 1.88s same-session min-of-3 on removal, output identical).
+        summ = unioned.groupBy("_k", "_bkt").agg(
             *[
-                F.max_by(f"_wf{i}", "_skey").alias(f"_bl{i}")
-                for i in range(len(fill_cols))
+                F.max_by(
+                    src, F.when(F.col(src).isNotNull(), F.col("_skey"))
+                ).alias(f"_bl{i}")
+                for i, (src, _) in enumerate(fill_cols)
             ]
         )
         bkt_order = (
