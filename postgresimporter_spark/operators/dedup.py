@@ -904,7 +904,10 @@ def hamming_pairs_mih(
     align columns (equal across the pair, emitted once). A caller
     that filters pair alignment AFTER this join should pass the
     column here instead — same result, none of the quadratic
-    cross-align waste.
+    cross-align waste. Rows with a NULL align value match NOTHING
+    (SQL equality semantics, identical to the documented post-filter
+    equivalence: ``a.col = b.col`` is never true at null) — impute or
+    drop null align values upstream if they should pair.
     """
     if bits % blocks:
         raise ValueError("bits must divide evenly into blocks")

@@ -99,7 +99,14 @@ def sessionize(
             "the boundary-resolution order)"
         )
     cols = events.columns
-    clash = {"_ts_us", "_bkt", "_iflag", "session_id"}.intersection(cols)
+    # every internal name the branch generates (ADVICE r10): the
+    # summary-side aliases too, so a column named _bflag raises here
+    # instead of as an ambiguous-column error deep in the plan
+    clash = {
+        "_ts_us", "_bkt", "_iflag", "session_id",
+        "_first_us", "_last_us", "_ibreaks",
+        "_bflag", "_base", "_s_uid", "_s_bkt",
+    }.intersection(cols)
     if clash:
         raise ValueError(
             f"bucketed sessionize: input columns collide with internal "

@@ -152,7 +152,15 @@ def asof_join(
                     f"timestamps; {col!r} is "
                     f"{df.schema[col].dataType.simpleString()}"
                 )
-        clash = {"_ts_us", "_bkt", "_skey"}.intersection(lcols)
+        # every internal name the branch generates, not just the first
+        # tier (ADVICE r10: a left column named _wf0 passed the old
+        # guard and failed later as an ambiguous-column
+        # AnalysisException deep in the plan instead of a clear error)
+        internal = {"_ts_us", "_bkt", "_skey", "_c_k", "_c_bkt"}
+        internal.update(f"_wf{i}" for i in range(len(value_cols) + 1))
+        internal.update(f"_bl{i}" for i in range(len(value_cols) + 1))
+        internal.update(f"_ci{i}" for i in range(len(value_cols) + 1))
+        clash = internal.intersection(lcols)
         if clash:
             raise ValueError(
                 "bucketed asof_join: left columns collide with "

@@ -185,3 +185,28 @@ def test_bucketed_asof_null_key_and_validation(spark):
     )
     with pytest.raises(Exception, match="null join"):
         asof_join(null_ts_l, rdf, bucket_hours=6, **kw).collect()
+
+
+def test_bucketed_asof_full_internal_clash_set(spark):
+    """The clash guard covers EVERY internal name the branch generates
+    (ADVICE r10): a left column named _wf0 or _ci0 raises the clear
+    ValueError, not an ambiguous-column AnalysisException mid-plan."""
+    import datetime as dt
+
+    import pytest
+
+    from postgresimporter_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    right = spark.createDataFrame(
+        [(1, t0, 5.0)], "k long, ts timestamp, v double"
+    )
+    for bad in ["_wf0", "_ci0", "_c_k", "_c_bkt", "_bl0"]:
+        left = spark.createDataFrame(
+            [(1, t0, 1.0)], f"k long, ts timestamp, `{bad}` double"
+        )
+        with pytest.raises(ValueError, match="internal names"):
+            asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                value_cols=["v"], bucket_hours=6,
+            )

@@ -196,3 +196,25 @@ def test_mih_align_cols_rejects_reserved_names(spark):
     df = spark.createDataFrame([(1, 2, 7)], "id long, fp long, simhash long")
     with pytest.raises(ValueError, match="align_cols"):
         hamming_pairs_mih(df, align_cols=["fp"])
+
+
+def test_mih_align_cols_null_matches_nothing(spark):
+    """A NULL align value matches nothing (SQL equality semantics,
+    ADVICE r10): two identical fingerprints with null slots pair
+    neither with each other nor with non-null slots."""
+    from postgresimporter_spark.operators.dedup import hamming_pairs_mih
+
+    rows = [
+        ("a", 1, 42), ("b", 1, 42),       # pair (equal slot)
+        ("c", None, 42), ("d", None, 42), # null slots: no pairs
+        ("e", 2, 42),                     # lone slot: no partner
+    ]
+    df = spark.createDataFrame(rows, "id string, slot int, simhash long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_pairs_mih(
+            df, bits=64, blocks=4, max_hamming=10,
+            id_col="id", hash_col="simhash", align_cols=["slot"],
+        ).collect()
+    }
+    assert got == {("a", "b")}

@@ -159,3 +159,22 @@ def test_bucketed_null_user_and_validation(spark):
     )
     with pytest.raises(Exception, match="null ts"):
         sessionize(null_ts, GAP_MIN, bucket_hours=6).collect()
+
+
+def test_sessionize_full_internal_clash_set(spark):
+    """The clash guard covers the summary-side internal names too
+    (ADVICE r10): a column named _bflag/_base/_s_uid/_s_bkt raises the
+    clear ValueError, not an ambiguous-column error mid-plan."""
+    import pytest
+
+    from postgresimporter_spark.operators.sessionize import sessionize
+
+    ev = spark.createDataFrame(
+        [("u", __import__("datetime").datetime(2024, 1, 1), 1, 1.0)],
+        SCHEMA,
+    )
+    for bad in ["_bflag", "_base", "_s_uid", "_s_bkt", "_ibreaks"]:
+        with pytest.raises(ValueError, match="internal names"):
+            sessionize(
+                ev.withColumn(bad, F.lit(1)), 30, bucket_hours=6
+            )
