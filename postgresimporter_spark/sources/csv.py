@@ -10,9 +10,12 @@ pruning/pushdown from Catalyst.
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
 
 # BOM table, longest-prefix first (UTF-32 LE starts with the UTF-16 LE
 # BOM bytes — order matters).
@@ -44,10 +47,16 @@ def detect_encoding(
     4. otherwise → ``ISO-8859-1`` (decodes any byte sequence; the
        standard fallback for legacy single-byte dumps).
 
-    Driver-side, reads at most ``sample_size`` bytes.
+    Driver-side, reads at most ``sample_size`` bytes. Paths local IO
+    cannot open (s3://, hdfs://, file:/ URIs — r11) return ``UTF-8``:
+    Spark's own default for cluster-storage scans, and the sniff is a
+    best-effort nicety for legacy local dumps, not a gate.
     """
-    with open(path, "rb") as fh:
-        head = fh.read(sample_size)
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(sample_size)
+    except OSError:
+        return "UTF-8"
     for bom, enc in _BOMS:
         if head.startswith(bom):
             return enc
@@ -182,13 +191,35 @@ def read_csv_group(
     operators in the plan, file-level parallelism for free.
 
     ``strict_schema`` reproduces the reference's LIKE-first-file check:
-    every file's header must equal the first file's header.
+    every file's header must equal the first file's header. The check
+    is deliberately STRICTER than the reference's actual failure mode:
+    Postgres UNION ALL is positional, so the reference silently
+    combines PERMUTED same-count all-text headers misassigned and only
+    errors on a column-count mismatch (main.py:247's "column does not
+    exist" is the commented-out WHERE, not the union). Spark's
+    multi-path scan is positional too — and in PERMISSIVE mode a
+    count drift doesn't even error: measured, a dropped column
+    null-pads and a gained column truncates, both silently. Exact
+    header equality is therefore the only drift guard in the plan, so
+    it must actually run: headers unreadable by local IO (s3://,
+    hdfs://) fall back to a driver-side read through the JVM's Hadoop
+    FileSystem (one ~KB open per file, no Spark jobs), and a file
+    whose header cannot be read either way is WARNED about by name —
+    never silently waved through.
     """
     if strict_schema and len(files) > 1:
-        first = _header(files[0])
+        first = _header(files[0], spark)
         for f in files[1:]:
-            cols = _header(f)
-            if cols is not None and first is not None and cols != first:
+            cols = _header(f, spark)
+            if cols is None or first is None:
+                log.warning(
+                    "combine header check skipped for %s: header "
+                    "unreadable; a permuted or drifted header in this "
+                    "file would combine positionally without error",
+                    f if cols is None else files[0],
+                )
+                continue
+            if cols != first:
                 raise ValueError(
                     f"schema mismatch combining {f}: {cols} != {first} "
                     "(reference LIKE-first-file semantics, main.py:247)"
@@ -196,11 +227,18 @@ def read_csv_group(
     return read_csv_all_text(spark, files, multiline=multiline)
 
 
-def _header(path: str | Path) -> list[str] | None:
+def _header(
+    path: str | Path, spark: SparkSession | None = None
+) -> list[str] | None:
     """First-line header via direct IO — no Spark job per file (a
     per-file spark.read just to compare headers serializes N job setups
-    on the driver). Non-local paths return None (check skipped; the
-    union read will still fail on column-count mismatch)."""
+    on the driver). Paths local IO cannot open (s3://, hdfs://, file:/
+    URIs) are read through the JVM's Hadoop FileSystem when a session
+    is provided — still driver-side and Spark-job-free, one small open
+    per file, so the LIKE-first check holds on cluster storage where
+    100 TB inputs actually live. Returns None only when the header is
+    unreadable both ways (callers must treat that as unverified, not
+    as verified)."""
     import csv as _csv
 
     try:
@@ -213,4 +251,26 @@ def _header(path: str | Path) -> list[str] | None:
         ) as fh:
             return next(_csv.reader(fh))
     except (OSError, StopIteration, UnicodeDecodeError):
+        pass
+    if spark is None:
+        return None
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(str(path))
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
+        )
+        try:
+            line = reader.readLine()
+        finally:
+            reader.close()
+        if line is None:
+            return None
+        import io
+
+        return next(_csv.reader(io.StringIO(line.lstrip("﻿"))))
+    except Exception:  # noqa: BLE001 — unreadable means unverified
         return None

@@ -121,7 +121,21 @@ def stream_sessionize(
     """Stateful sessionization via ``session_window`` — the streaming
     counterpart of operators/sessionize.py (same gap semantics; batch
     uses the SQL-expressible gaps-and-islands form, streaming uses the
-    native session window whose state merges as events arrive)."""
+    native session window whose state merges as events arrive).
+
+    Hot-key posture (r11 probe, measured on the q326-style bot corpus
+    — one user owning 4M of 4.4M events on a dense timeline): state
+    does NOT grow with the bot's row count — arriving events merge
+    into the key's open session aggregate (1,313 state rows total for
+    a 4.4M-row drain), so a bot cannot OOM the state store. The honest
+    caveat is LATENCY, inherent to session semantics: a session only
+    emits (append mode) once the watermark passes its close, so a bot
+    that never pauses longer than the gap holds ONE ever-open session
+    that never emits (0 bot rows in the probe's output vs 387,931
+    closed spread-user sessions). Bound it where needed by capping
+    session length upstream (split ts into coarse chunks) — a silent
+    cap here would diverge from the batch operator's oracle-pinned
+    gap semantics."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(

@@ -9,6 +9,19 @@ online quantile sketches, per-entity anomaly state...).
 Scale posture: state is per-key (user_id) and O(1) per key; keys are
 distributed across executors by the groupBy hash; idle keys are evicted
 by the processing-time timeout rather than growing forever.
+
+Hot-key posture (r11 probe, measured on the q326-style bot corpus —
+one user owning 4M of 4.4M rows): state stays O(1) regardless of key
+skew (three scalars; 10,001 state rows for 10,001 keys) and the drain
+completes correctly — the hot key costs THROUGHPUT, not memory: all
+of its rows in each micro-batch serialize through one Python worker's
+Arrow channel (16.2s vs 5.3s for the 400k-row spread tail, ~linear in
+rows). At a 100 TB stream where one key carries most of the tape,
+that single-worker ceiling is the bound to engineer around: shard the
+key upstream (e.g. ``user_id, pmod(hash(event_id), N)``) and merge
+the N sub-states downstream — the merge is trivial for commutative
+stats like these; Spark cannot chain a pre-aggregation into the same
+stateful query (two stateful operators in update mode).
 """
 
 from __future__ import annotations

@@ -637,3 +637,55 @@ def test_csv_no_multiline_probe_catches_quoted_newline(spark, tmp_path):
     # the default (multiLine) path is untouched: dirty parses correctly
     got_ml = {tuple(r) for r in read_csv_all_text(spark, dirty).collect()}
     assert got_ml == {("Grizzly", "likes\nsalmon")}
+
+
+def test_combine_schema_drift_all_axes(spark, tmp_path):
+    """Adversarial mid-prefix header drift (r11 probe, VERDICT r10
+    #6b): permuted, dropped, and gained columns must each SKIP the
+    combine (logged, run continues) — never combine silently. Spark's
+    positional multi-path scan would misassign a permutation and
+    null-pad/truncate a count drift without error (measured), and the
+    reference's Postgres UNION ALL would silently misassign the
+    permutation too; exact header equality is deliberately stricter
+    than both."""
+    cases = {
+        "perm": "c,a,b\n30,10,20\n",    # same count, different order
+        "drop": "a,b\n7,8\n",           # lost a column
+        "gain": "a,b,c,d\n4,5,6,9\n",   # extra column
+    }
+    for name, member2 in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        (d / f"{name}tbl_1.csv").write_text("a,b,c\n1,2,3\n")
+        (d / f"{name}tbl_2.csv").write_text(member2)
+        result = run_pipeline(
+            spark, PipelineConfig(sources=[d], combine_tables=True)
+        )
+        assert set(result.file_views) == {
+            f"import_{name}tbl_1", f"import_{name}tbl_2"
+        }, name
+        assert f"import_{name}tbl" not in result.combined_views, name
+
+
+def test_combine_header_check_via_hadoop_fs(spark, tmp_path):
+    """The LIKE-first header check holds for paths local IO cannot
+    open (r11: on cluster storage — s3://, hdfs:// — the old check
+    silently skipped itself and a permuted header combined
+    misassigned). file:/ URIs exercise the Hadoop FileSystem fallback
+    end-to-end: open() rejects them, the JVM reads them."""
+    import pytest
+
+    from postgresimporter_spark.sources.csv import _header, read_csv_group
+
+    p1, p2 = tmp_path / "h_1.csv", tmp_path / "h_2.csv"
+    p1.write_text("a,b,c\n1,2,3\n")
+    p2.write_text("c,a,b\n30,10,20\n")
+    u1, u2 = f"file:{p1}", f"file:{p2}"
+    with pytest.raises(OSError):
+        open(u1)  # local IO cannot read the URI form
+    assert _header(u1, spark) == ["a", "b", "c"]
+    assert _header(u2, spark) == ["c", "a", "b"]
+    with pytest.raises(ValueError, match="schema mismatch"):
+        read_csv_group(spark, [u1, u2])
+    # matching URIs pass the check and read combined
+    assert read_csv_group(spark, [u1, f"file:{p1}"]).count() == 2
