@@ -71,17 +71,22 @@ def cooccurrence_edges(
 
     1. raw row count per container (map-side partials, tiny shuffle);
        containers at <= cap raw rows are provably under the distinct
-       cap and skip straight to the collect;
-    2. distinct-count ONLY the suspects (raw > cap — duplicates may
-       still put them under the distinct cap), keeping the drop rule
-       identical to the old gate: DISTINCT item count > cap;
-    3. the drop set broadcasts into one anti-join (container keys
-       only, a few bytes per mega-hub). Contract: over-cap containers
-       are anomalies (crawler traps, catch-all playlists) — a corpus
-       with millions of them exceeds the anomaly-guard design and
-       fails LOUDLY in the broadcast exchange, never silently;
-       survivor buffers stay <= cap distinct elements by
-       construction either way.
+       cap. A driver-side count of the suspect set (metadata-scale)
+       then picks the plan: ZERO suspects — the common hub-free case —
+       skips both gate joins entirely, leaving the single-shuffle
+       collect plus one cheap aggregate;
+    2. otherwise, distinct-count ONLY the suspects (raw > cap —
+       duplicates may still put them under the distinct cap; the
+       crawl re-post corpus where MOST containers are raw-suspect but
+       none are true hubs is NORMAL input and must not degrade),
+       keeping the drop rule identical to the old gate: DISTINCT item
+       count > cap;
+    3. the true-hub drop set feeds one anti-join, broadcast by hint
+       only when its driver-counted size is known small — an
+       unexpectedly huge suspect or hub set falls back to unhinted
+       joins (AQE decides), so no corpus shape can force an unbounded
+       driver broadcast; survivor buffers stay <= cap distinct
+       elements by construction either way.
 
     Survivors collect in one groupBy (collect_set dedups in the agg,
     so no pre-distinct pass) and the pairwise expansion happens
@@ -129,18 +134,53 @@ def cooccurrence_edges(
         .where(F.col("_nr") > max_container_size)
         .select("_c")
     )
-    over_cap = (
-        keyed.join(F.broadcast(suspects), on="_c")
-        .groupBy("_c")
-        .agg(F.count_distinct("src").alias("_n"))
-        .where(F.col("_n") > max_container_size)
-        .select("_c")
-    )
-    sets = (
-        keyed.join(F.broadcast(over_cap), on="_c", how="left_anti")
-        .groupBy("_c")
-        .agg(F.sort_array(F.collect_set("src")).alias("_items"))
-    )
+    # Driver-side adaptive gate (metadata-scale count, the bloom-
+    # parameter-collect class): a duplicate-heavy corpus — the crawl
+    # re-post shape, NORMAL input per the r10 program — can put MOST
+    # containers over the cap in RAW rows while few (or none) exceed
+    # it in DISTINCT items, so a static broadcast hint on `suspects`
+    # would force an unbounded driver build exactly when the input is
+    # ordinary. Count it first: zero suspects skips both gate joins
+    # entirely (the dominant hub-free case pays ONE cheap aggregate
+    # over the single-shuffle collect); a small set broadcasts by
+    # hint; a large set falls back to unhinted joins (AQE decides) —
+    # never an unbounded forced broadcast.
+    _BCAST_KEYS = 2_000_000  # ~key bytes only; tens of MB at worst
+    # eager checkpoint: O(suspects) rows (pigeonhole: <= rows/cap), so
+    # the count action and the gate join share ONE evaluation of the
+    # raw-count aggregate instead of scanning the input twice
+    suspects = suspects.localCheckpoint(eager=True)
+    n_susp = suspects.count()
+    if n_susp == 0:
+        sets = keyed.groupBy("_c").agg(
+            F.sort_array(F.collect_set("src")).alias("_items")
+        )
+    else:
+        susp = F.broadcast(suspects) if n_susp <= _BCAST_KEYS else suspects
+        over_cap = (
+            keyed.join(susp, on="_c")
+            .groupBy("_c")
+            .agg(F.count_distinct("src").alias("_n"))
+            .where(F.col("_n") > max_container_size)
+            .select("_c")
+        )
+        # over_cap <= suspects rows; when suspects was too big to
+        # broadcast, materialize over_cap (it is the TRUE hub set,
+        # small on any sane corpus) and re-check before hinting.
+        if n_susp <= _BCAST_KEYS:
+            drop = F.broadcast(over_cap)
+        else:
+            over_cap = over_cap.localCheckpoint(eager=True)
+            drop = (
+                F.broadcast(over_cap)
+                if over_cap.count() <= _BCAST_KEYS
+                else over_cap
+            )
+        sets = (
+            keyed.join(drop, on="_c", how="left_anti")
+            .groupBy("_c")
+            .agg(F.sort_array(F.collect_set("src")).alias("_items"))
+        )
     pairs = sets.select(
         F.explode(
             ordered_pair_structs(F.col("_items"), "src", "dst")

@@ -287,3 +287,29 @@ def test_cooccurrence_null_container_excluded_both_paths(spark):
     }
     assert capped == want and uncapped == want
     assert counted == {("a", "b", 1)}
+
+
+def test_cooccurrence_duplicate_heavy_all_suspects(spark):
+    """The crawl re-post shape (r11): EVERY container exceeds the cap
+    in RAW rows via duplicates while none exceeds it in DISTINCT
+    items. All containers become raw-count suspects — the adaptive
+    gate must neither drop anything nor force an unbounded broadcast,
+    and output must equal the uncapped join path exactly."""
+    from postgresimporter_spark.operators.graph import cooccurrence_edges
+
+    rows = []
+    for c in range(30):
+        for i in range(4):          # 4 distinct items
+            for _ in range(5):      # x5 duplicates -> 20 raw rows
+                rows.append((f"c{c}", f"c{c}i{i}"))
+    df = spark.createDataFrame(rows, "c string, item string")
+    capped = {
+        (r.src, r.dst)
+        for r in cooccurrence_edges(
+            df, "c", "item", max_container_size=10  # raw 20 > 10 >= distinct 4
+        ).collect()
+    }
+    uncapped = {
+        (r.src, r.dst) for r in cooccurrence_edges(df, "c", "item").collect()
+    }
+    assert capped == uncapped and len(capped) == 30 * 6
