@@ -896,15 +896,23 @@ def _prior_bench(here: Path) -> tuple[str, dict] | None:
     committed sidecars (``BENCH_LOCAL_r*.json``, the full record this
     script writes). Records from the CURRENT round are skipped so a
     mid-round local run never becomes its own delta base; at equal
-    round the official driver record wins over the sidecar."""
+    round the SIDECAR wins over the driver record (r11): both come
+    from the same official run — bench.py writes the sidecar during
+    it, and the driver's round-end run is the round's last sf0.1 run
+    — but the driver record is the compact final-line view, whose
+    trimmed queries and total-only sf1 section would empty the sf1
+    per-query overlap (r11's first record had sf1_median_basis_n 0
+    for exactly this reason). The driver record remains the fallback
+    when the sidecar is missing or unreadable."""
     cur = _current_round()
     cands = [
         f
         for f in here.glob("BENCH*_r*.json")
         if 0 <= _record_round(f.name) < cur
     ]
-    # newest round first; official (no _LOCAL) before sidecar per round
-    cands.sort(key=lambda f: (-_record_round(f.name), "_LOCAL" in f.name))
+    # newest round first; sidecar (_LOCAL, full record) before the
+    # compact official record per round
+    cands.sort(key=lambda f: (-_record_round(f.name), "_LOCAL" not in f.name))
     for f in cands:
         try:
             d = json.loads(f.read_text())
