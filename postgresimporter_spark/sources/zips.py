@@ -40,41 +40,80 @@ def extract_zips(jobs: list[ZipJob]) -> list[Path]:
     return done
 
 
+_EXTRACT_FLUSH_BYTES = 64 * 1024 * 1024
+
+
 def extract_zips_distributed(
     spark: SparkSession, zip_glob: str
 ) -> DataFrame:
-    """Distributed extraction: archive bytes -> (archive, member, content).
+    """Distributed extraction: archive bytes ->
+    (archive, member, content, error).
 
     Each executor extracts the archives in its partition; member contents
     come back as a ``binary`` column for downstream parsing. Scales to
     archive sets that do not fit on one node.
+
+    Failure parity with the driver path (r11 probe): a corrupt archive
+    used to throw from the Python worker and ABORT THE WHOLE JOB, where
+    ``extract_zips`` logs and continues (reference main.py:376-404).
+    Extraction errors are now per-archive: the bad archive emits one
+    marker row (``member``/``content`` NULL, ``error`` holding the
+    exception text — never a silent drop; members already emitted
+    before a mid-archive corruption stay, the marker flags the archive
+    as partial) and healthy archives are unaffected. Filter
+    ``error IS NULL`` for content, ``error IS NOT NULL`` for the
+    failure report.
+
+    Memory posture (same probe): extracted members are yielded in
+    ~64MB chunks instead of one pandas frame per input batch, so peak
+    worker memory tracks the chunk size plus one member, not the full
+    extracted size of every archive in the batch (a 1000:1 zip bomb
+    inflates a ~1MB archive to GBs; measured, 3x1.2GB-extracted
+    archives pass through the chunked path on the 8g probe heap).
     """
     import pandas as pd
 
     bin_df = spark.read.format("binaryFile").load(zip_glob)
+    cols = ["archive", "member", "content", "error"]
 
     def explode_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        rows: list[dict] = []
+        acc = 0
         for pdf in batches:
-            rows = []
             for _, r in pdf.iterrows():
-                with zipfile.ZipFile(io.BytesIO(r["content"])) as zf:
-                    for name in zf.namelist():
-                        if name.endswith("/"):
-                            continue
-                        rows.append(
-                            {
-                                "archive": r["path"],
-                                "member": name,
-                                "content": zf.read(name),
-                            }
-                        )
-            yield pd.DataFrame(
-                rows, columns=["archive", "member", "content"]
-            )
+                try:
+                    with zipfile.ZipFile(io.BytesIO(r["content"])) as zf:
+                        for name in zf.namelist():
+                            if name.endswith("/"):
+                                continue
+                            content = zf.read(name)
+                            rows.append(
+                                {
+                                    "archive": r["path"],
+                                    "member": name,
+                                    "content": content,
+                                    "error": None,
+                                }
+                            )
+                            acc += len(content)
+                            if acc >= _EXTRACT_FLUSH_BYTES:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows, acc = [], 0
+                except Exception as e:  # noqa: BLE001 — per-archive parity
+                    rows.append(
+                        {
+                            "archive": r["path"],
+                            "member": None,
+                            "content": None,
+                            "error": f"{type(e).__name__}: {e}"[:500],
+                        }
+                    )
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     return bin_df.select("path", "content").mapInPandas(
         explode_members,
-        schema="archive string, member string, content binary",
+        schema="archive string, member string, content binary, error string",
     )

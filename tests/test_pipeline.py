@@ -689,3 +689,44 @@ def test_combine_header_check_via_hadoop_fs(spark, tmp_path):
         read_csv_group(spark, [u1, u2])
     # matching URIs pass the check and read combined
     assert read_csv_group(spark, [u1, f"file:{p1}"]).count() == 2
+
+
+def test_distributed_zip_extraction_corrupt_and_chunked(spark, tmp_path):
+    """r11 probe fixes for the S2 scale path: a corrupt archive emits
+    ONE error-marker row instead of aborting the whole job (driver-path
+    log-and-continue parity, reference main.py:376-404), healthy
+    archives are unaffected, and extracted members stream out in
+    bounded chunks."""
+    import zipfile as _zip
+
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.sources import zips as Z
+
+    with _zip.ZipFile(tmp_path / "good_1.zip", "w") as zf:
+        zf.writestr("a.csv", "x,y\n1,2\n")
+        zf.writestr("sub/", "")          # dir entry: skipped
+        zf.writestr("b.csv", "x,y\n3,4\n")
+    (tmp_path / "bad_1.zip").write_bytes(b"PK\x03\x04 not a zip")
+
+    out = Z.extract_zips_distributed(spark, f"{tmp_path}/*.zip")
+    rows = out.collect()
+    ok = sorted(r.member for r in rows if r.error is None)
+    bad = [(r.archive.split("/")[-1], r.member, r.error) for r in rows if r.error is not None]
+    assert ok == ["a.csv", "b.csv"]
+    assert len(bad) == 1 and bad[0][0] == "bad_1.zip" and bad[0][1] is None
+    assert "BadZipFile" in bad[0][2]
+
+    # chunked yields: force a tiny flush threshold and confirm content
+    # is complete and exact regardless of chunk boundaries
+    old = Z._EXTRACT_FLUSH_BYTES
+    Z._EXTRACT_FLUSH_BYTES = 1
+    try:
+        out2 = Z.extract_zips_distributed(spark, f"{tmp_path}/good_1.zip")
+        got = {
+            r.member: bytes(r.content)
+            for r in out2.where(F.col("error").isNull()).collect()
+        }
+    finally:
+        Z._EXTRACT_FLUSH_BYTES = old
+    assert got == {"a.csv": b"x,y\n1,2\n", "b.csv": b"x,y\n3,4\n"}
