@@ -68,6 +68,16 @@ def stream_csv_ingest(
     input size. Spark rejects setting both on one source, so a byte cap
     replaces the file cap here (bytes bound memory more directly —
     10 000 tiny files are fine, one 100 GB file is not).
+
+    Header-drift caveat (r11, same class as the batch combine's
+    LIKE-first check): the schema is fixed for the stream's lifetime
+    and Spark parses each file POSITIONALLY against it, so a file that
+    later lands with permuted/extra/missing columns misparses without
+    error (PERMISSIVE null-pads or misassigns). Streaming cannot
+    pre-read headers the way ``read_csv_group`` now does; when the
+    producer's layout is not contractually frozen, route new layouts
+    to a new directory+stream, or run the batch combine (which
+    verifies headers) instead.
     """
     reader = (
         spark.readStream.schema(schema)
