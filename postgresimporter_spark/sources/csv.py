@@ -209,21 +209,24 @@ def read_csv_group(
     """
     if strict_schema and len(files) > 1:
         first = _header(files[0], spark)
+        unverifiable = [files[0]] if first is None else []
         for f in files[1:]:
             cols = _header(f, spark)
-            if cols is None or first is None:
-                log.warning(
-                    "combine header check skipped for %s: header "
-                    "unreadable; a permuted or drifted header in this "
-                    "file would combine positionally without error",
-                    f if cols is None else files[0],
-                )
+            if cols is None:
+                unverifiable.append(f)
                 continue
-            if cols != first:
+            if first is not None and cols != first:
                 raise ValueError(
                     f"schema mismatch combining {f}: {cols} != {first} "
                     "(reference LIKE-first-file semantics, main.py:247)"
                 )
+        for f in unverifiable:
+            log.warning(
+                "combine header check skipped for %s: header "
+                "unreadable; a permuted or drifted header in this "
+                "file would combine positionally without error",
+                f,
+            )
     return read_csv_all_text(spark, files, multiline=multiline)
 
 

@@ -41,6 +41,10 @@ def extract_zips(jobs: list[ZipJob]) -> list[Path]:
 
 
 _EXTRACT_FLUSH_BYTES = 64 * 1024 * 1024
+# rows flush independently of bytes: a bomb variant with millions of
+# EMPTY members would otherwise grow the row buffer without ever
+# reaching the byte threshold
+_EXTRACT_FLUSH_ROWS = 100_000
 
 
 def extract_zips_distributed(
@@ -98,7 +102,10 @@ def extract_zips_distributed(
                                 }
                             )
                             acc += len(content)
-                            if acc >= _EXTRACT_FLUSH_BYTES:
+                            if (
+                                acc >= _EXTRACT_FLUSH_BYTES
+                                or len(rows) >= _EXTRACT_FLUSH_ROWS
+                            ):
                                 yield pd.DataFrame(rows, columns=cols)
                                 rows, acc = [], 0
                 except Exception as e:  # noqa: BLE001 — per-archive parity
