@@ -28,8 +28,49 @@ _BOMS: list[tuple[bytes, str]] = [
 ]
 
 
+def _head_bytes(
+    path: str | Path, sample_size: int, spark: SparkSession | None = None
+) -> bytes | None:
+    """First ``sample_size`` bytes of a file, driver-side: local open,
+    falling back (r11) to the JVM's Hadoop FileSystem for paths local
+    IO cannot open (s3://, hdfs://, file:/ URIs) when a session is
+    provided — so the head-sampling guards keep working on cluster
+    storage. Returns None only when unreadable both ways."""
+    try:
+        with open(path, "rb") as fh:
+            return fh.read(sample_size)
+    except OSError:
+        pass
+    if spark is None:
+        return None
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(str(path))
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        stream = fs.open(jpath)
+        try:
+            # one bulk JVM-side read (a per-byte py4j loop would be
+            # ~sample_size gateway round-trips); BoundedInputStream
+            # caps the read and handles shorter files, and py4j
+            # returns the byte[] as Python bytes
+            bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+                stream, sample_size
+            )
+            return bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(bounded)
+            )
+        finally:
+            stream.close()
+    except Exception:  # noqa: BLE001 — unreadable means unverified
+        return None
+
+
 def detect_encoding(
-    path: str | Path, sample_size: int = 1 << 16
+    path: str | Path,
+    sample_size: int = 1 << 16,
+    spark: SparkSession | None = None,
 ) -> str:
     """Charset sniff for a CSV file (reference: chardet over the first
     bytes, utils.py:12-17; chardet isn't available here, so this is the
@@ -52,10 +93,8 @@ def detect_encoding(
     Spark's own default for cluster-storage scans, and the sniff is a
     best-effort nicety for legacy local dumps, not a gate.
     """
-    try:
-        with open(path, "rb") as fh:
-            head = fh.read(sample_size)
-    except OSError:
+    head = _head_bytes(path, sample_size, spark)
+    if head is None:
         return "UTF-8"
     for bom, enc in _BOMS:
         if head.startswith(bom):
@@ -86,7 +125,9 @@ def detect_encoding(
 
 
 def has_quoted_newline(
-    path: str | Path, sample_size: int = 1 << 16
+    path: str | Path,
+    sample_size: int = 1 << 16,
+    spark: SparkSession | None = None,
 ) -> bool:
     """Cheap per-file evidence probe for quoted embedded newlines: scan
     the first ``sample_size`` bytes with an RFC-4180 quote state machine
@@ -99,15 +140,25 @@ def has_quoted_newline(
 
     Best-effort by construction: evidence past the sample window is
     not seen (documented; a positive is always real evidence). Driver-
-    side, one small read per file — metadata-scale. Unreadable /
-    non-local paths return False (probe skipped, same contract as
-    ``_header``)."""
-    try:
-        with open(path, "rb") as fh:
-            head = fh.read(sample_size)
-    except OSError:
+    side, one small read per file — metadata-scale. Non-local paths
+    read through the Hadoop FileSystem when a session is provided
+    (r11 — before that, the guard silently skipped itself on exactly
+    the storage where 100 TB dumps live, the same hole the LIKE-first
+    header check had); a path unreadable BOTH ways logs a warning and
+    returns False (the assertion is the caller's; an unverifiable
+    file must not abort, but it must not be silent either)."""
+    head = _head_bytes(path, sample_size, spark)
+    if head is None:
+        log.warning(
+            "quoted-newline probe skipped for %s: head unreadable; "
+            "multiline=False row shearing cannot be ruled out for "
+            "this file",
+            path,
+        )
         return False
-    enc = detect_encoding(path, sample_size=min(sample_size, 1 << 16))
+    enc = detect_encoding(
+        path, sample_size=min(sample_size, 1 << 16), spark=spark
+    )
     text = head.decode(
         "utf-8" if enc == "UTF-8" else enc, errors="replace"
     )
@@ -151,7 +202,7 @@ def read_csv_all_text(
         paths = [paths]
     if not multiline:
         for p in paths:
-            if has_quoted_newline(p):
+            if has_quoted_newline(p, spark=spark):
                 raise ValueError(
                     f"multiline=False asserted but {p} contains a "
                     "quoted embedded newline in its sample window; "
@@ -160,7 +211,7 @@ def read_csv_all_text(
                     "this corpus"
                 )
     if encoding == "auto":
-        encoding = detect_encoding(paths[0]) if paths else None
+        encoding = detect_encoding(paths[0], spark=spark) if paths else None
         if encoding == "UTF-8":
             encoding = None  # Spark default; skip the option
     reader = (

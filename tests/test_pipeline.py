@@ -730,3 +730,37 @@ def test_distributed_zip_extraction_corrupt_and_chunked(spark, tmp_path):
     finally:
         Z._EXTRACT_FLUSH_BYTES = old
     assert got == {"a.csv": b"x,y\n1,2\n", "b.csv": b"x,y\n3,4\n"}
+
+
+def test_head_guards_work_via_hadoop_fs(spark, tmp_path):
+    """detect_encoding and has_quoted_newline keep working for paths
+    local IO cannot open (r11, same hole as the header check): file:/
+    URIs route through the Hadoop FileSystem bulk read. An unreadable
+    path degrades to the documented defaults (UTF-8 / False), never an
+    exception."""
+    from postgresimporter_spark.sources.csv import (
+        detect_encoding,
+        has_quoted_newline,
+        read_csv_all_text,
+    )
+
+    dirty = tmp_path / "dirty.csv"
+    dirty.write_text('a,b\n"line1\nline2",2\n')
+    clean = tmp_path / "clean.csv"
+    clean.write_text("a,b\n1,2\n")
+    lat = tmp_path / "latin.csv"
+    lat.write_bytes("a,b\ncaf\xe9,2\n".encode("latin-1"))
+
+    assert has_quoted_newline(f"file:{dirty}", spark=spark) is True
+    assert has_quoted_newline(f"file:{clean}", spark=spark) is False
+    assert detect_encoding(f"file:{lat}", spark=spark) == "ISO-8859-1"
+    assert detect_encoding(f"file:{clean}", spark=spark) == "UTF-8"
+    # missing path: defaults, no exception
+    assert detect_encoding(f"file:{tmp_path}/nope.csv", spark=spark) == "UTF-8"
+    assert has_quoted_newline(f"file:{tmp_path}/nope.csv", spark=spark) is False
+
+    # the multiline=False self-guard now fires on URI paths end-to-end
+    import pytest
+
+    with pytest.raises(ValueError, match="quoted embedded newline"):
+        read_csv_all_text(spark, [f"file:{dirty}"], multiline=False)
