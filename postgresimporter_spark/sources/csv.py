@@ -288,11 +288,15 @@ def _header(
     per-file spark.read just to compare headers serializes N job setups
     on the driver). Paths local IO cannot open (s3://, hdfs://, file:/
     URIs) are read through the JVM's Hadoop FileSystem when a session
-    is provided — still driver-side and Spark-job-free, one small open
-    per file, so the LIKE-first check holds on cluster storage where
-    100 TB inputs actually live. Returns None only when the header is
-    unreadable both ways (callers must treat that as unverified, not
-    as verified)."""
+    is provided — still driver-side and Spark-job-free, one BOUNDED
+    ~64KB read per file (an unbounded readLine would buffer a giant
+    single-line file — a binary misnamed .csv — whole into the JVM),
+    so the LIKE-first check holds on cluster storage where 100 TB
+    inputs actually live. A remote header whose first logical record
+    does not complete inside the sample window returns None
+    (unverified). Returns None only when the header is unreadable
+    both ways (callers must treat that as unverified, not as
+    verified)."""
     import csv as _csv
 
     try:
@@ -309,22 +313,17 @@ def _header(
     if spark is None:
         return None
     try:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(str(path))
-        fs = jpath.getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        )
-        reader = jvm.java.io.BufferedReader(
-            jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
-        )
-        try:
-            line = reader.readLine()
-        finally:
-            reader.close()
-        if line is None:
+        head = _head_bytes(path, 1 << 16, spark)
+        if not head:
             return None
+        text = head.decode("utf-8", errors="replace").lstrip("﻿")
+        if "\n" not in text and len(head) == 1 << 16:
+            return None  # first line did not complete in the sample
         import io
 
-        return next(_csv.reader(io.StringIO(line.lstrip("﻿"))))
+        # csv.reader consumes quoted embedded newlines inside the
+        # header record correctly as long as the record completes
+        # within the sample
+        return next(_csv.reader(io.StringIO(text)))
     except Exception:  # noqa: BLE001 — unreadable means unverified
         return None
