@@ -1197,6 +1197,10 @@ _DRIVER_GREEN = {
     "q323_audio_neardup_dupfamilies", "q324_audio_neardup_capped",
     "q325_hamming_aligned_static", "q326_sessionize_hot_user",
     "q327_asof_hot_key", "q328_quantile_hot_group", "q329_index_hot_token",
+    # Green in CORRECTNESS_r11.json (round-11 driver window): the
+    # multi-level interval join pin q330 plus the q121-q166 re-verify
+    # slice (already listed above under their r04/r05 rows).
+    "q330_interval_mixed",
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
@@ -1204,7 +1208,7 @@ _SENTINELS = ["q01_pricing_summary", "q19_strip", "q23_table_counts"]
 
 # Round counter for the re-verification slice below.  Bumped once per
 # round alongside the _DRIVER_GREEN additions.
-_ROUND = 11
+_ROUND = 12
 
 # How many previously-green queries to rotate back into the head window
 # each round, so old greens keep getting re-sampled by the external gate
