@@ -127,7 +127,16 @@ def cooccurrence_edges(
     # input: every branch is a deterministic projection of the same
     # scan, and materializing the whole (container, item) relation
     # cost more than the reads it saved (r11 A/B: 5.7s -> 2.6s at
-    # sf1 with identical output).
+    # sf1 with identical output). DETERMINISM ASSUMPTION (ADVICE r11,
+    # mirrors the interval join's level collect): the suspect count,
+    # the distinct-count gate, and the final collect each re-evaluate
+    # `items`, so a NON-deterministic input (sample()/limit()/RDD
+    # shuffle-dependent source) could show a true mega-hub to the
+    # collect scan that the gate evaluation never saw, rebuilding the
+    # unspillable collect_set buffer the cap exists to prevent —
+    # callers with such inputs must cache()/localCheckpoint() `items`
+    # BEFORE calling, exactly as interval_join documents for its
+    # intervals side.
     suspects = (
         keyed.groupBy("_c")
         .agg(F.count("*").alias("_nr"))

@@ -67,7 +67,13 @@ def asof_join(
     Ties: when several right rows share the qualifying max timestamp,
     the one sorting last by timestamp wins per ``last_value`` over the
     (ts, tag) order — callers needing total determinism should ensure
-    (key, ts) is unique on the right, or pre-aggregate.
+    (key, ts) is unique on the right, or pre-aggregate. With
+    ``bucket_hours`` set, cross-bucket carry-in additionally resolves
+    such ties via a window-free ``max_by`` aggregate, independently of
+    the within-bucket fill window's tie order — so on inputs that
+    VIOLATE this contract, carry-in and within-bucket values for the
+    same duplicate (key, ts) can disagree inside one output (ADVICE
+    r11); within the contract the two paths are identical.
 
     ``bucket_hours`` (r10 hot-key scale path, same decomposition as
     ``sessionize``): the single per-key window puts every row of a key

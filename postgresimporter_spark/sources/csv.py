@@ -67,10 +67,16 @@ def _head_bytes(
         return None
 
 
+# Sentinel distinguishing "head not pre-fetched" from "head fetched
+# and unreadable" (None) in the head= fast-path parameters below.
+_UNFETCHED = object()
+
+
 def detect_encoding(
     path: str | Path,
     sample_size: int = 1 << 16,
     spark: SparkSession | None = None,
+    head: bytes | None | object = _UNFETCHED,
 ) -> str:
     """Charset sniff for a CSV file (reference: chardet over the first
     bytes, utils.py:12-17; chardet isn't available here, so this is the
@@ -92,8 +98,22 @@ def detect_encoding(
     cannot open (s3://, hdfs://, file:/ URIs — r11) return ``UTF-8``:
     Spark's own default for cluster-storage scans, and the sniff is a
     best-effort nicety for legacy local dumps, not a gate.
+
+    ``head`` (r12) short-circuits the fetch: callers that already hold
+    the file's head sample pass it so each guard chain reads a path
+    ONCE — on cluster storage every ``_head_bytes`` fallback is a
+    Hadoop FileSystem open+read round-trip, and before this the
+    quoted-newline probe, its encoding detect, and the header check
+    each paid their own (ADVICE r11).
     """
-    head = _head_bytes(path, sample_size, spark)
+    if head is _UNFETCHED:
+        head = _head_bytes(path, sample_size, spark)
+    return _encoding_of(head, sample_size)
+
+
+def _encoding_of(head: bytes | None, sample_size: int = 1 << 16) -> str:
+    """The byte-level sniff behind :func:`detect_encoding` — pure
+    function of an already-fetched head sample (None = unreadable)."""
     if head is None:
         return "UTF-8"
     for bom, enc in _BOMS:
@@ -128,6 +148,7 @@ def has_quoted_newline(
     path: str | Path,
     sample_size: int = 1 << 16,
     spark: SparkSession | None = None,
+    head: bytes | None | object = _UNFETCHED,
 ) -> bool:
     """Cheap per-file evidence probe for quoted embedded newlines: scan
     the first ``sample_size`` bytes with an RFC-4180 quote state machine
@@ -146,8 +167,12 @@ def has_quoted_newline(
     the storage where 100 TB dumps live, the same hole the LIKE-first
     header check had); a path unreadable BOTH ways logs a warning and
     returns False (the assertion is the caller's; an unverifiable
-    file must not abort, but it must not be silent either)."""
-    head = _head_bytes(path, sample_size, spark)
+    file must not abort, but it must not be silent either). The
+    encoding sniff runs on the SAME head sample (r12 — previously it
+    re-fetched the head, doubling the per-file reads); pre-fetched
+    callers pass ``head`` and the probe does no IO at all."""
+    if head is _UNFETCHED:
+        head = _head_bytes(path, sample_size, spark)
     if head is None:
         log.warning(
             "quoted-newline probe skipped for %s: head unreadable; "
@@ -156,9 +181,7 @@ def has_quoted_newline(
             path,
         )
         return False
-    enc = detect_encoding(
-        path, sample_size=min(sample_size, 1 << 16), spark=spark
-    )
+    enc = _encoding_of(head, sample_size)
     text = head.decode(
         "utf-8" if enc == "UTF-8" else enc, errors="replace"
     )
@@ -173,11 +196,31 @@ def has_quoted_newline(
     return False
 
 
+def _head_cache(
+    spark: SparkSession, heads: dict[str, bytes | None] | None
+):
+    """Per-path memoized head fetch: every guard that needs a file's
+    head sample (quoted-newline probe, encoding sniff, header check)
+    reads it through this, so each path is opened ONCE per ingest —
+    on cluster storage each open is a Hadoop FileSystem round-trip,
+    and before r12 the three guards paid up to three each."""
+    cache = heads if heads is not None else {}
+
+    def get(p: str | Path) -> bytes | None:
+        k = str(p)
+        if k not in cache:
+            cache[k] = _head_bytes(p, 1 << 16, spark)
+        return cache[k]
+
+    return get
+
+
 def read_csv_all_text(
     spark: SparkSession,
     paths: list[str | Path] | str | Path,
     encoding: str | None = "auto",
     multiline: bool = True,
+    _heads: dict[str, bytes | None] | None = None,
 ) -> DataFrame:
     """Read CSV file(s) with the header as column names, all columns
     StringType (``inferSchema`` off is Spark's default — it matches the
@@ -200,9 +243,10 @@ def read_csv_all_text(
     a mis-asserted dump must fail, never silently shear rows."""
     if isinstance(paths, (str, Path)):
         paths = [paths]
+    head_of = _head_cache(spark, _heads)
     if not multiline:
         for p in paths:
-            if has_quoted_newline(p, spark=spark):
+            if has_quoted_newline(p, spark=spark, head=head_of(p)):
                 raise ValueError(
                     f"multiline=False asserted but {p} contains a "
                     "quoted embedded newline in its sample window; "
@@ -211,7 +255,9 @@ def read_csv_all_text(
                     "this corpus"
                 )
     if encoding == "auto":
-        encoding = detect_encoding(paths[0], spark=spark) if paths else None
+        encoding = (
+            _encoding_of(head_of(paths[0])) if paths else None
+        )
         if encoding == "UTF-8":
             encoding = None  # Spark default; skip the option
     reader = (
@@ -258,11 +304,13 @@ def read_csv_group(
     whose header cannot be read either way is WARNED about by name —
     never silently waved through.
     """
+    heads: dict[str, bytes | None] = {}
+    head_of = _head_cache(spark, heads)
     if strict_schema and len(files) > 1:
-        first = _header(files[0], spark)
+        first = _header(files[0], spark, head=head_of(files[0]))
         unverifiable = [files[0]] if first is None else []
         for f in files[1:]:
-            cols = _header(f, spark)
+            cols = _header(f, spark, head=head_of(f))
             if cols is None:
                 unverifiable.append(f)
                 continue
@@ -278,52 +326,70 @@ def read_csv_group(
                 "file would combine positionally without error",
                 f,
             )
-    return read_csv_all_text(spark, files, multiline=multiline)
+    return read_csv_all_text(
+        spark, files, multiline=multiline, _heads=heads
+    )
 
 
 def _header(
-    path: str | Path, spark: SparkSession | None = None
+    path: str | Path,
+    spark: SparkSession | None = None,
+    head: bytes | None | object = _UNFETCHED,
 ) -> list[str] | None:
-    """First-line header via direct IO — no Spark job per file (a
-    per-file spark.read just to compare headers serializes N job setups
-    on the driver). Paths local IO cannot open (s3://, hdfs://, file:/
-    URIs) are read through the JVM's Hadoop FileSystem when a session
-    is provided — still driver-side and Spark-job-free, one BOUNDED
-    ~64KB read per file (an unbounded readLine would buffer a giant
-    single-line file — a binary misnamed .csv — whole into the JVM),
-    so the LIKE-first check holds on cluster storage where 100 TB
-    inputs actually live. A remote header whose first logical record
-    does not complete inside the sample window returns None
-    (unverified). Returns None only when the header is unreadable
-    both ways (callers must treat that as unverified, not as
-    verified)."""
-    import csv as _csv
+    """First-line header from the bounded ~64KB head sample — no Spark
+    job per file (a per-file spark.read just to compare headers
+    serializes N job setups on the driver), and (r12) no IO at all
+    when the caller pre-fetched ``head``. Paths local IO cannot open
+    (s3://, hdfs://, file:/ URIs) read through the JVM's Hadoop
+    FileSystem inside ``_head_bytes`` when a session is provided —
+    still driver-side, one BOUNDED read (an unbounded readLine would
+    buffer a giant single-line file — a binary misnamed .csv — whole
+    into the JVM), so the LIKE-first check holds on cluster storage
+    where 100 TB inputs actually live.
 
+    The sample is decoded with the encoding DETECTED FROM THE SAME
+    BYTES — before r12 the Hadoop-FS branch hardcoded utf-8, so a
+    UTF-16 prefix group whose later files took the remote path
+    produced garbled headers and a spurious schema-mismatch raise
+    (loud false positive; ADVICE r11) — and csv.reader parses the
+    first record (quoted embedded newlines inside the header parse
+    correctly as long as the record completes within the sample). A
+    first record that does NOT complete inside the sample falls back
+    to an unbounded LOCAL read when the path is locally openable (a
+    legitimate >64KB header), else returns None. Returns None only
+    when the header is unreadable every way (callers must treat that
+    as unverified, not as verified)."""
+    import csv as _csv
+    import io
+
+    if head is _UNFETCHED:
+        head = _head_bytes(path, 1 << 16, spark)
+    enc = _encoding_of(head, 1 << 16)
+    if head:
+        try:
+            text = head.decode("utf-8" if enc == "UTF-8" else enc)
+        except UnicodeDecodeError:
+            # the sample boundary can shear a multi-byte sequence; the
+            # header sits at the start, so replacing the torn tail is
+            # safe for first-record parsing
+            text = head.decode(
+                "utf-8" if enc == "UTF-8" else enc, errors="replace"
+            )
+        text = text.lstrip("﻿")
+        if "\n" in text or len(head) < (1 << 16):
+            try:
+                return next(_csv.reader(io.StringIO(text)))
+            except StopIteration:
+                return None
+    # first record did not complete inside the sample (or the head was
+    # unreadable): a full LOCAL read stays bounded by the record
+    # itself; remote paths report unverified rather than guess
     try:
-        enc = detect_encoding(path)
-        # utf-8-sig strips the BOM from the header's first column name
         with open(
             path,
             newline="",
             encoding="utf-8-sig" if enc == "UTF-8" else enc,
         ) as fh:
             return next(_csv.reader(fh))
-    except (OSError, StopIteration, UnicodeDecodeError):
-        pass
-    if spark is None:
-        return None
-    try:
-        head = _head_bytes(path, 1 << 16, spark)
-        if not head:
-            return None
-        text = head.decode("utf-8", errors="replace").lstrip("﻿")
-        if "\n" not in text and len(head) == 1 << 16:
-            return None  # first line did not complete in the sample
-        import io
-
-        # csv.reader consumes quoted embedded newlines inside the
-        # header record correctly as long as the record completes
-        # within the sample
-        return next(_csv.reader(io.StringIO(text)))
-    except Exception:  # noqa: BLE001 — unreadable means unverified
+    except (OSError, StopIteration, UnicodeDecodeError, ValueError):
         return None

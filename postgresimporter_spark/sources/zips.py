@@ -117,6 +117,12 @@ def extract_zips_distributed(
                             "error": f"{type(e).__name__}: {e}"[:500],
                         }
                     )
+                    # error rows count against the row flush too
+                    # (ADVICE r11): a partition dominated by corrupt
+                    # archives must not grow the buffer unbounded
+                    if len(rows) >= _EXTRACT_FLUSH_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, acc = [], 0
         if rows:
             yield pd.DataFrame(rows, columns=cols)
 

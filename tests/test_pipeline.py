@@ -691,6 +691,49 @@ def test_combine_header_check_via_hadoop_fs(spark, tmp_path):
     assert read_csv_group(spark, [u1, f"file:{p1}"]).count() == 2
 
 
+def test_head_guards_one_read_per_path_and_utf16_remote(
+    spark, tmp_path, monkeypatch
+):
+    """r12 (ADVICE r11): the three head-sampling guards — header
+    check, quoted-newline shear probe, encoding sniff — share ONE head
+    fetch per file (on cluster storage each fetch is a Hadoop
+    FileSystem open+read; before, a combine with multiline=False paid
+    up to three per file), and the Hadoop-FS header fallback decodes
+    with the encoding DETECTED FROM THE SAME BYTES (before: hardcoded
+    utf-8, so UTF-16 remote headers came back garbled and raised a
+    spurious mismatch)."""
+    import pytest
+
+    from postgresimporter_spark.sources import csv as C
+
+    p1, p2 = tmp_path / "u_1.csv", tmp_path / "u_2.csv"
+    p1.write_text("a,b\n1,2\n")
+    p2.write_text("a,b\n3,4\n")
+    calls: list[str] = []
+    real = C._head_bytes
+    monkeypatch.setattr(
+        C,
+        "_head_bytes",
+        lambda p, n, s=None: (calls.append(str(p)) or real(p, n, s)),
+    )
+    got = C.read_csv_group(spark, [p1, p2], multiline=False)
+    assert got.count() == 2
+    assert sorted(calls) == sorted([str(p1), str(p2)])
+
+    # UTF-16 (BOM) header through the Hadoop-FS path: true names out
+    w1, w2 = tmp_path / "w_1.csv", tmp_path / "w_2.csv"
+    w1.write_bytes("α,β\n1,2\n".encode("utf-16"))
+    w2.write_bytes("β,α\n20,10\n".encode("utf-16"))
+    u1, u2 = f"file:{w1}", f"file:{w2}"
+    with pytest.raises(OSError):
+        open(u1)  # local IO cannot read the URI form
+    assert C._header(u1, spark) == ["α", "β"]
+    assert C._header(u2, spark) == ["β", "α"]
+    # a real drift still raises, now with correctly-decoded names
+    with pytest.raises(ValueError, match="schema mismatch"):
+        C.read_csv_group(spark, [u1, u2])
+
+
 def test_distributed_zip_extraction_corrupt_and_chunked(spark, tmp_path):
     """r11 probe fixes for the S2 scale path: a corrupt archive emits
     ONE error-marker row instead of aborting the whole job (driver-path
