@@ -30,6 +30,43 @@ def test_stream_csv_ingest(spark, tmp_path):
     assert rows == {("Grizzly", "220"), ("Giraffe", "600")}
 
 
+def test_stream_header_drift_errors_like_batch(spark, tmp_path):
+    """r12 (VERDICT r11 #4): a drifted-header file fails LOUDLY in both
+    ingest modes — the batch combine's driver-side LIKE-first check
+    raises, and the streaming source's scan-time header validation
+    (enforceSchema=false) fails the micro-batch — never a silent
+    positional merge (reference LIKE-first strictness, main.py:229,247).
+    """
+    import pytest
+
+    from postgresimporter_spark.sources.csv import read_csv_group
+
+    good = tmp_path / "animals_1.csv"
+    drifted = tmp_path / "animals_2.csv"
+    good.write_text("name,height\nGrizzly,220\n")
+    drifted.write_text("height,name\n600,Giraffe\n")  # permuted
+
+    # batch: loud ValueError from the pre-scan header check
+    with pytest.raises(ValueError, match="schema mismatch"):
+        read_csv_group(spark, [good, drifted])
+
+    # streaming: the scan-time header check fails the micro-batch
+    schema = StructType(
+        [StructField("name", StringType()), StructField("height", StringType())]
+    )
+    stream = stream_csv_ingest(spark, str(tmp_path), schema)
+    with pytest.raises(Exception, match="(?i)header|conform"):
+        run_to_memory(stream, "drift_ingested", output_mode="append")
+
+    # verify_headers=False restores the documented positional-merge
+    # escape hatch for frozen rename contracts
+    stream2 = stream_csv_ingest(
+        spark, str(tmp_path), schema, verify_headers=False
+    )
+    run_to_memory(stream2, "drift_positional", output_mode="append")
+    assert spark.table("drift_positional").count() == 2
+
+
 def _streaming_events(spark):
     # re-read the batch events fixture through a streaming parquet source
     df = load_tables(spark, SF, ["events"])["events"]
