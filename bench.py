@@ -100,6 +100,19 @@ the same run count in both rounds (``median_basis_n`` /
 ``excluded_from_median`` make the basis auditable). Per-query deltas
 are still emitted for every overlap query.
 
+Plan-fingerprint guard (VERDICT r11 #7): the full record carries a
+``plan_audit`` map — per headline query, the ``plans/audit.py`` scale
+counters (exchanges, broadcast/sort-merge mix, cartesians, row-wise
+vs Arrow Python, unpartitioned windows, scan pushdown, codegen spans)
+— and a ``plan_diff`` section listing every counter that changed vs
+the prior round's audits as {key: [prior, now]} (``vs`` is null when
+the prior record predates audits — "no basis", not "zero changes").
+A plan regression (new shuffle, lost broadcast, lost pushdown) is
+thereby caught mechanically even in a round whose wall-time drift
+masks it. Sidecar-only detail; the compact line carries just
+``plan_changes`` (the changed-query count). Disable with
+SPARK_GRAFT_PLAN_AUDIT=0.
+
 Emission contract (VERDICT r09 #1): the driver records only the last
 2000 characters of stdout and parses the FINAL JSON line, so that
 line must stay compact — r9's in-line normalized_delta pushed it to
@@ -986,6 +999,48 @@ def _normalized_deltas(
     )
 
 
+def _plan_fingerprints(spark, reg, names, sf_dir: str) -> dict:
+    """Per-query physical-plan fingerprint (VERDICT r11 #7): the
+    ``plans/audit.py`` scale counters — exchanges, join-strategy mix,
+    cartesians, Python-eval mix, window partitioning, scan pushdown,
+    codegen spans — recorded per headline query so a PLAN regression
+    (a new shuffle, a lost broadcast, a filter that stopped pushing
+    down) is caught round-over-round even when wall-time drift masks
+    it. Plan build only — no query execution (queries that collect
+    during CONSTRUCTION, e.g. iterative BPE, re-run those driver jobs;
+    that is build cost, untimed). ``unpartitioned_windows`` is stored
+    as a count to keep the sidecar compact."""
+    from postgresimporter_spark.plans.audit import plan_audit
+
+    out = {}
+    for name in names:
+        try:
+            a = plan_audit(reg[name].fn(spark, sf_dir))
+            a["unpartitioned_windows"] = len(a["unpartitioned_windows"])
+            out[name] = a
+        except Exception as e:  # noqa: BLE001 — audit must not kill bench
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:160]}
+    return out
+
+
+def _plan_diff(this: dict, prior: dict) -> dict:
+    """Counter-level diff of two fingerprint maps: for every query in
+    both, the keys whose values changed, as {key: [prior, now]}."""
+    diffs = {}
+    for q, a in this.items():
+        b = prior.get(q)
+        if not isinstance(a, dict) or not isinstance(b, dict):
+            continue
+        if "error" in a or "error" in b:
+            continue
+        changed = {
+            k: [b[k], v] for k, v in a.items() if k in b and b[k] != v
+        }
+        if changed:
+            diffs[q] = changed
+    return diffs
+
+
 # Final-line budget: the driver keeps a 2000-char stdout tail; stay
 # well inside it so the head of the line can never be clipped again.
 _FINAL_LINE_BUDGET = 1800
@@ -1026,6 +1081,14 @@ def _compact_record(out: dict, sidecar_name: str | None) -> dict:
             )
             if k in nd
         }
+    if "plan_diff" in out:
+        # count only; per-query counter diffs live in the sidecar.
+        # None = no prior-audit basis (first audited round).
+        compact["plan_changes"] = (
+            len(out["plan_diff"]["changed"])
+            if out["plan_diff"]["vs"]
+            else None
+        )
     if sidecar_name:
         compact["full"] = sidecar_name
 
@@ -1243,6 +1306,12 @@ def main() -> None:
                 "runs": sf1_runs,
             }
 
+    # Plan-fingerprint guard (VERDICT r11 #7): audit AFTER timing so
+    # the timed path stays pristine. Sidecar-only detail; the compact
+    # line carries just the round-over-round change count.
+    if os.environ.get("SPARK_GRAFT_PLAN_AUDIT", "1") != "0":
+        out["plan_audit"] = _plan_fingerprints(spark, reg, HEADLINE, sf_dir)
+
     # Normalized-delta section (VERDICT r08 #2): per-query this/prior
     # ratio with sandbox speed divided out, for both tiers — makes
     # round-over-round drift adjudication mechanical in the official
@@ -1286,6 +1355,19 @@ def main() -> None:
             nd["sf1_excluded_from_median"] = sf1_excl
             nd["sf1"] = sf1_deltas
         out["normalized_delta"] = nd
+        # plan-fingerprint diff vs the prior round's audits (sidecars
+        # carry them from r12 on): any changed counter is a plan
+        # regression candidate independent of wall time. ``vs`` None
+        # = the prior record predates audits (no basis — distinct
+        # from "zero changes").
+        if "plan_audit" in out:
+            has_basis = isinstance(pdata.get("plan_audit"), dict)
+            out["plan_diff"] = {
+                "vs": pname if has_basis else None,
+                "changed": _plan_diff(
+                    out["plan_audit"], pdata.get("plan_audit") or {}
+                ),
+            }
 
     # Emission contract (VERDICT r09 #1): full record to a committed
     # sidecar (official sf0.1 shape only, so an sf0.01 iteration run

@@ -398,6 +398,43 @@ def test_pipeline_records_sink_written(spark, animals_dir, tmp_path):
     assert result.check_passed
 
 
+def test_bench_plan_fingerprint_guard(spark):
+    """r12 (VERDICT r11 #7): per-query plan fingerprints carry the
+    scale counters, and the round-over-round diff localizes exactly
+    the counters that changed — so a plan regression (new shuffle,
+    lost broadcast) is caught even when wall-time drift masks it."""
+    import copy
+
+    import bench
+
+    from postgresimporter_spark.plans import registry
+
+    reg = registry()
+    fps = bench._plan_fingerprints(
+        spark,
+        reg,
+        ["q01_pricing_summary", "q24_dedup_exact"],
+        "/root/testdata/sf0.001",
+    )
+    a = fps["q01_pricing_summary"]
+    assert "error" not in a
+    assert a["n_rowwise_python"] == 0
+    assert isinstance(a["unpartitioned_windows"], int)
+
+    assert bench._plan_diff(fps, fps) == {}
+    prior = copy.deepcopy(fps)
+    prior["q24_dedup_exact"]["n_exchanges"] += 1
+    d = bench._plan_diff(fps, prior)
+    assert list(d) == ["q24_dedup_exact"]
+    assert d["q24_dedup_exact"]["n_exchanges"] == [
+        prior["q24_dedup_exact"]["n_exchanges"],
+        fps["q24_dedup_exact"]["n_exchanges"],
+    ]
+    # errored audits never produce a diff entry
+    prior["q01_pricing_summary"] = {"error": "x"}
+    assert "q01_pricing_summary" not in bench._plan_diff(fps, prior)
+
+
 def test_reconciliation_failure_injection_bench_scale(
     spark, tmp_path, monkeypatch
 ):
