@@ -87,7 +87,11 @@ do. (3) ``calibration_rel`` (the CPU-only codegen probe) is kept for
 cross-round continuity but is the WEAKEST signal: it measures raw CPU
 only and disagreed in sign with the query median in r10 (0.854 vs
 1.122) precisely because the drift was not CPU-shaped; when (2) and
-(3) disagree, trust (2).
+(3) disagree, trust (2). From r12 on both the current and prior
+records carry the spark probe, so ``spark_calibration_rel`` is
+computed mechanically every round (VERDICT r11 #3) and is the
+standing tiebreaker whenever ``median_basis_n`` is small or a
+specific outlier needs attribution independent of query code.
 
 Denominator bias fix (VERDICT r09 #3): min-of-5 applies only to
 sub-second queries, so a round that INTRODUCES it (or a query that

@@ -242,6 +242,7 @@ __all__ = [
 def deletion_neighborhood_pairs(
     terms: DataFrame,
     term_col: str = "term",
+    max_term_len: int | None = 1000,
 ) -> DataFrame:
     """Edit-distance-1 term pairs via the SymSpell deletion
     neighborhood (Garbe's symmetric delete algorithm — public): each
@@ -256,6 +257,17 @@ def deletion_neighborhood_pairs(
     contract as the q-gram join above).
 
     Returns (term_a < term_b, dist) with dist ∈ {1}.
+
+    ``max_term_len`` (r12 probe): the neighborhood is O(len²) BYTES
+    per term, built as ONE in-row array — a single un-tokenized blob
+    that sneaked into the vocabulary (tokenizer failure, a normal web
+    corpus hazard) stalls or OOMs the whole job on one task (measured
+    at sf-independent probe scale: a lone 10,000-char term turned a
+    9.6s job into 86s; a 40,000-char term did not finish 400s). Terms
+    longer than the cap therefore RAISE executor-side with a named
+    error — never a silent drop — telling the caller to pre-filter or
+    raise the cap explicitly; ``None`` disables the guard. 1000 chars
+    is far beyond any real vocabulary term and far below the hazard.
     """
     t = F.col(term_col)
     # empty/NULL terms are dropped up front: Spark's sequence(1, 0)
@@ -269,6 +281,31 @@ def deletion_neighborhood_pairs(
     # column only (ADVICE r9): a multi-column frame (id + term) would
     # otherwise keep duplicate terms and silently defeat the k^2 fix.
     terms = terms.select(t.alias(term_col)).where(F.length(t) > 0).distinct()
+    if max_term_len is not None:
+        # the guard lives INSIDE the term column (a detached
+        # assert_true column would be pruned as unused by Catalyst)
+        terms = terms.select(
+            F.when(
+                F.length(t) > max_term_len,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "deletion_neighborhood_pairs: term of "
+                            "length "
+                        ),
+                        F.length(t).cast("string"),
+                        F.lit(
+                            f" exceeds max_term_len={max_term_len}; "
+                            "the deletion neighborhood is O(len^2) "
+                            "bytes per term in one row — pre-filter "
+                            "oversized terms or raise max_term_len"
+                        ),
+                    )
+                ).cast("string"),
+            )
+            .otherwise(t)
+            .alias(term_col)
+        )
     variants = F.concat(
         F.array(t),
         F.transform(

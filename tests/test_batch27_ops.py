@@ -297,6 +297,35 @@ def test_deletion_neighborhood_duplicated_terms(spark):
     assert gen != -1 and agg != -1 and agg > gen, plan
 
 
+def test_deletion_neighborhood_oversized_term_guard(spark):
+    """r12 probe guard: the deletion neighborhood is O(len^2) bytes
+    per term in ONE in-row array (measured: a lone 10k-char blob
+    turned a 9.6s job into 86s; 40k never finished) — an over-cap term
+    must RAISE with the named error, never stall or silently drop;
+    max_term_len=None restores the unguarded path."""
+    import pytest
+
+    rows = [("cold",), ("old",), ("x" * 2000,)]
+    df = spark.createDataFrame(rows, "term string")
+    with pytest.raises(Exception, match="max_term_len"):
+        deletion_neighborhood_pairs(df).collect()
+    got = {
+        (r.term_a, r.term_b, r.dist)
+        for r in deletion_neighborhood_pairs(
+            df, max_term_len=None
+        ).collect()
+    }
+    assert got == {("cold", "old", 1)}
+    # under-cap inputs are untouched by the guard
+    got2 = {
+        (r.term_a, r.term_b, r.dist)
+        for r in deletion_neighborhood_pairs(
+            df.where("length(term) < 100")
+        ).collect()
+    }
+    assert got2 == {("cold", "old", 1)}
+
+
 def test_deletion_neighborhood_multicolumn_frame(spark):
     """A multi-column frame (id + term, the corpus shape) produces the
     same pairs as the bare term column: distinct runs on the TERM
