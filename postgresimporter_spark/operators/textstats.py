@@ -247,6 +247,7 @@ def winnowing_fingerprints(
     w: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk: int | None = 1 << 16,
 ) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, then
@@ -258,28 +259,134 @@ def winnowing_fingerprints(
     pipeline stores per document.
 
     Shape: gram hashing is scan-local (zip-of-shifted-slices n-grams,
-    one md5 per gram); selection is a per-document window (partitioned
-    by ``id_col`` — never global) using min over a (hash, -pos) struct
-    so the rightmost-tie rule needs no second pass. Documents with
-    fewer than ``w`` grams yield no fingerprints (the standard
-    boundary: no full window exists).
+    one md5 per gram); selection is a per-document window (never
+    global) using min over a (hash, -pos) struct so the rightmost-tie
+    rule needs no second pass. Documents with fewer than ``w`` grams
+    yield no fingerprints (the standard boundary: no full window
+    exists).
+
+    ``chunk`` (r12 probe — the giant-doc straggler): the single-window
+    path pins each document to ONE task twice over — the per-doc
+    window, AND the gram array build + explode, which pipeline into
+    the scan task (measured on a 64MB doc: 70.5s wall with 31 idle
+    cores, ~27s of it the in-row gram build alone; window-only
+    chunking recovered just 1.37x for exactly that reason). The full
+    decomposition chunks the TOKEN ARRAY: split once (1.1s at 64MB),
+    slice gram positions ``[ck*chunk, ...]`` plus the k-1 token / w-1
+    gram lookahead a boundary window needs, repartition the SLICES by
+    (doc, chunk) — tokens cross the wire once, ~1x text bytes, less
+    than the old path's k-worded gram rows — then gram-build, hash,
+    and window each chunk in parallel post-shuffle. A window start is
+    kept only in its home chunk; output identical (same decomposition
+    family as the bucketed sessionize/as-of paths). ``None`` restores
+    the single-window path.
     """
     from .curation import raw_ngrams
     from .dedup import _md5_long
     from pyspark.sql import Window
 
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(raw_ngrams(F.col(text_col), k)).alias("pos", "_g"),
-    ).select(
-        "doc_id", "pos", _md5_long(F.col("_g"), 0).alias("h")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sel = grams.select(
-        "doc_id",
-        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win).alias("_s"),
-        F.count("*").over(win).alias("_c"),
-    ).where(F.col("_c") == w)
+    def sel_exprs(win):
+        return [
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np")))
+            .over(win)
+            .alias("_s"),
+            F.count("*").over(win).alias("_c"),
+        ]
+
+    if chunk is None:
+        grams = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(raw_ngrams(F.col(text_col), k)).alias(
+                "pos", "_g"
+            ),
+        ).select("doc_id", "pos", _md5_long(F.col("_g"), 0).alias("h"))
+        win = (
+            Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+        )
+        sel = grams.select("doc_id", *sel_exprs(win)).where(
+            F.col("_c") == w
+        )
+    else:
+        C = int(chunk)
+        # token-array chunking (see docstring). Gram positions are
+        # 0-based; same tokenizer + zip-of-shifted-slices build as
+        # raw_ngrams, so grams (including its short-doc quirk: fewer
+        # than k tokens yield ONE short gram) are bit-identical.
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        sl = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                toks.alias("_ws"),
+                F.greatest(F.size(toks) - (k - 1), F.lit(1)).alias("_p"),
+            )
+            .select(
+                "doc_id",
+                "_ws",
+                "_p",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.col("_p") - 1) / C).cast("long"),
+                    )
+                ).alias("_ck"),
+            )
+            .select(
+                "doc_id",
+                "_ck",
+                (F.col("_ck") * C).alias("_a"),
+                F.least(
+                    (F.col("_ck") + 1) * C - 1 + (w - 1),
+                    F.col("_p") - 1,
+                ).alias("_b"),
+                "_ws",
+            )
+            .select(
+                "doc_id",
+                "_ck",
+                "_a",
+                F.slice(
+                    F.col("_ws"),
+                    F.col("_a") + 1,
+                    F.col("_b") - F.col("_a") + k,
+                ).alias("_ws"),
+            )
+            # the exchange that makes a giant doc parallel: token
+            # SLICES cross the wire (~1x text bytes — less than the
+            # k-worded gram rows the old window exchange carried);
+            # gram build + hash + window all run post-shuffle
+            .repartition("doc_id", "_ck")
+        )
+        ln = F.greatest(F.size(F.col("_ws")) - (k - 1), F.lit(1))
+        z = F.arrays_zip(
+            *[
+                F.slice(F.col("_ws"), i + 1, ln).alias(f"c{i}")
+                for i in range(k)
+            ]
+        )
+        gr = F.transform(
+            z, lambda s: F.concat_ws(" ", *[s[f"c{i}"] for i in range(k)])
+        )
+        grams = sl.select(
+            "doc_id",
+            "_ck",
+            "_a",
+            F.posexplode(gr).alias("_lp", "_g"),
+        ).select(
+            "doc_id",
+            "_ck",
+            (F.col("_a") + F.col("_lp")).alias("pos"),
+            _md5_long(F.col("_g"), 0).alias("h"),
+        )
+        win = (
+            Window.partitionBy("doc_id", "_ck")
+            .orderBy("pos")
+            .rowsBetween(0, w - 1)
+        )
+        sel = grams.select(
+            "doc_id", "pos", "_ck", *sel_exprs(win)
+        ).where(
+            (F.col("_c") == w) & (F.expr(f"pos div {C}") == F.col("_ck"))
+        )
     return sel.select(
         "doc_id",
         (-F.col("_s.np")).cast("long").alias("pos"),

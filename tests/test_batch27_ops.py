@@ -88,6 +88,33 @@ def test_winnowing_density(spark):
     # expected density 2/(w+1) = 0.4 of 98 windows ~ 39; generous band
     assert 15 <= n <= 75
 
+def test_winnowing_chunked_identity(spark):
+    """r12 giant-doc straggler fix: the token-slice chunked path
+    produces the EXACT row set of the single-window path — exercised
+    with tiny chunks (3, 8: below and near w, so nearly every window
+    crosses a slice boundary), plus multi-doc, short-doc (< w grams),
+    and sub-k-token (raw_ngrams' one-short-gram quirk) edges."""
+    docs = [
+        (1, " ".join(f"t{(i * 7) % 23}" for i in range(300))),
+        (2, " ".join(f"u{(i * 5) % 11}" for i in range(97))),
+        (3, "a b c d e"),  # too short: no full window
+        (4, "a b"),  # fewer than k tokens: one short gram
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnowing_fingerprints(df, k=4, w=4, chunk=None).collect()
+    }
+    for c in (3, 8, 16, 1 << 16):
+        got = {
+            (r.doc_id, r.pos, r.fp)
+            for r in winnowing_fingerprints(
+                df, k=4, w=4, chunk=c
+            ).collect()
+        }
+        assert got == base, f"chunk={c}"
+
+
 # -- CUSUM / autocorrelation ------------------------------------------------
 
 def test_cusum_scaled_hand_example(spark):
