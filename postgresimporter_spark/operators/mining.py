@@ -326,6 +326,7 @@ def cdc_chunks(
     mask_bits: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    chunk: int | None = 1 << 16,
 ) -> DataFrame:
     """Content-defined chunking: a chunk boundary falls AFTER token i
     when ``md5_long(token_i) mod 2^mask_bits == 0`` (expected chunk
@@ -335,27 +336,106 @@ def cdc_chunks(
 
     Unlike fixed-size chunking, an edit shifts only the chunk it lands
     in: boundaries are content-anchored, so identical passages chunk
-    identically in every document that contains them. All windows are
-    per-document (bounded by doc length); cross-corpus work is the
-    chunk-hash aggregation the caller runs downstream.
+    identically in every document that contains them.
+
+    ``chunk`` (r12 probe — the giant-doc straggler, same class as the
+    winnowing fix): the chunk-id assignment is a per-document PREFIX
+    SUM, which pins a whole document to one window task (and the token
+    explode to its scan task) — measured, one 64MB doc ran 24s on one
+    core with 31 idle. A prefix sum decomposes two-phase exactly like
+    the bucketed sessionize carry: slice the token array into
+    ``chunk``-sized position ranges (no lookahead — boundaries are
+    per-token), repartition the SLICES by (doc, slice), run the
+    running sum within each slice, and add a carry-in computed from
+    the per-slice boundary totals (a per-doc window over ~tokens/chunk
+    tiny rows). Identical output; the heavy explode + hash + window
+    all run post-shuffle, parallel per slice. ``None`` restores the
+    single-window path.
     """
     mask = (1 << mask_bits) - 1
-    tok = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "_t")
-    )
-    # boundary AFTER token i -> token i+1 starts a new chunk; chunk id =
-    # running count of boundaries strictly before this token
-    bnd = tok.withColumn(
-        "_b", (_md5_long(F.col("_t"), 7).bitwiseAND(F.lit(mask)) == 0).cast("int")
-    )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    chunked = bnd.withColumn(
-        "chunk_id", F.coalesce(F.sum("_b").over(w), F.lit(0)).cast("long")
-    )
+    is_bnd = lambda c: (  # noqa: E731
+        _md5_long(c, 7).bitwiseAND(F.lit(mask)) == 0
+    ).cast("int")
+    if chunk is None:
+        tok = df.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "_t"),
+        )
+        # boundary AFTER token i -> token i+1 starts a new chunk;
+        # chunk id = running count of boundaries strictly before it
+        bnd = tok.withColumn("_b", is_bnd(F.col("_t")))
+        w = (
+            Window.partitionBy(id_col)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        chunked = bnd.withColumn(
+            "chunk_id",
+            F.coalesce(F.sum("_b").over(w), F.lit(0)).cast("long"),
+        )
+    else:
+        C = int(chunk)
+        tk = tokens(F.col(text_col))
+        sl = (
+            df.select(F.col(id_col), tk.alias("_ws"))
+            .select(
+                F.col(id_col),
+                "_ws",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.greatest(F.size("_ws"), F.lit(1)) - 1) / C
+                        ).cast("long"),
+                    )
+                ).alias("_ck"),
+            )
+            .select(
+                F.col(id_col),
+                "_ck",
+                (F.col("_ck") * C).alias("_a"),
+                F.slice(F.col("_ws"), F.col("_ck") * C + 1, C).alias(
+                    "_ws"
+                ),
+            )
+            .repartition(id_col, "_ck")
+        )
+        bnd = sl.select(
+            F.col(id_col),
+            "_ck",
+            "_a",
+            F.posexplode("_ws").alias("_lp", "_t"),
+        ).select(
+            F.col(id_col),
+            "_ck",
+            (F.col("_a") + F.col("_lp")).alias("pos"),
+            F.col("_t"),
+            is_bnd(F.col("_t")).alias("_b"),
+        )
+        w_in = (
+            Window.partitionBy(id_col, "_ck")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        part = bnd.withColumn(
+            "_cin", F.coalesce(F.sum("_b").over(w_in), F.lit(0))
+        )
+        # carry-in: cumulative boundary count of all PRIOR slices —
+        # a per-doc window over ~n_tokens/chunk summary rows
+        totals = bnd.groupBy(id_col, "_ck").agg(F.sum("_b").alias("_tb"))
+        w_car = (
+            Window.partitionBy(id_col)
+            .orderBy("_ck")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = totals.select(
+            F.col(id_col),
+            "_ck",
+            F.coalesce(F.sum("_tb").over(w_car), F.lit(0)).alias("_car"),
+        )
+        chunked = part.join(carry, on=[id_col, "_ck"]).withColumn(
+            "chunk_id", (F.col("_car") + F.col("_cin")).cast("long")
+        )
     return (
         chunked.groupBy(id_col, "chunk_id")
         .agg(

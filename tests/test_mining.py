@@ -106,3 +106,29 @@ def test_cdc_chunks_content_anchored(spark):
     # chunk token counts per doc reassemble the full doc
     n1 = sum(r.n_tokens for r in out.where("doc_id = 1").collect())
     assert n1 == len(base.split())
+
+
+def test_cdc_chunks_sliced_identity(spark):
+    """r12 giant-doc straggler fix: the two-phase sliced prefix sum
+    (within-slice running sum + per-slice carry-in) produces the EXACT
+    rows of the single-window path — exercised with slice sizes down
+    to 2 so carries cross many boundaries, plus empty and
+    single-token docs."""
+    docs = [
+        (1, " ".join(f"t{(i * 7) % 23}" for i in range(157))),
+        (2, " ".join(f"u{(i * 5) % 11}" for i in range(64))),
+        (3, "solo"),
+        (4, "   "),  # blank: zero tokens, zero chunks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for mb in (1, 4):
+        base = {
+            tuple(r)
+            for r in cdc_chunks(df, mask_bits=mb, chunk=None).collect()
+        }
+        for c in (2, 7, 1 << 16):
+            got = {
+                tuple(r)
+                for r in cdc_chunks(df, mask_bits=mb, chunk=c).collect()
+            }
+            assert got == base, f"mask_bits={mb} chunk={c}"
