@@ -221,6 +221,7 @@ def read_csv_all_text(
     encoding: str | None = "auto",
     multiline: bool = True,
     _heads: dict[str, bytes | None] | None = None,
+    _verify_header: list[str] | None = None,
 ) -> DataFrame:
     """Read CSV file(s) with the header as column names, all columns
     StringType (``inferSchema`` off is Spark's default — it matches the
@@ -240,7 +241,18 @@ def read_csv_all_text(
     single 435 MB file). The assertion is the caller's, but it is
     self-guarding (VERDICT r09 #5): each file's head is sample-probed
     for quoted embedded newlines and a positive raises loudly —
-    a mis-asserted dump must fail, never silently shear rows."""
+    a mis-asserted dump must fail, never silently shear rows.
+
+    ``_verify_header`` (r12, the large-group path of ``read_csv_group``):
+    the given column names become an explicit all-string schema read
+    with ``enforceSchema=false``, so Spark's CSV source validates
+    EVERY file's header row against those names AT SCAN TIME —
+    executor-side, distributed, zero extra driver IO — and a drifted
+    file fails the job loudly (the same mechanism the streaming ingest
+    uses; Spark compares names case-insensitively under the default
+    ``spark.sql.caseSensitive=false``, marginally laxer than the
+    small-group driver check's exact equality, still strictly stronger
+    than the positional merge both engines would otherwise do)."""
     if isinstance(paths, (str, Path)):
         paths = [paths]
     head_of = _head_cache(spark, _heads)
@@ -269,7 +281,22 @@ def read_csv_all_text(
     )
     if encoding:
         reader = reader.option("encoding", encoding)
+    if _verify_header is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        reader = reader.schema(
+            StructType(
+                [StructField(c, StringType()) for c in _verify_header]
+            )
+        ).option("enforceSchema", "false")
     return reader.csv([str(p) for p in paths])
+
+
+# Group size at which the LIKE-first header check moves from the
+# serial driver-side loop (exact equality, pre-scan ValueError) to
+# scan-time validation (enforceSchema=false — distributed, zero extra
+# opens, fails at the action). See read_csv_group's Scale switch note.
+_DISTRIBUTED_HEADER_MIN = 64
 
 
 def read_csv_group(
@@ -303,31 +330,61 @@ def read_csv_group(
     FileSystem (one ~KB open per file, no Spark jobs), and a file
     whose header cannot be read either way is WARNED about by name —
     never silently waved through.
+
+    Scale switch (r12): the driver-side loop is SERIAL — measured
+    7.1ms/file even against a local FS through the Hadoop gateway, so
+    an S3-class 30-100ms open turns a 10,000-file group into minutes
+    of driver time before the scan plans. Groups of
+    ``_DISTRIBUTED_HEADER_MIN``+ files therefore read ONE header (the
+    LIKE-first file, driver-side) and push the per-file comparison
+    into the scan itself via an explicit schema +
+    ``enforceSchema=false`` — executor-side, distributed, zero extra
+    opens; a drifted file fails the ACTION loudly instead of the plan
+    (the reference's UNION ALL also failed at execution,
+    main.py:247). Small groups keep the pre-scan loop and its exact
+    ValueError.
     """
     heads: dict[str, bytes | None] = {}
     head_of = _head_cache(spark, heads)
+    verify: list[str] | None = None
     if strict_schema and len(files) > 1:
         first = _header(files[0], spark, head=head_of(files[0]))
-        unverifiable = [files[0]] if first is None else []
-        for f in files[1:]:
-            cols = _header(f, spark, head=head_of(f))
-            if cols is None:
-                unverifiable.append(f)
-                continue
-            if first is not None and cols != first:
-                raise ValueError(
-                    f"schema mismatch combining {f}: {cols} != {first} "
-                    "(reference LIKE-first-file semantics, main.py:247)"
+        if len(files) >= _DISTRIBUTED_HEADER_MIN:
+            if first is None:
+                log.warning(
+                    "combine header check skipped for %s: LIKE-first "
+                    "header unreadable; drifted headers in this group "
+                    "would combine positionally without error",
+                    files[0],
                 )
-        for f in unverifiable:
-            log.warning(
-                "combine header check skipped for %s: header "
-                "unreadable; a permuted or drifted header in this "
-                "file would combine positionally without error",
-                f,
-            )
+            else:
+                verify = first
+        else:
+            unverifiable = [files[0]] if first is None else []
+            for f in files[1:]:
+                cols = _header(f, spark, head=head_of(f))
+                if cols is None:
+                    unverifiable.append(f)
+                    continue
+                if first is not None and cols != first:
+                    raise ValueError(
+                        f"schema mismatch combining {f}: {cols} != "
+                        f"{first} (reference LIKE-first-file "
+                        "semantics, main.py:247)"
+                    )
+            for f in unverifiable:
+                log.warning(
+                    "combine header check skipped for %s: header "
+                    "unreadable; a permuted or drifted header in this "
+                    "file would combine positionally without error",
+                    f,
+                )
     return read_csv_all_text(
-        spark, files, multiline=multiline, _heads=heads
+        spark,
+        files,
+        multiline=multiline,
+        _heads=heads,
+        _verify_header=verify,
     )
 
 

@@ -771,6 +771,49 @@ def test_head_guards_one_read_per_path_and_utf16_remote(
         C.read_csv_group(spark, [u1, u2])
 
 
+def test_combine_header_check_distributed_large_group(spark, tmp_path):
+    """r12 scale switch: at _DISTRIBUTED_HEADER_MIN+ files the
+    LIKE-first check moves off the serial driver loop (measured
+    7.1ms/file through the Hadoop gateway — minutes at 10k S3 files)
+    into the scan itself via enforceSchema=false: a drifted file fails
+    the ACTION loudly, executor-side, with no per-file driver opens; a
+    clean group reads identically to the small-group path."""
+    import pytest
+
+    from postgresimporter_spark.sources import csv as C
+
+    n = C._DISTRIBUTED_HEADER_MIN + 6
+    good = tmp_path / "big"
+    good.mkdir()
+    files = []
+    for i in range(n):
+        f = good / f"t_{i}.csv"
+        f.write_text(f"a,b,c\n{i},2,3\n")
+        files.append(f)
+
+    calls = []
+    real = C._head_bytes
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(
+            C,
+            "_head_bytes",
+            lambda p, nn, s=None: (calls.append(str(p)) or real(p, nn, s)),
+        )
+        df = C.read_csv_group(spark, files)
+        assert df.count() == n
+        # only the LIKE-first header was fetched driver-side
+        assert calls == [str(files[0])]
+
+    # drifted member: the check fires at the action, loudly
+    files[n // 2].write_text("c,a,b\n30,10,20\n")
+    with pytest.raises(Exception, match="(?i)header|conform"):
+        C.read_csv_group(spark, files).count()
+
+    # small groups keep the pre-scan exact-equality ValueError
+    with pytest.raises(ValueError, match="schema mismatch"):
+        C.read_csv_group(spark, [files[0], files[n // 2]])
+
+
 def test_distributed_zip_extraction_corrupt_and_chunked(spark, tmp_path):
     """r11 probe fixes for the S2 scale path: a corrupt archive emits
     ONE error-marker row instead of aborting the whole job (driver-path
