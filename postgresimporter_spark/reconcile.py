@@ -23,6 +23,40 @@ from .naming import import_view_name
 log = logging.getLogger(__name__)
 
 
+def uri_count_map(pairs) -> dict[str, int]:
+    """(input_file_name URI, count) pairs -> {path: count} keyed under
+    both the lexical absolute path (Hadoop's qualification does NOT
+    resolve symlinks) and the real path (in case one side went through
+    a symlinked component), so driver-side lookups can't silently miss
+    and report 0. input_file_name is a %XX-encoded URI; unquote (NOT
+    form-decoding: '+' must stay '+') the path part so it matches the
+    driver-side Path exactly."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    def _norm(uri: str) -> str:
+        p = urlparse(uri)
+        return unquote(p.path) if p.scheme else unquote(uri)
+
+    per_file: dict[str, int] = {}
+    for uri, n in pairs:
+        path = _norm(uri)
+        per_file[os.path.abspath(path)] = n
+        per_file.setdefault(os.path.realpath(path), n)
+    return per_file
+
+
+def lookup_file_count(per_file: dict[str, int], f: Path | str) -> int:
+    """Count for ``f`` under either path key (0 when the file produced
+    no rows — e.g. zero-byte files never reach the grouped scan)."""
+    import os
+
+    return per_file.get(
+        os.path.abspath(str(f)),
+        per_file.get(os.path.realpath(str(f)), 0),
+    )
+
+
 def csv_row_counts(
     spark: SparkSession, table_csv_files: dict[str, list[Path]]
 ) -> dict[str, int]:
@@ -34,8 +68,6 @@ def csv_row_counts(
     prefix-derivation expression used on the driver, so group keys match
     the discovery grouping exactly.
     """
-    from urllib.parse import unquote, urlparse
-
     from pyspark.sql import functions as F
 
     all_files = sorted({f for fs in table_csv_files.values() for f in fs})
@@ -58,37 +90,14 @@ def csv_row_counts(
         .collect()
     )
 
-    import os
-
-    def _norm(uri: str) -> str:
-        # input_file_name is a %XX-encoded URI; unquote (NOT
-        # form-decoding: '+' must stay '+') the path part so it
-        # matches the driver-side Path exactly.
-        p = urlparse(uri)
-        return unquote(p.path) if p.scheme else unquote(uri)
-
-    # Key each count under both the lexical absolute path (Hadoop's
-    # qualification does NOT resolve symlinks) and the real path (in
-    # case one side's path went through a symlinked component) so the
-    # driver-side lookup can't silently miss and report 0.
-    per_file: dict[str, int] = {}
-    for r in counts:
-        path = _norm(r.file)
-        per_file[os.path.abspath(path)] = r.n_lines
-        per_file.setdefault(os.path.realpath(path), r.n_lines)
+    per_file = uri_count_map((r.file, r.n_lines) for r in counts)
     out = {}
     for table, files in table_csv_files.items():
         # subtract one header line per file; quoted embedded newlines
         # make line counts an approximation (exactly like the
         # reference's wc -l fast path, csvcount.py:43-49) — the precise
         # path is a per-group read_csv count
-        n_lines = sum(
-            per_file.get(
-                os.path.abspath(str(f)),
-                per_file.get(os.path.realpath(str(f)), 0),
-            )
-            for f in files
-        )
+        n_lines = sum(lookup_file_count(per_file, f) for f in files)
         out[table] = max(n_lines - len(files), 0)
     return out
 
