@@ -800,6 +800,7 @@ def test_combine_header_check_distributed_large_group(spark, tmp_path):
             lambda p, nn, s=None: (calls.append(str(p)) or real(p, nn, s)),
         )
         df = C.read_csv_group(spark, files)
+        assert df.columns == ["a", "b", "c"]  # names from LIKE-first
         assert df.count() == n
         # only the LIKE-first header was fetched driver-side
         assert calls == [str(files[0])]
