@@ -52,7 +52,11 @@ of 1.1M rows. ``interval_mixed`` (r11) times the multi-level interval
 join on the mixed-duration corpus (2M points, 2,000 ten-minute + 200
 year-long intervals at 60s base granularity) — the shape single-level
 bucketing OOM'd on at fine granularity and funneled into ~37 global
-buckets at coarse.
+buckets at coarse. ``winnow_giant64`` (r12) times winnowing
+fingerprint selection on a corpus containing ONE 64MB document — the
+giant-doc straggler shape that ran single-task (gram build pipelined
+into the scan task + per-doc window) at 50.2s before the token-slice
+chunking; the guard pins the 10.8s chunked path round-over-round.
 
 The ``sf1`` section (VERDICT r02 #5) times the five most expensive
 queries at 10x the default scale, where data cost dominates JVM fixed
@@ -689,6 +693,64 @@ def _interval_mixed(spark):
     )
 
 
+WINNOW_GIANT_MB = 64
+WINNOW_GIANT_NORMAL_DOCS = 2000
+
+
+def _ensure_winnow_giant(spark) -> str | None:
+    """Generate (once, cached) the giant-doc winnowing corpus as
+    parquet: 2,000 normal docs + ONE synthetic 64MB document — the
+    straggler shape the r12 token-slice chunking fixed (single-window
+    50.2s -> 10.8s, identical fingerprints). Text generation is
+    excluded from the timed path, same discipline as the media
+    corpora."""
+    out = Path(f"/tmp/spark_graft_winnow_giant_{WINNOW_GIANT_MB}")
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    try:
+        from pyspark.sql import functions as F
+
+        out.mkdir(parents=True, exist_ok=True)
+        nwords = WINNOW_GIANT_MB * 1024 * 1024 // 7
+        giant = spark.range(1).select(
+            F.lit(0).cast("long").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(nwords)),
+                    lambda i: F.concat(
+                        F.lit("w"), (i % 9973).cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        normal = spark.range(WINNOW_GIANT_NORMAL_DOCS).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("some normal document text here with words "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        ).where("doc_id > 0")
+        normal.unionByName(giant).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(str(out / "docs.parquet"))
+        done.touch()
+        return str(out)
+    except Exception as e:  # bench must still emit its JSON line
+        print(f"winnow giant corpus generation failed: {e}", file=sys.stderr)
+        return None
+
+
+def _winnow_giant(spark, corpus_dir: str):
+    from postgresimporter_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{corpus_dir}/docs.parquet")
+    return winnowing_fingerprints(docs)
+
+
 def _ensure_ingest_csv(spark, base_dir: str, allow_env: bool = True) -> str | None:
     """Generate (once, cached) a multi-file CSV corpus from the bench
     scale's lineitem + orders tables — 8 + 4 prefix-grouped files, the
@@ -1241,6 +1303,20 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["interval_mixed"] = round(best, 3)
     run_counts["interval_mixed"] = n_runs
+
+    # r12 giant-doc straggler guard (min-of-2: data dominates): the
+    # token-slice chunked winnowing on a 64MB single document + 2k
+    # normal docs (pre-fix this shape ran single-task, 50.2s)
+    wg_dir = _ensure_winnow_giant(spark)
+    if wg_dir:
+        wg_runs = min(2, n_runs)
+        best = float("inf")
+        for _ in range(wg_runs):
+            t0 = time.perf_counter()
+            _winnow_giant(spark, wg_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[f"winnow_giant{WINNOW_GIANT_MB}"] = round(best, 3)
+        run_counts[f"winnow_giant{WINNOW_GIANT_MB}"] = wg_runs
 
     out = {
         "metric": "headline_queries_total_sec",
