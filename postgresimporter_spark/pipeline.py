@@ -392,6 +392,23 @@ class Loader:
                             for m in members
                         ]
                         cols = csv_df.columns
+                        # LIKE-first strictness on the fast path (r12):
+                        # member parquet columns ARE the file's header
+                        # (per-file views read header=true), so exact
+                        # positional equality re-checks header drift at
+                        # footer cost. Without this, select-by-name
+                        # would silently "fix" a PERMUTED member —
+                        # before r12 this was unreachable (read_csv_group
+                        # raised at plan time for any drifted group),
+                        # but large groups now defer the check to scan
+                        # time, which the fast path never reaches.
+                        for m, p in zip(members, parts):
+                            if p.columns != cols:
+                                raise ValueError(
+                                    f"member {m} columns {p.columns} != "
+                                    f"{cols} (LIKE-first drift; "
+                                    "reference main.py:247)"
+                                )
                         df = functools.reduce(
                             DataFrame.unionByName,
                             [p.select(*cols) for p in parts],

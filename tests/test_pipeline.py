@@ -788,7 +788,9 @@ def test_combine_header_check_distributed_large_group(spark, tmp_path):
     files = []
     for i in range(n):
         f = good / f"t_{i}.csv"
-        f.write_text(f"a,b,c\n{i},2,3\n")
+        # two data rows per file: the drifted-group reconciliation
+        # diff (2n = 140) must exceed the reference tolerance of 100
+        f.write_text(f"a,b,c\n{i},2,3\n{i},4,5\n")
         files.append(f)
 
     calls = []
@@ -801,7 +803,7 @@ def test_combine_header_check_distributed_large_group(spark, tmp_path):
         )
         df = C.read_csv_group(spark, files)
         assert df.columns == ["a", "b", "c"]  # names from LIKE-first
-        assert df.count() == n
+        assert df.count() == 2 * n
         # only the LIKE-first header was fetched driver-side
         assert calls == [str(files[0])]
 
@@ -813,6 +815,24 @@ def test_combine_header_check_distributed_large_group(spark, tmp_path):
     # small groups keep the pre-scan exact-equality ValueError
     with pytest.raises(ValueError, match="schema mismatch"):
         C.read_csv_group(spark, [files[0], files[n // 2]])
+
+    # end-to-end pipeline parity: a drifted LARGE group must stay
+    # log-and-continue — the sink write fails (logged), the combined
+    # view never lands in sink_written, reconciliation counts it 0
+    # via the db_row_counts fallback, and the gate FAILS loudly while
+    # the run completes (reference: combine failure -> diff reported).
+    sink = tmp_path / "sink"
+    r = run_pipeline(
+        spark,
+        PipelineConfig(
+            sources=[good], combine_tables=True, sink_dir=sink
+        ),
+    )
+    assert "import_t" not in r.sink_written
+    assert not r.check_passed
+    row = {x.table: x for x in r.report.collect()}["t"]
+    # 2 rows per clean file, 1 in the drifted member
+    assert row.db_rows == 0 and row.difference == row.csv_rows == 2 * n - 1
 
 
 def test_distributed_zip_extraction_corrupt_and_chunked(spark, tmp_path):
