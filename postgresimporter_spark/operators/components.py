@@ -94,6 +94,20 @@ def connected_components(
         )
         if n_changed == 0:
             break
+    else:
+        # fixpoint NOT reached: the labels are wrong (some nodes still
+        # carry a non-minimal component), and returning them silently
+        # would merge/split dedup clusters incorrectly — the one
+        # failure mode worse than failing. Unreachable in practice:
+        # pointer halving converges in O(log diameter), so 50 rounds
+        # cover any graph this engine can hold; hitting this means a
+        # caller lowered max_iterations below log2(diameter).
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations ({n_changed} labels still "
+            "changing); raise max_iterations — a silent partial "
+            "result would be incorrect cluster labels"
+        )
     return labels
 
 

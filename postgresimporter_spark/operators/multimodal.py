@@ -17,7 +17,11 @@ fabricates values. A deployment swaps in real codecs (ffmpeg/...)
 with the same (bytes) -> dict signature.
 
 Scale posture: media rows are large — ``mapInPandas`` streams Arrow
-batches so a partition never fully materializes, and
+batches so a partition never fully materializes (and the JVM->Python
+batches themselves are BYTES-bounded, not just row-bounded: Spark 4's
+``spark.sql.execution.arrow.maxBytesPerBatch`` defaults to 64MB in
+this build — verified against SQLConf — so a batch of 10MB blobs
+cannot balloon to maxRecordsPerBatch x blob_size), and
 ``spark.sql.files.maxPartitionBytes`` (vs. row-group sizing on write)
 keeps per-task memory bounded. Feature extraction fans out per row, no
 shuffle; only the (small) feature output is ever aggregated.

@@ -136,6 +136,23 @@ def test_connected_components_long_chain_converges(spark):
     assert len(cc) == 31
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """r12 no-silent-caps: exhausting max_iterations without a
+    fixpoint means WRONG cluster labels — it must raise, never return
+    a partial result (the convergent path is untouched)."""
+    import pytest
+
+    from postgresimporter_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1).collect()
+
+
 def test_jaccard_doc_frequency_cap(spark):
     # 'x y z' trigram appears in every doc -> capped out; docs 0/1 share
     # ONLY that universal shingle, docs 2/3 share a rare tail
