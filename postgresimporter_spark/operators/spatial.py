@@ -115,28 +115,49 @@ def point_in_polygon(
     geofences). For millions of polygons, bucket both sides by a
     coarse grid cell first (the ``radius_pairs`` layout) and apply
     this test per candidate; the per-pair fold is unchanged.
+
+    Vertex-count posture (r12 probe): the edges fold as a FLAT array
+    literal consumed by one higher-order ``filter`` — one expression
+    node whose child count is the edge count. The natural per-edge
+    ``crossings + c`` chain instead builds a LEFT-DEEP tree whose
+    depth is the edge count, and Catalyst's recursive analysis blew
+    the JVM stack at 512 vertices (measured StackOverflowError at
+    plan build — real coastlines/geofences are far bigger). 4,096-
+    vertex polygons plan and run fine on the flat form.
     """
     px, py = F.col(x_col), F.col(y_col)
     hits = []
     for pid, verts in polygons:
         edges = list(zip(verts, verts[1:] + verts[:1]))
-        crossings = None
         min_x = min(v[0] for v in verts)
         max_x = max(v[0] for v in verts)
         min_y = min(v[1] for v in verts)
         max_y = max(v[1] for v in verts)
-        for (x1, y1), (x2, y2) in edges:
-            spans = (F.lit(y1) > py) != (F.lit(y2) > py)
-            cross = F.lit(x2 - x1) * (py - F.lit(y1)) - (
-                px - F.lit(x1)
-            ) * F.lit(y2 - y1)
+        edge_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(x1).cast("long").alias("x1"),
+                    F.lit(y1).cast("long").alias("y1"),
+                    F.lit(x2).cast("long").alias("x2"),
+                    F.lit(y2).cast("long").alias("y2"),
+                )
+                for (x1, y1), (x2, y2) in edges
+            ]
+        )
+
+        def _crossing(e):
+            spans = (e["y1"] > py) != (e["y2"] > py)
+            cross = (e["x2"] - e["x1"]) * (py - e["y1"]) - (
+                px - e["x1"]
+            ) * (e["y2"] - e["y1"])
             leftward = (
-                (cross > 0) if y2 > y1 else (cross < 0)
-                if y2 < y1
-                else F.lit(False)
+                F.when(e["y2"] > e["y1"], cross > 0)
+                .when(e["y2"] < e["y1"], cross < 0)
+                .otherwise(F.lit(False))
             )
-            c = (spans & leftward).cast("int")
-            crossings = c if crossings is None else crossings + c
+            return spans & leftward
+
+        crossings = F.size(F.filter(edge_arr, _crossing))
         bbox = (
             (px >= min_x) & (px <= max_x) & (py >= min_y) & (py <= max_y)
         )
@@ -148,12 +169,14 @@ def point_in_polygon(
             )
         )
     # ONE scan for all polygons: fold every containment test into an
-    # array, explode, keep hits — |polygons| stays a per-row literal
+    # array, explode, keep hits — |polygons| stays a per-row literal.
+    # withColumn (not a re-aliasing select): the higher-order filter's
+    # lambda references x/y, and re-aliasing those same names in the
+    # projection that also explodes the array trips Spark 4's
+    # lateral-column-alias resolution (INTERNAL_ERROR: resolved plan
+    # should not contain LateralColumnAliasReference).
     return (
-        points.select(
-            F.col(id_col), px.alias(x_col), py.alias(y_col),
-            F.explode(F.array(*hits)).alias("_hit"),
-        )
+        points.withColumn("_hit", F.explode(F.array(*hits)))
         .where(F.col("_hit.inside"))
         .select("_hit.poly_id", id_col, x_col, y_col)
     )

@@ -235,6 +235,46 @@ def test_bucket_diff_flags_only_touched_buckets(spark):
 
 # -- point in polygon -------------------------------------------------------
 
+def test_point_in_polygon_huge_vertex_count(spark):
+    """r12 probe: the per-edge crossing fold must be a FLAT array +
+    higher-order filter — the natural left-deep `crossings + c` chain
+    blew the Catalyst analysis stack at 512 vertices (measured
+    StackOverflowError at plan BUILD; real geofences are far bigger).
+    A 2,048-vertex polygon must plan, run, and agree with the
+    brute-force ray cast."""
+    import math
+    import random
+
+    from postgresimporter_spark.operators.spatial import point_in_polygon
+
+    nv = 2048
+    verts = [
+        (int(8000 * math.cos(2 * math.pi * i / nv)),
+         int(8000 * math.sin(2 * math.pi * i / nv)))
+        for i in range(nv)
+    ]
+    rng = random.Random(11)
+    pts = [(i, rng.randrange(-10000, 10000), rng.randrange(-10000, 10000))
+           for i in range(400)]
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    got = {
+        r.pid
+        for r in point_in_polygon(df, [(1, verts)], "x", "y", "pid").collect()
+    }
+
+    def inside(px, py):
+        c = 0
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            if (y1 > py) != (y2 > py):
+                cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+                if (cross > 0) == (y2 > y1):
+                    c += 1
+        return c % 2 == 1
+
+    want = {pid for pid, x, y in pts if inside(x, y)}
+    assert got == want and len(want) > 50
+
+
 def test_point_in_polygon_matches_shoelace_bruteforce(spark):
     import random
 
