@@ -1201,6 +1201,9 @@ _DRIVER_GREEN = {
     # multi-level interval join pin q330 plus the q121-q166 re-verify
     # slice (already listed above under their r04/r05 rows).
     "q330_interval_mixed",
+    # Round-12 driver window (CORRECTNESS_r12.json, 50/50) was a pure
+    # re-verify slice (sentinels + q160-q206) — every member was already
+    # green in an earlier round, so no new names fold in here.
 }
 
 # Reference-parity sentinels that stay at the head of every round's window.
@@ -1208,7 +1211,7 @@ _SENTINELS = ["q01_pricing_summary", "q19_strip", "q23_table_counts"]
 
 # Round counter for the re-verification slice below.  Bumped once per
 # round alongside the _DRIVER_GREEN additions.
-_ROUND = 12
+_ROUND = 13
 
 # How many previously-green queries to rotate back into the head window
 # each round, so old greens keep getting re-sampled by the external gate
