@@ -26,6 +26,15 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every id in the pair graph; component = min
     id reachable. Deterministic regardless of partitioning."""
+    if max_iterations < 1:
+        # ADVICE r12: with max_iterations <= 0 the loop body never runs,
+        # so the for/else non-convergence raise would hit an unbound
+        # n_changed (NameError) — and the pre-r12 behavior (silently
+        # returning the initial labels) is exactly the wrong-result mode
+        # the raise exists to prevent.
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

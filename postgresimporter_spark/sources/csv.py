@@ -433,7 +433,25 @@ def _header(
                 "utf-8" if enc == "UTF-8" else enc, errors="replace"
             )
         text = text.lstrip("﻿")
-        if "\n" in text or len(head) < (1 << 16):
+        # The sample parse is trusted only when the first RECORD
+        # provably completes inside it: either the sample holds the
+        # whole file, or an UNQUOTED newline terminates the record.
+        # "\n" in text alone is not enough (ADVICE r12) — a quoted
+        # header field with an embedded newline whose closing quote
+        # falls past the sample boundary contains newlines yet is
+        # truncated, and csv.reader silently returns the partial
+        # record instead of raising.
+        sample_full = len(head) == (1 << 16)
+        in_q = False
+        complete = not sample_full
+        if not complete:
+            for ch in text:
+                if ch == '"':
+                    in_q = not in_q
+                elif ch == "\n" and not in_q:
+                    complete = True
+                    break
+        if complete:
             try:
                 return next(_csv.reader(io.StringIO(text)))
             except StopIteration:

@@ -153,6 +153,21 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(pairs, max_iterations=1).collect()
 
 
+def test_connected_components_rejects_nonpositive_iterations(spark):
+    """ADVICE r12: max_iterations <= 0 skipped the loop body entirely,
+    so the for/else raise hit an unbound n_changed (NameError); it must
+    be a clear ValueError up front."""
+    import pytest
+
+    from postgresimporter_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="max_iterations"):
+        connected_components(pairs, max_iterations=0)
+
+
 def test_jaccard_doc_frequency_cap(spark):
     # 'x y z' trigram appears in every doc -> capped out; docs 0/1 share
     # ONLY that universal shingle, docs 2/3 share a rare tail

@@ -141,6 +141,28 @@ def test_csvcount_cli(spark, tmp_path, capsys):
     assert by_name == {"a_1.csv": 2, "b_1.csv": 0}
 
 
+def test_csvcount_mixed_encodings(spark, tmp_path, capsys):
+    """ADVICE r12: the single grouped scan parsed every file as UTF-8,
+    so a UTF-16 dump's quote characters went unrecognized and quoted
+    embedded newlines sheared into extra records. Files are now
+    bucketed by sniffed encoding — one grouped scan per charset — and
+    the UTF-16 file's quoted newline counts as ONE data row."""
+    import codecs
+    import json
+
+    from postgresimporter_spark.csvcount import main as csvcount_main
+
+    text = 'h,notes\nalpha,"line1\nline2"\nbeta,plain\n'
+    (tmp_path / "u16_1.csv").write_bytes(
+        codecs.BOM_UTF16_LE + text.encode("utf-16-le")
+    )
+    (tmp_path / "u8_1.csv").write_text('h,notes\ngamma,"a\nb"\ndelta,x\n')
+    assert csvcount_main([str(tmp_path)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by_name = {k.rsplit("/", 1)[-1]: v for k, v in out.items()}
+    assert by_name == {"u16_1.csv": 2, "u8_1.csv": 2}
+
+
 def test_progress_reporter(spark):
     from postgresimporter_spark.progress import report_progress
 
@@ -726,6 +748,29 @@ def test_combine_header_check_via_hadoop_fs(spark, tmp_path):
         read_csv_group(spark, [u1, u2])
     # matching URIs pass the check and read combined
     assert read_csv_group(spark, [u1, f"file:{p1}"]).count() == 2
+
+
+def test_header_quoted_newline_spanning_sample_boundary(spark, tmp_path):
+    """ADVICE r12: a quoted header field with an embedded newline whose
+    closing quote falls PAST the 64KB head sample used to satisfy the
+    old '\\n in text' completeness check — csv.reader silently returned
+    the truncated partial record as a verified header. The check now
+    requires an UNQUOTED record-terminating newline inside the sample;
+    this file has none, so a local path falls back to the unbounded
+    full read and returns the true header."""
+    from postgresimporter_spark.sources.csv import _header
+
+    giant = "x" * 40_000 + "\n" + "y" * 40_000  # quote closes past 64KB
+    p = tmp_path / "giant_header_1.csv"
+    p.write_text(f'"{giant}",second\n1,2\n')
+    got = _header(p, spark)
+    assert got == [giant, "second"]
+
+    # control: a quoted newline that COMPLETES inside the sample still
+    # parses from the bounded head (no full-file read needed)
+    q = tmp_path / "small_header_1.csv"
+    q.write_text('"a\nb",second\n1,2\n')
+    assert _header(q, spark) == ["a\nb", "second"]
 
 
 def test_head_guards_one_read_per_path_and_utf16_remote(
