@@ -304,6 +304,7 @@ def read_csv_group(
     files: list[Path],
     strict_schema: bool = True,
     multiline: bool = True,
+    allow_unverified_first: bool = False,
 ) -> DataFrame:
     """Read a prefix group of CSVs as ONE scan (the combine operator O1).
 
@@ -343,6 +344,17 @@ def read_csv_group(
     (the reference's UNION ALL also failed at execution,
     main.py:247). Small groups keep the pre-scan loop and its exact
     ValueError.
+
+    Unreadable LIKE-first header at scale (r13, VERDICT r12 #3): on
+    the distributed-validation path the first file's header IS the
+    only drift guard — there is no per-file driver loop behind it. An
+    unreadable first header therefore RAISES instead of warning (the
+    pre-r13 behavior combined the whole 64+-file group positionally
+    after one log line — exactly the group size where silent
+    mis-assignment costs the most). ``allow_unverified_first=True`` is
+    the explicit operator override, restoring the warn-and-combine
+    behavior for sources where the header genuinely cannot be read
+    driver-side but the operator asserts the group is uniform.
     """
     heads: dict[str, bytes | None] = {}
     head_of = _head_cache(spark, heads)
@@ -351,10 +363,22 @@ def read_csv_group(
         first = _header(files[0], spark, head=head_of(files[0]))
         if len(files) >= _DISTRIBUTED_HEADER_MIN:
             if first is None:
+                if not allow_unverified_first:
+                    raise ValueError(
+                        f"combine header check impossible for "
+                        f"{len(files)}-file group: LIKE-first header "
+                        f"of {files[0]} unreadable, so drifted headers "
+                        "would combine positionally without error; "
+                        "fix the file or pass "
+                        "allow_unverified_first=True to combine "
+                        "unverified (reference LIKE-first-file "
+                        "semantics, main.py:229)"
+                    )
                 log.warning(
                     "combine header check skipped for %s: LIKE-first "
                     "header unreadable; drifted headers in this group "
-                    "would combine positionally without error",
+                    "would combine positionally without error "
+                    "(allow_unverified_first override set)",
                     files[0],
                 )
             else:

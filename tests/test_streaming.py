@@ -67,6 +67,39 @@ def test_stream_header_drift_errors_like_batch(spark, tmp_path):
     assert spark.table("drift_positional").count() == 2
 
 
+def test_stream_schema_seed_likefirst_loudness(spark, tmp_path):
+    """r13 (VERDICT r12 #3, streaming side): the stream's schema can be
+    seeded from a LIKE-first file's header, and an UNREADABLE seed
+    header raises loudly — the schema is the stream's only drift guard
+    for its lifetime, so guessing one would let every later file merge
+    positionally unverified."""
+    import pytest
+
+    from postgresimporter_spark.streaming import stream_schema_for
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f_1.csv").write_text("k,v\n1,2\n2,3\n")
+
+    schema = stream_schema_for(spark, str(src / "f_1.csv"))
+    assert [f.name for f in schema.fields] == ["k", "v"]
+    assert all(f.dataType.typeName() == "string" for f in schema.fields)
+
+    # seeded end-to-end ingest: schema omitted, derived from the seed
+    stream = stream_csv_ingest(
+        spark, str(src), seed_file=str(src / "f_1.csv")
+    )
+    run_to_memory(stream, "seeded_ingest", output_mode="append")
+    assert spark.table("seeded_ingest").count() == 2
+
+    # unreadable seed: loud, never a guessed schema
+    with pytest.raises(ValueError, match="seed header unreadable"):
+        stream_schema_for(spark, str(tmp_path / "nope.csv"))
+    # neither schema nor seed: loud
+    with pytest.raises(ValueError, match="schema or a seed_file"):
+        stream_csv_ingest(spark, str(src))
+
+
 def _streaming_events(spark):
     # re-read the batch events fixture through a streaming parquet source
     df = load_tables(spark, SF, ["events"])["events"]
