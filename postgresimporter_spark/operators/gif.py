@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .mediacaps import check_pixels
+
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
@@ -109,6 +111,9 @@ def _decode_gif_raw(content: bytes) -> np.ndarray:
         elif marker == 0x2C:  # image descriptor
             w = int.from_bytes(b[pos + 5 : pos + 7], "little")
             h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            # bomb guard (r13): w*h bounds the LZW output and the
+            # int32 index array — 16-bit dims still allow 4.3e9 px
+            check_pixels(w, h, "gif")
             iflags = b[pos + 9]
             pos += 10
             palette = gct
@@ -181,6 +186,9 @@ def _iter_gif_frames_raw(content: bytes):
         raise ValueError("not a GIF")
     sw = int.from_bytes(b[6:8], "little")
     sh = int.from_bytes(b[8:10], "little")
+    # bomb guard (r13): the logical-screen canvas is allocated at
+    # sw*sh*3 bytes before any frame decodes
+    check_pixels(sw, sh, "gif")
     flags = b[10]
     bg_index = b[11]
     gct = None
@@ -219,6 +227,9 @@ def _iter_gif_frames_raw(content: bytes):
             y = int.from_bytes(b[pos + 3 : pos + 5], "little")
             w = int.from_bytes(b[pos + 5 : pos + 7], "little")
             h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            # bomb guard (r13): per-frame rects allocate w*h int32
+            # indices independent of the screen size
+            check_pixels(w, h, "gif")
             iflags = b[pos + 9]
             pos += 10
             palette = gct

@@ -38,6 +38,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .mediacaps import check_pixels
+
 JPEG_MAGIC = b"\xff\xd8\xff"
 
 # Zigzag order is built programmatically (hand-typing 64 indices is
@@ -210,6 +212,10 @@ def _decode_jpeg_raw(content: bytes) -> np.ndarray:
                 raise ValueError("jpeg: only 8-bit precision")
             H = int.from_bytes(body[1:3], "big")
             W = int.from_bytes(body[3:5], "big")
+            # bomb guard (r13): SOF dims drive the int64 coefficient
+            # allocation in _alloc_coefs (~8-24 bytes/px) — a forged
+            # 65535x65535 header would try ~34 GB per component
+            check_pixels(W, H, "jpeg")
             nc = body[5]
             comps = []
             for c in range(nc):

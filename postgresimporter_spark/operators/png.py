@@ -25,6 +25,8 @@ import zlib
 
 import numpy as np
 
+from .mediacaps import check_pixels
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -67,9 +69,22 @@ def decode_png(content: bytes) -> np.ndarray:
             f"color={colortype}, interlace={interlace})"
         )
     ch = _CHANNELS[colortype]
-    raw = zlib.decompress(idat)
+    # Bomb guard (r13): the declared size drives BOTH the output
+    # allocation and the zlib inflation below — check it before either
+    # (a 1 KB IDAT can inflate ~1000:1, and IHDR dims are 32-bit).
+    check_pixels(width, height, "png")
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # Bounded inflate: cap the decompressed bytes at expected+1 so a
+    # stream that inflates past the declared size fails the mismatch
+    # check below instead of materializing gigabytes first.
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) == expected and d.unconsumed_tail:
+        # exactly-expected output with compressed input left over is
+        # still a mismatch; probe ONE more byte, never the full tail
+        raw += d.decompress(d.unconsumed_tail, 1)
+    if len(raw) != expected:
         raise ValueError("scanline size mismatch")
     rows: list[bytes] = []
     prev = bytearray(stride)

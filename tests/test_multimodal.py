@@ -236,3 +236,104 @@ def test_mp4_truncated_returns_codec_only():
     junk = _box(b"ftyp", b"isom") + b"\x00\x00\x00\xff"  # bogus tail
     meta = parse_media_header(junk)
     assert meta == {"codec": "mp4"}
+
+
+def test_decompression_bomb_guards():
+    """r13 probe: a forged header must raise BEFORE any
+    size-proportional allocation or inflation — a kilobyte-scale input
+    declaring gigapixel output would otherwise OOM the executor, which
+    no row-level try/except can catch. ValueError is the contract the
+    media mappers already convert to null-field rows."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from postgresimporter_spark.operators.gif import decode_gif
+    from postgresimporter_spark.operators.jpeg import decode_jpeg
+    from postgresimporter_spark.operators.mediacaps import (
+        MAX_DECODE_PIXELS,
+    )
+    from postgresimporter_spark.operators.png import (
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    # PNG: IHDR declares 100k x 100k RGB (1e10 px, 30 GB decoded) with
+    # a ~100 KB IDAT that would inflate toward it; must raise at the
+    # header, instantly.
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 10_000_000)  # ~10 KB compressed
+    bomb_png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb_png) < 100_000  # the whole bomb is tiny
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_png(bomb_png)
+
+    # PNG: small declared size but an IDAT inflating far PAST it must
+    # fail the scanline mismatch without materializing the excess.
+    ihdr_small = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    fat_idat = zlib.compress(b"\x00" * 5_000_000)
+    with pytest.raises(ValueError, match="scanline size mismatch"):
+        decode_png(
+            PNG_MAGIC
+            + chunk(b"IHDR", ihdr_small)
+            + chunk(b"IDAT", fat_idat)
+            + chunk(b"IEND", b"")
+        )
+
+    # JPEG: forged SOF0 declaring 65535 x 65535 (34 GB of int64
+    # coefficients per component) must raise at the SOF.
+    sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    bomb_jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_jpeg(bomb_jpeg)
+
+    # GIF: a forged 65535 x 65535 frame rect (4.3e9 px of int32 LZW
+    # indices, 17 GB) must raise at the image descriptor; the animated
+    # path additionally guards the logical-screen canvas allocation.
+    bomb_gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 8, 8)  # modest screen
+        + bytes([0x80, 0, 0])  # GCT flag, 2-entry table
+        + b"\x00\x00\x00\xff\xff\xff"  # global color table
+        + b"\x2c"  # image descriptor
+        + struct.pack("<HHHH", 0, 0, 65535, 65535)  # forged rect
+        + bytes([0x00, 2])  # no LCT; LZW min code size
+        + bytes([1, 0x00, 0x00])  # one tiny data sub-block
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_gif(bomb_gif)
+
+    from postgresimporter_spark.operators.gif import iter_gif_frames
+
+    # animated path: forged logical screen -> canvas guard fires
+    screen_bomb = (
+        b"GIF89a"
+        + struct.pack("<HH", 65535, 65535)
+        + bytes([0x00, 0, 0])
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        next(iter_gif_frames(screen_bomb))
+
+    assert 65535 * 65535 > MAX_DECODE_PIXELS  # the guard is binding
