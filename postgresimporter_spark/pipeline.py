@@ -275,6 +275,9 @@ class Loader:
                     files,
                     strict_schema=True,
                     multiline=self.config.csv_multiline,
+                    allow_unverified_first=(
+                        self.config.combine_allow_unverified
+                    ),
                 )
                 view = import_view_name(table)
                 df.createOrReplaceTempView(view)
