@@ -59,6 +59,53 @@ def dequantized_cosine(qa: Column, sa: Column, qb: Column, sb: Column) -> Column
 __all__ = ["quantize_embeddings", "dequantized_cosine"]
 
 
+# Codebook size (k centroids x full dim) above which the PQ assignment
+# switches from plan-literal distance expressions to a broadcast-joined
+# centroid table (r13 probe): the literal when-chain embeds k*dim
+# arithmetic terms in the PLAN, and Catalyst analysis scales with
+# expression size — measured 4.1s at k*dim=512 (the catalog's m=4 k=8
+# dim=64 shape) but 38s at 8,192 (m=8 k=64 dim=128) and a TIMEOUT
+# (>300s) at FAISS-typical 196,608 (m=16 k=256 dim=768), all at a few
+# hundred rows — pure plan cost, not data. The join variant computes
+# the identical fold (same zip_with/aggregate order, same lowest-cid
+# tiebreak via min-of-(dist, cid) struct) against a broadcast
+# (s, cid, centroid) table: bit-identical codes and codebooks
+# (pinned by test), 1.8s at 8,192 and 9.1s at 196,608. The literal
+# path is kept below the threshold because it is slightly faster at
+# toy sizes (3.7s vs 5.5s) and keeps the catalog-pinned zero-join
+# plans (q147/q148) byte-stable.
+_LITERAL_ASSIGN_MAX_TERMS = 512
+
+
+def _assign_by_join(base: DataFrame, books_now, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment via a broadcast codebook join — the
+    large-codebook path of ``pq_train_encode`` (see
+    ``_LITERAL_ASSIGN_MAX_TERMS``). Distance is the same element-order
+    fold as ``kmeans._sq_dist`` with the centroid as a COLUMN, and the
+    argmin is min-of-(dist, cid) — lowest cid on ties, matching the
+    literal path's first-occurrence ``array_position`` exactly."""
+    spark = base.sparkSession
+    rows = [
+        (s, cid, [float(x) for x in cent])
+        for s, bk in enumerate(books_now)
+        for cid, cent in enumerate(bk)
+    ]
+    cents = spark.createDataFrame(rows, "s int, cid int, _cent array<double>")
+    dist = F.aggregate(
+        F.zip_with("v", "_cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        base.join(F.broadcast(cents), on="s")
+        .withColumn("_d", dist)
+        .groupBy(id_col, "s")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_b"))
+        .select(id_col, "s", F.col("_b.cid").alias("cid"))
+    )
+    return base.join(best, on=[id_col, "s"])
+
+
 def pq_train_encode(
     df: DataFrame,
     dim: int,
@@ -128,6 +175,8 @@ def pq_train_encode(
     ]
 
     def assign(books_now):
+        if k * dim > _LITERAL_ASSIGN_MAX_TERMS:
+            return _assign_by_join(base, books_now, id_col)
         expr = None
         for si, cents in enumerate(books_now):
             dists = F.array(*[_sq_dist(F.col("v"), c) for c in cents])
