@@ -165,6 +165,54 @@ def lsh_topk(
     )
 
 
+# Codebook size (cells x dim) above which IVF assignment and probe
+# selection switch from plan-literal centroid expressions to a
+# broadcast centroid table (r13 probe — same failure family as PQ's
+# _LITERAL_ASSIGN_MAX_TERMS): building K cosine expressions costs
+# ~0.4s of DRIVER time per centroid through the Python Column API —
+# measured 2.2s at K=16 dim=64 but 392s at a FAISS-typical K=1024
+# dim=768, pure expression-build cost at 500 rows. The join variant
+# (distinct vectors x broadcast centroids, argmax via max-of-(score,
+# -cid) struct, join back on vector equality) is bit-identical
+# (pinned by test: same cosine fold, same lowest-cid tiebreak) and
+# read 12.1s END-TO-END at the shape above — and unlike the literal
+# projection it parallelizes the K x dim fold across partitions
+# instead of evaluating one giant expression per row. The literal
+# path stays below the threshold: zero joins/shuffles, and the
+# catalog-pinned q46/q97 plans are byte-stable.
+_IVF_LITERAL_MAX_TERMS = 4096
+
+
+def _ivf_assign_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+) -> DataFrame:
+    """Large-codebook IVF assignment via a broadcast centroid join —
+    see ``_IVF_LITERAL_MAX_TERMS``. Value-level: distinct vectors are
+    scored (duplicates pay once), the winning cell joins back on
+    null-safe vector equality (array equality is exact — the vectors
+    are the join key, so every input row keeps its multiplicity)."""
+    spark = df.sparkSession
+    rows = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
+    cents = spark.createDataFrame(rows, "cid int, _cent array<double>")
+    vals = df.select(F.col(vec_col).alias("_v")).distinct()
+    cell_map = (
+        vals.join(F.broadcast(cents))
+        .withColumn("_s", cosine(F.col("_v"), F.col("_cent")))
+        .groupBy("_v")
+        .agg(
+            F.max(
+                F.struct(F.col("_s"), (-F.col("cid")).alias("neg"))
+            ).alias("_b")
+        )
+        .select(F.col("_v"), (-F.col("_b.neg")).cast("int").alias("cell"))
+    )
+    return df.join(
+        cell_map, df[vec_col].eqNullSafe(cell_map["_v"])
+    ).drop("_v")
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -176,8 +224,16 @@ def ivf_assign(
     deployment; any deterministic pick works for the index structure).
     Assignment is a pure projection — no shuffle; at 100 TB the corpus
     can then be repartitioned/bucketed by ``cell`` once so every probe
-    touches only its cells' partitions.
+    touches only its cells' partitions. Codebooks past
+    ``_IVF_LITERAL_MAX_TERMS`` switch to a broadcast centroid join
+    (bit-identical; the literal projection's expression-build cost is
+    measured unusable there).
     """
+    if (
+        centroids
+        and len(centroids) * len(centroids[0][1]) > _IVF_LITERAL_MAX_TERMS
+    ):
+        return _ivf_assign_join(df, centroids, vec_col)
     # linear-size argmax: array of (score, -cid) structs + array_max.
     # (A when/otherwise chain embeds prior subtrees twice per level —
     # exponential expression size, minutes of codegen at larger K.)
@@ -219,32 +275,62 @@ def ivf_topk(
         F.col(corpus_id), F.col(vec_col).alias("_cvec"), "cell"
     )
 
-    # query -> its nprobe nearest cells: per-row struct array sorted
-    # desc + slice + explode (no union fan-out, no window shuffle).
-    # Sort desc on (cscore, -cell): ties -> lowest cell first, matching
-    # ROW_NUMBER() OVER (ORDER BY cscore DESC, cell).
-    entries = F.array(
-        *[
-            F.struct(
-                cosine(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in vec]),
-                ).alias("cscore"),
-                F.lit(-cid).alias("negcell"),
-            )
-            for cid, vec in centroids
+    if (
+        centroids
+        and len(centroids) * len(centroids[0][1]) > _IVF_LITERAL_MAX_TERMS
+    ):
+        # large codebook (see _IVF_LITERAL_MAX_TERMS): probe cells via
+        # the broadcast centroid table + a per-query top-nprobe window
+        # — queries are the small broadcastable side, so the window
+        # input is |queries| x K rows, and the ordering (cscore desc,
+        # cell asc) matches the literal path's sort_array tiebreak.
+        spark = corpus.sparkSession
+        rows = [
+            (int(cid), [float(x) for x in vec]) for cid, vec in centroids
         ]
-    )
-    top_cells = F.slice(F.sort_array(entries, asc=False), 1, nprobe)
-    probes = F.broadcast(
-        queries.select(
-            F.col(query_id),
-            F.col(vec_col).alias("_qvec"),
-            F.explode(top_cells).alias("_p"),
-        ).select(
-            query_id, "_qvec", (-F.col("_p.negcell")).cast("int").alias("cell")
+        cents = spark.createDataFrame(rows, "cid int, _cent array<double>")
+        wq = Window.partitionBy(query_id).orderBy(
+            F.desc("_cscore"), F.asc("cid")
         )
-    )
+        probes = F.broadcast(
+            queries.select(
+                F.col(query_id), F.col(vec_col).alias("_qvec")
+            )
+            .join(F.broadcast(cents))
+            .withColumn("_cscore", cosine(F.col("_qvec"), F.col("_cent")))
+            .withColumn("_r", F.row_number().over(wq))
+            .where(F.col("_r") <= nprobe)
+            .select(query_id, "_qvec", F.col("cid").cast("int").alias("cell"))
+        )
+    else:
+        # query -> its nprobe nearest cells: per-row struct array sorted
+        # desc + slice + explode (no union fan-out, no window shuffle).
+        # Sort desc on (cscore, -cell): ties -> lowest cell first,
+        # matching ROW_NUMBER() OVER (ORDER BY cscore DESC, cell).
+        entries = F.array(
+            *[
+                F.struct(
+                    cosine(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                    ).alias("cscore"),
+                    F.lit(-cid).alias("negcell"),
+                )
+                for cid, vec in centroids
+            ]
+        )
+        top_cells = F.slice(F.sort_array(entries, asc=False), 1, nprobe)
+        probes = F.broadcast(
+            queries.select(
+                F.col(query_id),
+                F.col(vec_col).alias("_qvec"),
+                F.explode(top_cells).alias("_p"),
+            ).select(
+                query_id,
+                "_qvec",
+                (-F.col("_p.negcell")).cast("int").alias("cell"),
+            )
+        )
 
     scored = c.join(probes, on="cell")
     sim = cosine(F.col("_cvec"), F.col("_qvec"))

@@ -198,3 +198,119 @@ def test_pq_large_codebook_plans_fast(spark):
     # join path 1.8s. 15s catches a regression back to plan-sized cost
     # without being machine-sensitive.
     assert elapsed < 15, f"PQ large-codebook train took {elapsed:.1f}s"
+
+
+def test_ivf_literal_and_join_paths_identical(spark):
+    """r13 probe (same family as the PQ literal ceiling): building K
+    cosine expressions costs ~0.4s of driver time per centroid —
+    unusable at FAISS-typical K=1024 dim=768 (measured 392s at 500
+    rows). Above _IVF_LITERAL_MAX_TERMS assignment and probe selection
+    use a broadcast centroid table; both paths must agree exactly,
+    including the lowest-cell tiebreak and duplicate-vector
+    multiplicity."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators import similarity as S
+
+    dim, K = 16, 8
+    import random
+
+    rnd = random.Random(11)
+    cents = [(i, [rnd.random() for _ in range(dim)]) for i in range(K)]
+    corpus = (
+        spark.range(300)
+        .select(
+            # id % 150: every vector appears twice -> multiplicity must
+            # survive the value-level join-back
+            (F.col("id") % 150).alias("seed"),
+            F.col("id").alias("vec_id"),
+        )
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    ((F.xxhash64(F.col("seed"), F.lit(d)) % 1000) / 1000.0)
+                    .cast("float")
+                    for d in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    queries = (
+        spark.range(5)
+        .select(
+            F.col("id").alias("query_id"),
+            F.array(
+                *[
+                    (
+                        (F.xxhash64(F.col("id"), F.lit(d + 77)) % 1000)
+                        / 1000.0
+                    ).cast("float")
+                    for d in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+
+    lit_assign = sorted(
+        (r.vec_id, r.cell)
+        for r in S.ivf_assign(corpus, cents).collect()
+    )
+    lit_topk = sorted(
+        tuple(r) for r in S.ivf_topk(corpus, queries, cents, k=3).collect()
+    )
+
+    old = S._IVF_LITERAL_MAX_TERMS
+    S._IVF_LITERAL_MAX_TERMS = 0  # force the join path
+    try:
+        join_assign = sorted(
+            (r.vec_id, r.cell)
+            for r in S.ivf_assign(corpus, cents).collect()
+        )
+        join_topk = sorted(
+            tuple(r)
+            for r in S.ivf_topk(corpus, queries, cents, k=3).collect()
+        )
+    finally:
+        S._IVF_LITERAL_MAX_TERMS = old
+
+    assert lit_assign == join_assign
+    assert lit_topk == join_topk
+
+
+def test_ivf_large_codebook_assigns_fast(spark):
+    """The join path keeps IVF usable at real codebook sizes: K=256
+    cells over 128-dim vectors (32,768 terms — 8x the literal ceiling)
+    must assign end-to-end in seconds; the literal path's
+    expression-build alone measured ~0.4s/centroid (~100s here)."""
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.similarity import ivf_assign
+
+    dim, K = 128, 256
+    rnd = random.Random(5)
+    cents = [(i, [rnd.random() for _ in range(dim)]) for i in range(K)]
+    corpus = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    ((F.xxhash64(F.col("id"), F.lit(d)) % 1000) / 1000.0)
+                    .cast("float")
+                    for d in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    t0 = time.perf_counter()
+    n = ivf_assign(corpus, cents).count()
+    elapsed = time.perf_counter() - t0
+    assert n == 2000
+    assert elapsed < 30, f"IVF large-codebook assign took {elapsed:.1f}s"
