@@ -43,13 +43,60 @@ def _sq_dist(v: Column, centroid: list[float]) -> Column:
     )
 
 
+# Centroid-set size (k x dim) above which assignment switches from
+# plan-literal distance expressions to a broadcast centroid join —
+# the r13 probe's literal-expression ceiling (measured on the cosine
+# twin in similarity.py: ~0.4s of driver-side expression build per
+# centroid, 392s at k=1024 dim=768; quantize.py and similarity.py
+# carry the measured numbers). Same value-level join-back shape as
+# ``similarity._ivf_assign_join``; bit-identical (same _sq_dist fold
+# order, lowest-cid tiebreak preserved via min-of-(dist, cid)).
+_LITERAL_ASSIGN_MAX_TERMS = 4096
+
+
+def _assign_clusters_join(
+    quantized: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+) -> DataFrame:
+    spark = quantized.sparkSession
+    rows = [
+        (cid, [float(x) for x in cent])
+        for cid, cent in enumerate(centroids)
+    ]
+    cents = spark.createDataFrame(rows, "cid int, _cent array<double>")
+    vals = quantized.select(F.col(vec_col).alias("_v")).distinct()
+    dist = F.aggregate(
+        F.zip_with("_v", "_cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cid_map = (
+        vals.join(F.broadcast(cents))
+        .withColumn("_d", dist)
+        .groupBy("_v")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_b"))
+        .select(F.col("_v"), F.col("_b.cid").cast("int").alias("cid"))
+    )
+    return quantized.join(
+        cid_map, quantized[vec_col].eqNullSafe(cid_map["_v"])
+    ).drop("_v")
+
+
 def assign_clusters(
     quantized: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "v",
 ) -> DataFrame:
     """Attach ``cid`` = index of the nearest centroid (ties -> lowest
-    index). Centroids ride into the plan as literals: zero joins."""
+    index). Centroids ride into the plan as literals: zero joins —
+    except past ``_LITERAL_ASSIGN_MAX_TERMS`` terms, where the literal
+    expression build is measured unusable and a broadcast centroid
+    join computes the identical assignment."""
+    if centroids and len(centroids) * len(centroids[0]) > (
+        _LITERAL_ASSIGN_MAX_TERMS
+    ):
+        return _assign_clusters_join(quantized, centroids, vec_col)
     dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
     # array_position returns the 1-based FIRST occurrence of the min —
     # exactly the lowest-id tiebreak

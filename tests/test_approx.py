@@ -314,3 +314,51 @@ def test_ivf_large_codebook_assigns_fast(spark):
     elapsed = time.perf_counter() - t0
     assert n == 2000
     assert elapsed < 30, f"IVF large-codebook assign took {elapsed:.1f}s"
+
+
+def test_kmeans_assign_literal_and_join_paths_identical(spark):
+    """Same r13 literal-ceiling family for k-means: both assignment
+    paths must agree exactly — fold order, lowest-cid tiebreak, and
+    duplicate-vector multiplicity."""
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators import kmeans as KM
+
+    dim = 8
+    import random
+
+    rnd = random.Random(3)
+    cents = [[rnd.random() for _ in range(dim)] for _ in range(6)]
+    base = (
+        spark.range(200)
+        .select(
+            (F.col("id") % 100).alias("seed"), F.col("id").alias("vec_id")
+        )
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    (
+                        (F.xxhash64(F.col("seed"), F.lit(d)) % 1000)
+                        / 1000.0
+                    )
+                    for d in range(dim)
+                ]
+            ).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    lit = sorted(
+        (r.vec_id, r.cid)
+        for r in KM.assign_clusters(base, cents).collect()
+    )
+    old = KM._LITERAL_ASSIGN_MAX_TERMS
+    KM._LITERAL_ASSIGN_MAX_TERMS = 0
+    try:
+        joined = sorted(
+            (r.vec_id, r.cid)
+            for r in KM.assign_clusters(base, cents).collect()
+        )
+    finally:
+        KM._LITERAL_ASSIGN_MAX_TERMS = old
+    assert lit == joined
