@@ -880,6 +880,35 @@ def test_combine_header_check_distributed_large_group(spark, tmp_path):
     assert row.db_rows == 0 and row.difference == row.csv_rows == 2 * n - 1
 
 
+def test_combine_utf16_large_group_scan_validation(spark, tmp_path):
+    """r13 probe pin: the >=64-file scan-time header validation and the
+    encoding sniff compose — a UTF-16 prefix group combines with true
+    column names and values, and a drifted UTF-16 member still fails
+    the action loudly."""
+    import codecs
+
+    import pytest
+
+    from postgresimporter_spark.sources import csv as C
+
+    n = C._DISTRIBUTED_HEADER_MIN + 2
+    d = tmp_path / "u16grp"
+    d.mkdir()
+    for i in range(n):
+        (d / f"u_{i:03d}.csv").write_bytes(
+            codecs.BOM_UTF16_LE + f"a,b\n{i},x\n".encode("utf-16-le")
+        )
+    files = sorted(d.glob("*.csv"))
+    df = C.read_csv_group(spark, files)
+    assert df.columns == ["a", "b"]
+    assert df.count() == n
+    (d / f"u_{n // 2:03d}.csv").write_bytes(
+        codecs.BOM_UTF16_LE + "b,a\nx,0\n".encode("utf-16-le")
+    )
+    with pytest.raises(Exception, match="(?i)header|conform|failed_read"):
+        C.read_csv_group(spark, files).count()
+
+
 def test_combine_unreadable_likefirst_large_group_fails_loudly(
     spark, tmp_path
 ):
