@@ -243,7 +243,19 @@ def q303_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, so the fact reads 3 partitions, not ~80 (asserted on the
     physical plan by the batch test). Oracle replays the same join on
     the original un-partitioned parquet."""
-    fact = spark.read.parquet(partitioned_orders_dir(spark, sf_dir))
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    # explicit schema (r13 empty-input sweep): a zero-row source writes
+    # a footerless partitioned dir, and schema inference then fails the
+    # read (UNABLE_TO_INFER_SCHEMA). The schema is known — the orders
+    # table plus the o_month partition column — and passing it keeps
+    # the empty case a clean 0-row result; partition discovery and
+    # dynamic pruning are unaffected (pinned by the plan test).
+    fact_schema = orders.withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    ).schema
+    fact = spark.read.schema(fact_schema).parquet(
+        partitioned_orders_dir(spark, sf_dir)
+    )
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     dim = (
         li.select(F.date_format("l_shipdate", "yyyy-MM").alias("month"))

@@ -139,3 +139,26 @@ def test_q319_overlap_span_invariants(spark, reg):
         assert r.n_matched == r.n_tokens_a
         assert r.longest_run == r.n_tokens_a
         assert r.coverage == 1.0
+
+
+def test_q303_empty_source_returns_zero_rows(spark, reg, tmp_path, monkeypatch):
+    """r13 empty-input sweep: a zero-row orders table writes a
+    footerless partitioned dir and schema inference failed the read
+    (UNABLE_TO_INFER_SCHEMA) — the one crash in a 328-query sweep over
+    empty tables. The explicit-schema read keeps it a clean 0-row
+    result (and changes no audited plan counter)."""
+    sf = tmp_path / "sf_empty"
+    sf.mkdir()
+    for t in ["orders", "lineitem"]:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .write.mode("overwrite")
+            .parquet(str(sf / f"{t}.parquet"))
+        )
+    monkeypatch.setenv(
+        "SPARK_GRAFT_DPP_DIR", str(tmp_path / "dpp_cache")
+    )
+    out = reg["q303_partition_pruning"].fn(spark, str(sf))
+    assert out.count() == 0
+    assert out.columns == ["month", "n_orders", "total_price"]
