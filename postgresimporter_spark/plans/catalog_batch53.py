@@ -91,9 +91,16 @@ def q260_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
-                    (F.round(cov / F.sqrt(va * vb), 6) + F.lit(0.0)).alias(
-                        "corr"
-                    ),
+                    # nullif (r13 one-row sweep): zero variance makes
+                    # the correlation undefined — ANSI mode raised
+                    # DIVIDE_BY_ZERO at n=1, where DuckDB's x/0.0
+                    # returns NULL; nullif matches the oracle exactly
+                    (
+                        F.round(
+                            cov / F.nullif(F.sqrt(va * vb), F.lit(0.0)), 6
+                        )
+                        + F.lit(0.0)
+                    ).alias("corr"),
                 )
             )
     return (
