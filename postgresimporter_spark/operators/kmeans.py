@@ -146,6 +146,16 @@ def kmeans_lloyd_full(
     init = base.orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need at least k={k} rows, got {len(init)}")
+    # loud on NULL init vectors (r13 null sweep: a NULL embedding in
+    # the first k rows crashed as a bare TypeError; at 100 TB, rows
+    # whose embedding generation failed upstream ARE nulls)
+    null_ids = [r[id_col] for r in init if r.v is None]
+    if null_ids:
+        raise ValueError(
+            f"NULL {vec_col} in the first k={k} init rows "
+            f"({id_col} in {null_ids[:5]}); filter NULL vectors "
+            "upstream before clustering"
+        )
     centroids: list[list[float]] = [list(r.v) for r in init]
 
     for _ in range(iters):

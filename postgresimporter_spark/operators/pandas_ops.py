@@ -30,6 +30,12 @@ def label_centroids(emb: DataFrame, round_digits: int = 6) -> DataFrame:
         import numpy as np
 
         label = int(pdf["label"].iloc[0])
+        # NULL embeddings contribute nothing — the same semantics as
+        # the SQL oracle's unnest, which emits no rows for a NULL
+        # array (r13 null sweep: np.stack crashed on None)
+        pdf = pdf[pdf["embedding"].notna()]
+        if not len(pdf):
+            return pd.DataFrame(columns=["label", "dim", "mean_val"])
         mat = np.stack(pdf["embedding"].to_numpy())  # (n, d) float
         scaled = np.rint(
             np.round(mat.astype("float64"), round_digits) * 10**round_digits

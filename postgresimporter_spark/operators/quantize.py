@@ -167,6 +167,16 @@ def pq_train_encode(
     if len(init_ids) < k:
         raise ValueError(f"need at least k={k} rows, got {len(init_ids)}")
     init = base.where(F.col(id_col).isin(init_ids)).collect()
+    null_ids = sorted({r[id_col] for r in init if r["v"] is None})
+    if null_ids:
+        # loud on NULL init vectors (r13 null sweep — same posture as
+        # kmeans_lloyd_full: a failed-upstream embedding is a data
+        # error worth naming, not a bare TypeError)
+        raise ValueError(
+            f"NULL {vec_col} in the first k={k} init rows "
+            f"({id_col} in {null_ids[:5]}); filter NULL vectors "
+            "upstream before quantizing"
+        )
     by_sub: dict[int, dict] = {s: {} for s in range(m)}
     for r in init:
         by_sub[r["s"]][r[id_col]] = list(r["v"])

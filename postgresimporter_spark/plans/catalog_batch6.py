@@ -273,6 +273,11 @@ def q77_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not probe_rows:
         raise ValueError("q77: no embeddings row with vec_id == 0 (probe)")
     probe = probe_rows[0].embedding
+    if probe is None:
+        # r13 null sweep: a NULL probe embedding crashed as a bare
+        # TypeError iterating None; the probe is this query's anchor,
+        # so a null one is a data error worth naming
+        raise ValueError("q77: probe row vec_id == 0 has NULL embedding")
     probe_col = F.array(*[F.lit(float(x)) for x in probe])
     docs_q = quality_features(t["documents"]).select(
         "doc_id", "stopword_ratio"

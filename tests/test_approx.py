@@ -362,3 +362,41 @@ def test_kmeans_assign_literal_and_join_paths_identical(spark):
     finally:
         KM._LITERAL_ASSIGN_MAX_TERMS = old
     assert lit == joined
+
+
+def test_null_embedding_inputs_are_loud_or_sql_consistent(spark):
+    """r13 NULL sweep: rows whose embedding generation failed upstream
+    are NULLs in a real pipeline. Clustering/quantization inits must
+    raise a named ValueError (was: bare TypeError iterating None), and
+    the grouped-centroid pandas op must skip NULLs exactly like its
+    SQL oracle's unnest (NULL array -> no rows)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from postgresimporter_spark.operators.kmeans import kmeans_lloyd
+    from postgresimporter_spark.operators.pandas_ops import label_centroids
+    from postgresimporter_spark.operators.quantize import pq_train_encode
+
+    null_emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    with pytest.raises(ValueError, match="NULL embedding"):
+        kmeans_lloyd(null_emb, k=4)
+    with pytest.raises(ValueError, match="NULL embedding"):
+        pq_train_encode(null_emb, dim=8, m=2, k=4)
+    # all-NULL group contributes nothing, like unnest(NULL)
+    assert label_centroids(null_emb).count() == 0
+
+    # mixed: NULL rows are skipped, non-null rows aggregate normally
+    mixed = spark.range(6).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") < 3,
+            F.array(F.lit(1.0), F.lit(3.0)).cast("array<float>"),
+        ).alias("embedding"),
+        F.lit(0).cast("int").alias("label"),
+    )
+    rows = {r.dim: r.mean_val for r in label_centroids(mixed).collect()}
+    assert rows == {1: 1.0, 2: 3.0}
