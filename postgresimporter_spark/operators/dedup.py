@@ -1663,33 +1663,61 @@ def weighted_minhash_pairs(
     units = cnts.select(
         "id", "tok", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("rep")
     )
-    ks = F.explode(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    ).alias("k")
-    unit_hash = F.md5(
-        F.concat_ws(":", F.lit("wmh"), F.col("k"), F.col("tok"), F.col("rep"))
-    )
+
+    # Signature layout (r13 optimization): one grouped aggregation with
+    # ``num_hashes`` min columns -> an ORDERED array per doc — the same
+    # array-signature shape ``minhash_signatures`` already uses. The
+    # md5 inputs ("wmh:k:tok:rep") are byte-identical to the old
+    # exploded (id, k) layout, so every minimum — and therefore every
+    # band key, candidate, and score — is unchanged; what changes is
+    # the plan: the k-explode (units x num_hashes rows) and the second
+    # groupBy that rebuilt per-band keys are gone, one exchange carries
+    # one row per doc instead of num_hashes (guide §2.3/§2.4).
+    def _unit_hash(k: int) -> Column:
+        return F.md5(
+            F.concat_ws(
+                ":", F.lit("wmh"), F.lit(k), F.col("tok"), F.col("rep")
+            )
+        )
+
     sig = (
-        units.select("id", "tok", "rep", ks)
-        .select("id", "k", unit_hash.alias("_h"))
-        .groupBy("id", "k")
-        .agg(F.min("_h").alias("minh"))
-        .localCheckpoint(eager=False)
-    )
-    band_key = F.md5(
-        F.concat_ws(
-            "|",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("k"), F.col("minh")))
-                ),
-                lambda s: s["minh"],
+        units.groupBy("id")
+        .agg(
+            *[
+                F.min(_unit_hash(k)).alias(f"_h{k}")
+                for k in range(num_hashes)
+            ]
+        )
+        .select(
+            "id",
+            F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias(
+                "sig"
             ),
         )
+        .localCheckpoint(eager=False)
     )
-    bands = sig.groupBy(
-        "id", (F.col("k") / band_size).cast("int").alias("band")
-    ).agg(band_key.alias("bkey"))
+    # band key = md5 over the band's "|"-joined minima in k order —
+    # the identical string the old collect_list/array_sort path built.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("sig")[b * band_size + r]
+                            for r in range(band_size)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "id", F.explode(band_structs).alias("bb")
+    ).select("id", "bb.band", "bb.bkey")
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), on=["band", "bkey"])
@@ -1697,56 +1725,77 @@ def weighted_minhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Signature agreement by zip_with over the two arrays (was: a
+    # num_hashes-rows-per-pair equi-join + re-aggregation — 16x the
+    # exchange rows and an extra shuffle for the same fraction).
     est = (
         cand.join(
-            sig.select(F.col("id").alias("id_a"), "k", F.col("minh").alias("_ma")),
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa")),
             on="id_a",
         )
         .join(
-            sig.select(
-                F.col("id").alias("_idb"),
-                F.col("k").alias("_kb"),
-                F.col("minh").alias("_mb"),
-            ),
-            on=[
-                F.col("id_b") == F.col("_idb"),
-                F.col("k") == F.col("_kb"),
-            ],
+            sig.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb")),
+            on="id_b",
         )
-        .groupBy("id_a", "id_b")
-        .agg(
+        .select(
+            "id_a",
+            "id_b",
             (
-                F.sum(F.when(F.col("_ma") == F.col("_mb"), 1).otherwise(0))
+                F.size(
+                    F.filter(
+                        F.zip_with("_sa", "_sb", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
                 / F.lit(float(num_hashes))
-            ).alias("_frac")
+            ).alias("_frac"),
         )
         .where(F.col("_frac") >= threshold)
     )
-    tot = cnts.groupBy("id").agg(F.sum("c").cast("long").alias("t"))
-    minsum = (
-        est.select("id_a", "id_b")
-        .join(
-            cnts.select(F.col("id").alias("id_a"), "tok", F.col("c").alias("_ca")),
+    # Per-doc token->count map + clipped total in ONE row (r13): the
+    # exact min-sum previously re-joined the token-level ``cnts`` table
+    # per candidate pair — O(pairs x tokens) exchange rows — plus two
+    # more joins for the totals. One (id, map, total) row per doc feeds
+    # both, and the min-sum folds in-row over the key union (guide
+    # §2.3: shuffle keys/metadata, not per-token rows). Integer
+    # arithmetic throughout, so the scores are bit-identical.
+    docfeat = cnts.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("tok"), F.col("c")))
+        ).alias("m"),
+        F.sum("c").cast("long").alias("t"),
+    ).localCheckpoint(eager=False)
+    minsum = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "_ma",
+                "_mb",
+                lambda _, x, y: F.when(
+                    x.isNull() | y.isNull(), F.lit(0)
+                ).otherwise(F.least(x, y)),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    vpairs = (
+        est.join(
+            docfeat.select(
+                F.col("id").alias("id_a"),
+                F.col("m").alias("_ma"),
+                F.col("t").alias("_ta"),
+            ),
             on="id_a",
         )
         .join(
-            cnts.select(
-                F.col("id").alias("_idb"),
-                F.col("tok").alias("_tb"),
-                F.col("c").alias("_cb"),
+            docfeat.select(
+                F.col("id").alias("id_b"),
+                F.col("m").alias("_mb"),
+                F.col("t").alias("_tb2"),
             ),
-            on=[
-                F.col("id_b") == F.col("_idb"),
-                F.col("tok") == F.col("_tb"),
-            ],
+            on="id_b",
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.least("_ca", "_cb")).cast("long").alias("_ms"))
-    )
-    vpairs = (
-        est.join(minsum, on=["id_a", "id_b"])
-        .join(tot.select(F.col("id").alias("id_a"), F.col("t").alias("_ta")), on="id_a")
-        .join(tot.select(F.col("id").alias("id_b"), F.col("t").alias("_tb2")), on="id_b")
+        .withColumn("_ms", minsum)
         .select(
             F.col("id_a").alias("vid_a"),
             F.col("id_b").alias("vid_b"),

@@ -418,19 +418,26 @@ def trigram_probe(
         "pattern", F.explode_outer(trigrams(F.col("pattern"))).alias("trigram")
     ).distinct()
     doc_tri = index
-    df_stats = doc_tri.groupBy("trigram").agg(
-        F.count("*").alias("_df")
+    # corpus df stats restricted to the pattern vocabulary BELOW the
+    # aggregation (r13, guide §2.3): only postings for the patterns'
+    # own trigrams are counted, so the stats exchange is bounded by
+    # the probed vocabulary, never the corpus trigram space — Catalyst
+    # does not push an inner join through an aggregate, so the
+    # restriction must sit under the groupBy explicitly. Counts per
+    # surviving trigram are unchanged (the dropped trigrams were
+    # dropped after aggregation before), so probe selection — and
+    # therefore the result — is identical. A pattern trigram absent
+    # from the corpus keeps df=0 via the left join below — it ranks
+    # rarest, can never hit, and correctly yields no matches.
+    pat_stats = (
+        doc_tri.join(
+            F.broadcast(pat_tri.select("trigram").distinct()), on="trigram"
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").alias("_df"))
     )
     w = Window.partitionBy("pattern").orderBy(
         F.asc("_df"), F.asc("trigram")
-    )
-    # corpus df stats restricted to the pattern vocabulary FIRST (inner
-    # join against the broadcast pattern-trigram set), so the stats that
-    # get broadcast back for the left join are pattern-sized, never
-    # corpus-sized; a pattern trigram absent from the corpus keeps df=0
-    # — it ranks rarest, can never hit, and correctly yields no matches
-    pat_stats = df_stats.join(
-        F.broadcast(pat_tri.select("trigram").distinct()), on="trigram"
     )
     probes = (
         pat_tri.join(F.broadcast(pat_stats), on="trigram", how="left")
@@ -474,10 +481,41 @@ def trigram_like_search(
     max_probe_trigrams: int = 4,
 ) -> DataFrame:
     """One-shot convenience: ``trigram_index`` + ``trigram_probe`` in
-    a single call (the index is built inline). Production callers
-    persist the index once and probe it per batch instead."""
+    a single call. Production callers persist the full index once and
+    probe it per batch instead.
+
+    The inline index is restricted to the PATTERNS' trigram vocabulary
+    (r13, guide §2.3): the probe only ever reads postings for pattern
+    trigrams, and presence of a 3-gram in a document is exactly
+    ``contains``, so the restricted posting build is a scan-local
+    filter over |vocab| literal trigrams — no corpus-wide trigram
+    explode, no distinct exchange (each vocab trigram appears at most
+    once per doc by construction). Result identical to probing the
+    full index: every posting the probe would touch is present, with
+    the same per-trigram document frequencies."""
+    vocab = sorted({p[i : i + 3] for p in patterns for i in range(len(p) - 2)})
+    if not vocab:
+        # no / too-short patterns: let trigram_probe's validation raise
+        # its canonical error against the plain inline index
+        return trigram_probe(
+            trigram_index(docs, text_col=text_col, id_col=id_col),
+            docs,
+            patterns,
+            text_col=text_col,
+            id_col=id_col,
+            max_probe_trigrams=max_probe_trigrams,
+        )
+    restricted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(g) for g in vocab]),
+                lambda g: F.col(text_col).contains(g),
+            )
+        ).alias("trigram"),
+    )
     return trigram_probe(
-        trigram_index(docs, text_col=text_col, id_col=id_col),
+        restricted,
         docs,
         patterns,
         text_col=text_col,
