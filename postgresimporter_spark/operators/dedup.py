@@ -635,6 +635,41 @@ def ordered_pair_structs(
     )
 
 
+def explode_ordered_pairs(
+    df: DataFrame,
+    arr_col: str,
+    a_name: str = "a",
+    b_name: str = "b",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """All ordered pairs (a < b by array position) from a SORTED array
+    column, as rows — the DataFrame-level sibling of
+    ``ordered_pair_structs`` (r13): a two-step Generate expansion
+    (posexplode, then explode of the positional tail slice) that stays
+    on the codegen path, where the nested-HOF in-row expansion
+    evaluates interpreted lambdas and allocates a slice per element —
+    measured 2.1x slower on the sf1 co-purchase build (1.38s vs 0.65s
+    for the identical 1.196M pair multiset). Same contract: O(len²)
+    output per row, callers bound the array size first. ``keep`` lists
+    passthrough columns."""
+    keep = keep or []
+    pos, arr = f"_opp_i_{a_name}", f"_opp_arr_{a_name}"
+    return (
+        df.select(
+            *keep,
+            F.col(arr_col).alias(arr),
+            F.posexplode(F.col(arr_col)).alias(pos, a_name),
+        )
+        .select(
+            *keep,
+            F.col(a_name),
+            F.explode(
+                F.slice(arr, F.col(pos) + F.lit(2), F.size(arr))
+            ).alias(b_name),
+        )
+    )
+
+
 def cross_source_overlap(
     df: DataFrame,
     group_col: str = "source",
@@ -661,13 +696,9 @@ def cross_source_overlap(
         .agg(F.sort_array(F.collect_set("_g")).alias("_gs"))
         .where(F.size("_gs") >= 2)
     )
-    # per-hash group set is bounded by #groups, so the in-row pair
-    # expansion is safe without a cap
-    pairs = sets.select(
-        F.explode(
-            ordered_pair_structs(F.col("_gs"), "source_a", "source_b")
-        ).alias("_p")
-    ).select("_p.source_a", "_p.source_b")
+    # per-hash group set is bounded by #groups, so the pair expansion
+    # is safe without a cap
+    pairs = explode_ordered_pairs(sets, "_gs", "source_a", "source_b")
     return (
         pairs.groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
@@ -1197,6 +1228,7 @@ __all__ = [
     "minhash_match_index",
     "hot_shingles",
     "ordered_pair_structs",
+    "explode_ordered_pairs",
     "cross_source_overlap",
     "simhash",
     "simhash_hamming_pairs",

@@ -131,16 +131,23 @@ def sessionize(
     wb = Window.partitionBy("user_id", "_bkt").orderBy("ts", "event_id")
     prev_us = F.lag("_ts_us").over(wb)
     # null marks the bucket's first event: its break flag is resolved
-    # at the boundary phase, not here
-    # both the summary aggregate and the final join read this branch:
-    # checkpoint so the window runs once (and tie resolution, were the
-    # order not total, could never diverge between the two readers)
+    # at the boundary phase, not here.
+    # Both the summary aggregate and the final join read this branch.
+    # No checkpoint here (r13): the two readers share ONE exchange —
+    # Spark's ReusedExchange/AQE stage reuse dedups the identical
+    # (user_id, _bkt) shuffle feeding the window — whereas a
+    # localCheckpoint erases the hash partitioning, forcing the final
+    # per-(user, bucket) window to re-shuffle the full event table a
+    # second time (guide §2.4: two operations keyed the same way
+    # should share one exchange). The window's total order
+    # (ts, event_id) makes the twice-evaluated _iflag deterministic,
+    # so the two readers can never diverge.
     ev = ev.withColumn(
         "_iflag",
         F.when(prev_us.isNull(), F.lit(None).cast("int")).otherwise(
             (F.col("_ts_us") - prev_us > gap_us).cast("int")
         ),
-    ).localCheckpoint(eager=False)
+    )
     summ = ev.groupBy("user_id", "_bkt").agg(
         F.min("_ts_us").alias("_first_us"),
         F.max("_ts_us").alias("_last_us"),
