@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -105,7 +106,8 @@ def sessionize(
     clash = {
         "_ts_us", "_bkt", "_iflag", "session_id",
         "_first_us", "_last_us", "_ibreaks",
-        "_bflag", "_base", "_s_uid", "_s_bkt",
+        "_bflag", "_base", "_s_uid", "_s_bkt", "_uc", "_unull",
+        "_s_unull",
     }.intersection(cols)
     if clash:
         raise ValueError(
@@ -128,32 +130,77 @@ def sessionize(
     ev = events.withColumn("_ts_us", ts_us).withColumn(
         "_bkt", F.floor(F.col("_ts_us") / F.lit(bucket_us))
     )
-    wb = Window.partitionBy("user_id", "_bkt").orderBy("ts", "event_id")
+    # Null-safe join key WITHOUT eqNullSafe (r13): `user_id <=> _s_uid`
+    # rewrites the join keys to (coalesce(u,''), isnull(u)) — derived
+    # EXPRESSIONS no upstream HashPartitioning(user_id, _bkt)
+    # satisfies — so the planner re-exchanged BOTH full event branches
+    # for the summary join and then AGAIN for the final window
+    # (measured: three full-data Exchanges of the event table instead
+    # of one, ~2× the shuffled bytes of the whole job). Materializing
+    # that exact rewrite as COLUMNS (`_uc` = null-coalesced user,
+    # `_unull` = the null flag) lets every phase — event window,
+    # summary aggregate, summary join, final window — key on the same
+    # plain attributes and share ONE exchange of the events
+    # (guide §2.4), with native codegen sorts (a struct-wrapped key
+    # also dedups the exchanges but its interpreted ordering made the
+    # sorts 2× slower than the exchanges it saved). Grouping is
+    # unchanged: (_uc, _unull) determines user_id exactly — for
+    # non-null users _uc IS user_id and _unull=false, and a sentinel
+    # collision with a real user value still differs on _unull.
+    ut = events.schema["user_id"].dataType
+    if isinstance(ut, T.StringType):
+        _sent = F.lit("")
+    elif isinstance(ut, T.NumericType):
+        _sent = F.lit(0).cast(ut)
+    else:
+        # exotic key type: no same-type literal to coalesce with; a
+        # single-field struct compares its null field as equal under
+        # plain `=`, keeping the shared-exchange plan shape at the
+        # cost of interpreted struct ordering in the sorts
+        _sent = None
+    if _sent is None:
+        ev = ev.withColumn("_uc", F.struct("user_id")).withColumn(
+            "_unull", F.lit(False)
+        )
+    else:
+        ev = ev.withColumn(
+            "_uc", F.coalesce(F.col("user_id"), _sent)
+        ).withColumn("_unull", F.col("user_id").isNull())
+    wb = Window.partitionBy("_uc", "_unull", "_bkt").orderBy(
+        "ts", "event_id"
+    )
     prev_us = F.lag("_ts_us").over(wb)
     # null marks the bucket's first event: its break flag is resolved
     # at the boundary phase, not here.
     # Both the summary aggregate and the final join read this branch.
-    # No checkpoint here (r13): the two readers share ONE exchange —
-    # Spark's ReusedExchange/AQE stage reuse dedups the identical
-    # (user_id, _bkt) shuffle feeding the window — whereas a
-    # localCheckpoint erases the hash partitioning, forcing the final
-    # per-(user, bucket) window to re-shuffle the full event table a
-    # second time (guide §2.4: two operations keyed the same way
-    # should share one exchange). The window's total order
-    # (ts, event_id) makes the twice-evaluated _iflag deterministic,
-    # so the two readers can never diverge.
+    # No checkpoint here (r13): a localCheckpoint would erase the hash
+    # partitioning, forcing the summary join AND the final
+    # per-(user, bucket) window to re-shuffle the full event table
+    # (guide §2.4: operations keyed the same way should share one
+    # exchange — the join-left window, the summary join, and the final
+    # window all ride the `_uc, _unull, _bkt` exchange below). The
+    # window's total order (ts, event_id) makes the twice-evaluated
+    # _iflag deterministic, so the two readers can never diverge.
     ev = ev.withColumn(
         "_iflag",
         F.when(prev_us.isNull(), F.lit(None).cast("int")).otherwise(
             (F.col("_ts_us") - prev_us > gap_us).cast("int")
         ),
     )
-    summ = ev.groupBy("user_id", "_bkt").agg(
+    # The summary branch re-evaluates the (column-pruned) event scan
+    # through its own exchange: unifying it with the join-left
+    # exchange would need byte-identical subtrees (exchange reuse
+    # dedups only canonically equal plans; pruning and the inferred
+    # join-key null filter make them differ), and the cache/checkpoint
+    # alternatives either leak memory past the operator or erase the
+    # hash partitioning. Two full-data exchanges total — down from
+    # four before the materialized key columns (r13).
+    summ = ev.groupBy("_uc", "_unull", "_bkt").agg(
         F.min("_ts_us").alias("_first_us"),
         F.max("_ts_us").alias("_last_us"),
         F.coalesce(F.sum("_iflag"), F.lit(0)).alias("_ibreaks"),
     )
-    wu = Window.partitionBy("user_id").orderBy("_bkt")
+    wu = Window.partitionBy("_uc", "_unull").orderBy("_bkt")
     prev_last = F.lag("_last_us").over(wu)
     bflag = F.when(
         prev_last.isNull() | (F.col("_first_us") - prev_last > gap_us),
@@ -165,19 +212,22 @@ def sessionize(
         - started
     )
     summ = summ.select(
-        F.col("user_id").alias("_s_uid"),
+        F.col("_uc").alias("_s_uid"),
+        F.col("_unull").alias("_s_unull"),
         F.col("_bkt").alias("_s_bkt"),
         bflag.cast("int").alias("_bflag"),
         base.cast("long").alias("_base"),
     )
     # null-safe on the user key: a null user_id is a real window
-    # partition in the plain path (and a real group here), so a plain
-    # inner equi-join would silently drop those rows
+    # partition in the plain path (and a real group here); the
+    # materialized (_uc, _unull) pair makes plain `=` keep those rows
+    # (see the key-column note above)
     joined = ev.join(
         summ,
-        F.col("user_id").eqNullSafe(F.col("_s_uid"))
+        (F.col("_uc") == F.col("_s_uid"))
+        & (F.col("_unull") == F.col("_s_unull"))
         & (F.col("_bkt") == F.col("_s_bkt")),
-    ).drop("_s_uid", "_s_bkt")
+    ).drop("_s_uid", "_s_unull", "_s_bkt")
     resolved = F.coalesce(F.col("_iflag"), F.col("_bflag"))
     session_id = F.col("_base") + F.sum(resolved).over(
         wb.rowsBetween(Window.unboundedPreceding, 0)

@@ -103,10 +103,11 @@ def test_bucketed_output_schema_matches_plain(spark):
 
 
 def test_bucketed_plan_has_no_per_user_event_window(spark):
-    """The event-level windows must partition by (user_id, bucket) —
+    """The event-level windows must partition by (user key, bucket) —
     the whole point; only the bucket-SUMMARY window (metadata scale)
-    may partition by user_id alone. The plain path keeps the per-user
-    event window."""
+    may partition by the user key alone. The plain path keeps the
+    per-user event window. The user key is the materialized null-safe
+    pair (_uc, _unull) since r13 (shared-exchange join keys)."""
     ev = spark.createDataFrame(_corpus()[:200], SCHEMA)
     plan = sessionize(ev, GAP_MIN, bucket_hours=6)._jdf.queryExecution(
     ).executedPlan().toString()
@@ -119,9 +120,48 @@ def test_bucketed_plan_has_no_per_user_event_window(spark):
     ]
     assert event_windows, "expected event-level window nodes"
     for ln in event_windows:
-        assert "windowspecdefinition(user_id" in ln and "_bkt" in ln.split(
-            "windowspecdefinition("
-        )[1], f"event window not bucket-partitioned: {ln}"
+        spec = ln.split("windowspecdefinition(")[1]
+        assert spec.startswith("_uc") and "_bkt" in spec, (
+            f"event window not bucket-partitioned: {ln}"
+        )
+
+
+def test_bucketed_plan_no_derived_key_exchanges(spark):
+    """The r13 shared-exchange layout: every Exchange keys on the
+    MATERIALIZED (_uc, _unull) attributes, never on a derived
+    coalesce/isnull rewrite of user_id — the eqNullSafe join keys used
+    to force two extra full-event Exchanges (one to co-partition the
+    join, one more for the final window). With plain attribute keys
+    the join-left window, the summary join, and the final window all
+    ride one event exchange; only the summary branch's own pruned
+    evaluation adds a second. Guard: no expression-keyed exchange, and
+    at most TWO exchanges move event-level rows."""
+    ev = spark.createDataFrame(_corpus()[:200], SCHEMA)
+    df = sessionize(ev, GAP_MIN, bucket_hours=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    derived = [
+        ln
+        for ln in exchanges
+        if "coalesce(user_id" in ln or "isnull(user_id" in ln
+    ]
+    assert not derived, (
+        "exchange keyed on derived null-safe expressions (lost "
+        "co-partitioning):\n" + "\n".join(derived)
+    )
+    # event-level exchanges are the ones keyed (_uc, _unull, _bkt);
+    # summary-scale ones key (_uc, _unull) or (_s_uid, ...)
+    ev_exchanges = [
+        ln
+        for ln in exchanges
+        if "hashpartitioning(_uc" in ln and "_bkt" in ln
+    ]
+    assert len(ev_exchanges) <= 2, (
+        "event table exchanged more than twice:\n"
+        + "\n".join(ev_exchanges)
+    )
 
 
 def test_bucketed_null_user_and_validation(spark):
