@@ -162,7 +162,10 @@ def asof_join(
         # tier (ADVICE r10: a left column named _wf0 passed the old
         # guard and failed later as an ambiguous-column
         # AnalysisException deep in the plan instead of a clear error)
-        internal = {"_ts_us", "_bkt", "_skey", "_c_k", "_c_bkt"}
+        internal = {
+            "_ts_us", "_bkt", "_skey", "_c_k", "_c_bkt",
+            "_kc", "_knull", "_c_knull",
+        }
         internal.update(f"_wf{i}" for i in range(len(value_cols) + 1))
         internal.update(f"_bl{i}" for i in range(len(value_cols) + 1))
         internal.update(f"_ci{i}" for i in range(len(value_cols) + 1))
@@ -194,8 +197,39 @@ def asof_join(
         ).withColumn(
             "_skey", F.col("_ts_us") * sgn + F.col("_tag")
         )
+        # Null-safe carry-join key WITHOUT eqNullSafe (r13, same fix as
+        # sessionize): `_k <=> _c_k` rewrites the join keys to
+        # coalesce/isnull EXPRESSIONS no upstream
+        # HashPartitioning(_k, _bkt) satisfies, so the planner
+        # re-exchanged the full union for the carry join. Materialize
+        # the rewrite as columns and key every phase on them: the fill
+        # window, the summary aggregate, and the carry join share one
+        # full-data exchange. (_kc, _knull) determines _k exactly — a
+        # sentinel collision with a real key value still differs on
+        # _knull.
+        from pyspark.sql import types as _T
+
+        kt = unioned.schema["_k"].dataType
+        if isinstance(kt, _T.StringType):
+            _ksent = F.lit("")
+        elif isinstance(kt, _T.NumericType):
+            _ksent = F.lit(0).cast(kt)
+        else:
+            _ksent = None
+        if _ksent is None:
+            # exotic key type: single-field struct compares its null
+            # field as equal under plain `=` (container semantics),
+            # keeping the shared-exchange shape at interpreted-sort
+            # cost
+            unioned = unioned.withColumn(
+                "_kc", F.struct("_k")
+            ).withColumn("_knull", F.lit(False))
+        else:
+            unioned = unioned.withColumn(
+                "_kc", F.coalesce(F.col("_k"), _ksent)
+            ).withColumn("_knull", F.col("_k").isNull())
         wb = (
-            Window.partitionBy("_k", "_bkt")
+            Window.partitionBy("_kc", "_knull", "_bkt")
             .orderBy("_skey")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -219,7 +253,7 @@ def asof_join(
         # localCheckpoint materialized every column of left+right and
         # cost more than the second read it saved — asof_hot 2.38s ->
         # 1.88s same-session min-of-3 on removal, output identical).
-        summ = unioned.groupBy("_k", "_bkt").agg(
+        summ = unioned.groupBy("_kc", "_knull", "_bkt").agg(
             *[
                 F.max_by(
                     src, F.when(F.col(src).isNotNull(), F.col("_skey"))
@@ -233,12 +267,13 @@ def asof_join(
             else F.col("_bkt").desc()
         )
         wu = (
-            Window.partitionBy("_k")
+            Window.partitionBy("_kc", "_knull")
             .orderBy(bkt_order)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         carry = summ.select(
-            F.col("_k").alias("_c_k"),
+            F.col("_kc").alias("_c_k"),
+            F.col("_knull").alias("_c_knull"),
             F.col("_bkt").alias("_c_bkt"),
             *[
                 F.last(f"_bl{i}", ignorenulls=True)
@@ -248,11 +283,13 @@ def asof_join(
             ],
         )
         # null-safe on the join key: a null key is a real window
-        # partition in the plain path, so a plain inner equi-join
-        # would silently drop its rows and break how='left'
+        # partition in the plain path; the materialized (_kc, _knull)
+        # pair makes plain `=` keep those rows (see key-column note
+        # above)
         filled = within.join(
             carry,
-            F.col("_k").eqNullSafe(F.col("_c_k"))
+            (F.col("_kc") == F.col("_c_k"))
+            & (F.col("_knull") == F.col("_c_knull"))
             & (F.col("_bkt") == F.col("_c_bkt")),
         ).select(
             "*",
