@@ -55,23 +55,40 @@ def global_row_number(
     must pass a tie-broken ordering) plus the total row count, with no
     unpartitioned window anywhere in the plan.
 
-    Internal columns ``_pid/_local_rn/_off`` are dropped; the result
-    keeps the input columns + ``idx_col`` + ``total_col``.
+    Local ranks come from ``monotonically_increasing_id()`` evaluated
+    over the range-partitioned, partition-sorted data (r13): the id is
+    ``partition_id << 33 | row_index``, so ``_pid`` and a 1-based
+    ``_local_rn`` are two bit-ops per row — where the previous layout
+    paid a ``Window.partitionBy(_pid)`` whose required distribution
+    re-shuffled the ENTIRE checkpointed table by ``_pid`` (the
+    checkpoint erases the partitioning info, so the exchange was a
+    pure tax: one extra full-data network pass per call, measured in
+    the quantile_hot guard which calls this twice). The sort moves
+    from the window into ``sortWithinPartitions`` — same one sort,
+    one less full-data exchange. The eager ``localCheckpoint`` still
+    pins the (sampled) range partitioning AND the in-partition order
+    before both consumers read it, exactly as before; the 33-bit
+    local index caps partitions at 2^33 rows — far beyond any sane
+    partition. Internal columns are dropped; the result keeps the
+    input columns + ``idx_col`` + ``total_col``.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n_part = _num_partitions(df, num_partitions)
 
     ranged = (
         df.repartitionByRange(n_part, *cols)
-        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
         .localCheckpoint()
     )
     local = ranged.withColumn(
+        "_pid", F.shiftright(F.col("_mid"), 33).cast("int")
+    ).withColumn(
         "_local_rn",
-        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+        F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1,
     )
 
-    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     a, b = counts.alias("a"), counts.alias("b")
     # offset(p) = rows in all partitions before p; theta-join over the
     # tiny count table (|partitions| rows) instead of an unpartitioned
@@ -87,7 +104,7 @@ def global_row_number(
     return (
         local.join(F.broadcast(keyed), "_pid")
         .withColumn(idx_col, (F.col("_off") + F.col("_local_rn")).cast("long"))
-        .drop("_pid", "_local_rn", "_off")
+        .drop("_mid", "_pid", "_local_rn", "_off")
     )
 
 
