@@ -303,8 +303,14 @@ def winnowing_fingerprints(
         win = (
             Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
         )
-        sel = grams.select("doc_id", *sel_exprs(win)).where(
-            F.col("_c") == w
+        lagw = Window.partitionBy("doc_id").orderBy("pos")
+        sel = (
+            grams.select("doc_id", "pos", *sel_exprs(win))
+            .withColumn("_q", F.lag("_s").over(lagw))
+            .where(
+                (F.col("_c") == w)
+                & (F.col("_q").isNull() | (F.col("_q") != F.col("_s")))
+            )
         )
     else:
         C = int(chunk)
@@ -312,6 +318,10 @@ def winnowing_fingerprints(
         # 0-based; same tokenizer + zip-of-shifted-slices build as
         # raw_ngrams, so grams (including its short-doc quirk: fewer
         # than k tokens yield ONE short gram) are bit-identical.
+        # Each chunk's slice reaches ONE gram position left of its home
+        # range (`_e`, r13-opt) so the window of start `a-1` — the
+        # previous chunk's last home start — is computable locally and
+        # the lag dedup below stays exact across chunk boundaries.
         toks = F.split(F.trim(F.col(text_col)), r"\s+")
         sl = (
             docs.select(
@@ -333,7 +343,7 @@ def winnowing_fingerprints(
             .select(
                 "doc_id",
                 "_ck",
-                (F.col("_ck") * C).alias("_a"),
+                F.greatest(F.col("_ck") * C - 1, F.lit(0)).alias("_e"),
                 F.least(
                     (F.col("_ck") + 1) * C - 1 + (w - 1),
                     F.col("_p") - 1,
@@ -343,11 +353,11 @@ def winnowing_fingerprints(
             .select(
                 "doc_id",
                 "_ck",
-                "_a",
+                "_e",
                 F.slice(
                     F.col("_ws"),
-                    F.col("_a") + 1,
-                    F.col("_b") - F.col("_a") + k,
+                    F.col("_e") + 1,
+                    F.col("_b") - F.col("_e") + k,
                 ).alias("_ws"),
             )
             # the exchange that makes a giant doc parallel: token
@@ -369,12 +379,12 @@ def winnowing_fingerprints(
         grams = sl.select(
             "doc_id",
             "_ck",
-            "_a",
+            "_e",
             F.posexplode(gr).alias("_lp", "_g"),
         ).select(
             "doc_id",
             "_ck",
-            (F.col("_a") + F.col("_lp")).alias("pos"),
+            (F.col("_e") + F.col("_lp")).alias("pos"),
             _md5_long(F.col("_g"), 0).alias("h"),
         )
         win = (
@@ -382,16 +392,33 @@ def winnowing_fingerprints(
             .orderBy("pos")
             .rowsBetween(0, w - 1)
         )
-        sel = grams.select(
-            "doc_id", "pos", "_ck", *sel_exprs(win)
-        ).where(
-            (F.col("_c") == w) & (F.expr(f"pos div {C}") == F.col("_ck"))
+        lagw = Window.partitionBy("doc_id", "_ck").orderBy("pos")
+        sel = (
+            grams.select("doc_id", "pos", "_ck", *sel_exprs(win))
+            .withColumn("_q", F.lag("_s").over(lagw))
+            .where(
+                (F.col("_c") == w)
+                & (F.expr(f"pos div {C}") == F.col("_ck"))
+                & (F.col("_q").isNull() | (F.col("_q") != F.col("_s")))
+            )
         )
+    # No distinct: identical (pos, fp) selections come only from
+    # CONSECUTIVE window starts (robust-winnowing contiguity: starts s1
+    # < s2 picking the same rightmost-min position p satisfy s2 <= s1 +
+    # w - 1, and every start between them covers p and can select
+    # nothing smaller), so dropping rows whose selection equals the
+    # previous start's (`lag` over the window sort that already exists
+    # — no new exchange) dedups exactly. On the chunked path the slice
+    # extension `_e` makes the first home start's lag the previous
+    # chunk's last home selection, so cross-chunk runs dedup too.
+    # Removes the corpus-wide distinct exchange + two hash aggregates
+    # (guide par.2.4) — at scale, one full shuffle of the fingerprint
+    # stream.
     return sel.select(
         "doc_id",
         (-F.col("_s.np")).cast("long").alias("pos"),
         F.col("_s.h").alias("fp"),
-    ).distinct()
+    )
 
 
 __all__.append("winnowing_fingerprints")

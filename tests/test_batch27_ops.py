@@ -115,6 +115,51 @@ def test_winnowing_chunked_identity(spark):
         assert got == base, f"chunk={c}"
 
 
+def test_winnowing_lag_dedup_matches_reference(spark):
+    """r13-opt: the distinct() was replaced by a lag-based run dedup
+    (identical selections come only from consecutive window starts).
+    Pin against a pure-Python reference on repetitive corpora — long
+    identical-hash runs crossing chunk boundaries are the worst case —
+    and assert the operator emits NO duplicate rows (distinct is gone,
+    so a dedup bug would show as extra rows, not wrong values)."""
+    import hashlib
+
+    def ref(text, k=4, w=4):
+        toks = text.strip().split()
+        grams = (
+            [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else [" ".join(toks)]
+        )
+        hs = [
+            int(hashlib.md5(("0:" + g).encode()).hexdigest()[:15], 16)
+            for g in grams
+        ]
+        out = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s : s + w]
+            m = min(win)
+            p = s + max(i for i, v in enumerate(win) if v == m)
+            out.add((p, m))
+        return out
+
+    docs = [
+        (1, " ".join(["a"] * 60)),  # one gram value: one long run
+        (2, " ".join(["a", "b"] * 40)),  # period-2 runs
+        (3, " ".join(str((i * i) % 5) for i in range(90))),
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (d, p, h) for d, t in docs for (p, h) in ref(t)
+    }
+    for c in (None, 2, 7, 1 << 16):
+        rows = winnowing_fingerprints(df, k=4, w=4, chunk=c).collect()
+        got = [(r.doc_id, r.pos, r.fp) for r in rows]
+        assert len(got) == len(set(got)), f"duplicate rows at chunk={c}"
+        assert set(got) == want, f"chunk={c}"
+
+
 # -- CUSUM / autocorrelation ------------------------------------------------
 
 def test_cusum_scaled_hand_example(spark):
