@@ -727,6 +727,7 @@ def simhash(
     per-bit lambda re-evaluates it ``bits`` times (measured 8x
     slower).
     """
+    df = _spread(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     votes = F.aggregate(
         F.transform(toks, lambda t: _md5_long(t, 0)),
