@@ -285,10 +285,14 @@ def dup_ngram_fraction(
     (each shingle row matches exactly one frequency row, so fan-out is
     1:1 and the skew is carry-over from the explode, not amplification).
     """
-    ex = df.select(
+    from .dedup import _spread
+
+    ex = _spread(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
     ).localCheckpoint(eager=False)  # feeds BOTH the df-count and the join
-    # back — materialize so the shingle explode runs once, not twice
+    # back — materialize so the shingle explode runs once, not twice;
+    # _spread so the shingle build parallelizes on few-split input (the
+    # checkpoint pins the scan partitioning otherwise — r13-opt)
     # (id, shingle) is unique post-array_distinct, so count(*) == doc freq
     dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
     hit = F.when(F.col("_df") >= min_df, F.lit(1)).otherwise(F.lit(0))
@@ -530,12 +534,15 @@ def duplicate_span_extents(
     """
     from pyspark.sql import Window
 
+    from .dedup import _spread
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
         toks.alias("_toks"),
         F.size(toks).cast("long").alias("n_tokens"),
-    ).localCheckpoint(eager=False)  # feeds gram build AND the dup count
+    ).localCheckpoint(eager=False)  # feeds gram build AND the dup count;
+    # _spread so the gram build parallelizes on few-split input
     starts = F.when(
         F.col("n_tokens") >= span,
         F.sequence(F.lit(0), (F.col("n_tokens") - span).cast("int")),

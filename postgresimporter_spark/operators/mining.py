@@ -135,6 +135,10 @@ def unigram_logprob(
     ex = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).localCheckpoint(eager=False)  # feeds the count AND the join back
+    # (no _spread here: the bare token explode is cheap — measured
+    # 0.77s -> 1.08s WORSE with a pre-explode repartition at sf0.1; the
+    # spread only pays when the per-row fold is heavy, e.g. shingle or
+    # simhash builds)
     counts = ex.groupBy("_t").agg(F.count("*").alias("_c"))
     total = counts.agg(F.sum("_c").alias("_n"))
     logp = F.round(
