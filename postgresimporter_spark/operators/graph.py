@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import explode_ordered_pairs
+from .dedup import _spread, explode_ordered_pairs
 
 RANK_SCALE = 10**12  # fixed-point scale for PageRank ranks
 
@@ -653,8 +653,20 @@ def random_walks(
             .agg(F.collect_list("dst").alias("_nbrs"))
             .localCheckpoint(eager=False)
         )
-    state = adj.select(
-        F.col("src").alias("walk_id"), F.col("src").alias("cur")
+    # _spread (r14): the per-step argmin scoring — one md5 per
+    # neighbor, interpreted HOF eval, by far the walk's CPU (92s
+    # executor time on the 14MB sf0.1 graph) — pipelines over the
+    # STATE side of every step's broadcast join, so state's partition
+    # count IS the scoring parallelism for all ``length`` steps. The
+    # groupBy-built state arrives AQE-coalesced to a handful of
+    # partitions; state rows are two longs, so the widening exchange
+    # is ~16 bytes/node once while every step's scoring gains the full
+    # session width (sf0.1 q298 4.58 -> 3.89s min-of-3 interleaved,
+    # picks bit-identical).
+    state = _spread(
+        adj.select(
+            F.col("src").alias("walk_id"), F.col("src").alias("cur")
+        )
     ).localCheckpoint(eager=False)
     out = state.select(
         "walk_id", F.lit(0).cast("long").alias("step"),
