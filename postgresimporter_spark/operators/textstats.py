@@ -265,6 +265,14 @@ def winnowing_fingerprints(
     yield no fingerprints (the standard boundary: no full window
     exists).
 
+    Precondition: ``id_col`` must be unique per input row (one row per
+    document — the contract every caller in this repo satisfies).
+    Duplicate ids were always ill-defined here (the per-doc window
+    interleaves their grams into one position sequence); since r13's
+    lag run-dedup replaced the global ``distinct()``, they would also
+    emit duplicate (doc_id, pos, fp) rows that the distinct used to
+    mask (ADVICE r13).
+
     ``chunk`` (r12 probe — the giant-doc straggler): the single-window
     path pins each document to ONE task twice over — the per-doc
     window, AND the gram array build + explode, which pipeline into
