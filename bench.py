@@ -945,6 +945,7 @@ def _time_queries(
     sf_dir: str,
     n_runs: int,
     subsec_runs: int = 0,
+    audit: dict | None = None,
 ) -> tuple[dict[str, float], dict[str, int]]:
     """Min-of-N timing; returns (best_times, run_counts). With
     ``subsec_runs`` (VERDICT r08 #2), a query whose best time after
@@ -965,7 +966,12 @@ def _time_queries(
     for name in names:
         q = reg[name]
         timings[name], run_counts[name] = _time_guard(
-            lambda q=q: q.fn(spark, sf_dir).count(), n_runs, subsec_runs
+            lambda q=q: q.fn(spark, sf_dir).count(),
+            n_runs,
+            subsec_runs,
+            spark=spark,
+            label=name,
+            audit=audit,
         )
     return timings, run_counts
 
@@ -977,7 +983,12 @@ _MICRO_QUERY_BAND_SEC = 1.5
 
 
 def _time_guard(
-    fn, n_runs: int, subsec_runs: int = 0
+    fn,
+    n_runs: int,
+    subsec_runs: int = 0,
+    spark=None,
+    label: str | None = None,
+    audit: dict | None = None,
 ) -> tuple[float, int]:
     """Min-of-N wall time of ``fn()`` with the micro-band top-up:
     after ``n_runs`` runs, a best time under ``_MICRO_QUERY_BAND_SEC``
@@ -985,21 +996,85 @@ def _time_guard(
     registry loop AND the standalone bench guards (r13, VERDICT r12
     #5 — interval_mixed at ~1.1s was flat min-of-3, below every
     top-up, and generated an adjudication cycle on one noisy
-    session)."""
+    session).
+
+    With ``spark``+``label``+``audit`` (r14, VERDICT r13 #3) the runs
+    are labeled via ``setJobDescription`` (guide §1.5 — a thread-local
+    property set, nanoseconds on the timed path) and, AFTER the timed
+    runs, the heaviest-stage task profile of exactly those jobs is
+    collected into ``audit[label]`` — see ``_collect_stage_audit``."""
+    if spark is not None and label is not None:
+        spark.sparkContext.setJobDescription(f"bench:{label}")
     best = float("inf")
     target, runs = n_runs, 0
-    while runs < target:
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-        runs += 1
-        if (
-            runs == target
-            and subsec_runs > target
-            and best < _MICRO_QUERY_BAND_SEC
-        ):
-            target = subsec_runs
+    try:
+        while runs < target:
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+            runs += 1
+            if (
+                runs == target
+                and subsec_runs > target
+                and best < _MICRO_QUERY_BAND_SEC
+            ):
+                target = subsec_runs
+    finally:
+        if spark is not None and label is not None:
+            spark.sparkContext.setJobDescription(None)
+    if audit is not None and spark is not None and label is not None:
+        a = _collect_stage_audit(spark, f"bench:{label}")
+        if a is not None:
+            audit[label] = a
     return round(best, 3), runs
+
+
+def _collect_stage_audit(spark, label: str) -> dict | None:
+    """Heaviest-stage task profile of the jobs carrying ``label`` as
+    their job description (r14, VERDICT r13 #3): the spread-gated
+    folds (simhash, shingle/gram builds, walk state) sit ABOVE a
+    localCheckpoint, so ``explain`` renders them as ``Scan
+    ExistingRDD`` and the plan audit cannot see whether the fold is
+    parallel — the machine-checkable evidence is the observed task
+    count of the heaviest stage. Reads the AppStatusStore (the same
+    store the UI serves) via py4j — works with the UI disabled — and
+    runs AFTER the timed runs, per query, so nothing lands on the
+    timed path and the store's retention limits can't evict this
+    query's stages. SKIPPED stages (reused shuffle output) are
+    excluded; the heaviest COMPLETE stage (by executor run time, any
+    run — task counts are per-plan deterministic) is reported."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jobs = store.jobsList(sc._jvm.java.util.ArrayList())
+        best: tuple[int, int] | None = None  # (xrun_ms, tasks)
+        max_tasks = 0
+        for i in range(jobs.size()):
+            j = jobs.apply(i)
+            d = j.description()
+            if not (d.isDefined() and d.get() == label):
+                continue
+            sids = j.stageIds()
+            for k in range(sids.size()):
+                try:
+                    s = store.lastStageAttempt(int(sids.apply(k)))
+                except Exception:  # noqa: BLE001 — evicted/never ran
+                    continue
+                if s.status().toString() != "COMPLETE":
+                    continue
+                xrun, tasks = int(s.executorRunTime()), int(s.numTasks())
+                max_tasks = max(max_tasks, tasks)
+                if best is None or xrun > best[0]:
+                    best = (xrun, tasks)
+        if best is None:
+            return None
+        return {
+            "heavy_stage_tasks": best[1],
+            "heavy_stage_xrun_s": round(best[0] / 1000.0, 2),
+            "max_stage_tasks": max_tasks,
+        }
+    except Exception:  # noqa: BLE001 — audit must never kill the bench
+        return None
 
 
 def _record_round(name: str) -> int:
@@ -1266,8 +1341,20 @@ def main() -> None:
     calibration = _calibration(spark, n_runs)
     spark_calibration = _spark_calibration(spark, n_runs)
     micro_calibration = _micro_calibration(spark, n_runs)
+    # stage_audit (r14, VERDICT r13 #3): per-query heaviest-stage task
+    # counts, collected from labeled jobs AFTER each query's timed runs
+    # — spread-gated folds sit above localCheckpoints where the plan
+    # audit can't see them; this makes their parallelism
+    # machine-checkable round-over-round.
+    stage_audit: dict[str, dict] = {}
     timings, run_counts = _time_queries(
-        spark, reg, HEADLINE, sf_dir, n_runs, subsec_runs=subsec_runs
+        spark,
+        reg,
+        HEADLINE,
+        sf_dir,
+        n_runs,
+        subsec_runs=subsec_runs,
+        audit=stage_audit,
     )
 
     # multimodal guards: corpora are sf-independent (fixed image /
@@ -1279,6 +1366,9 @@ def main() -> None:
             lambda: _img_neardup(spark, media_dir).count(),
             n_runs,
             subsec_runs,
+            spark=spark,
+            label=k,
+            audit=stage_audit,
         )
 
     video_dir = _ensure_video(spark)
@@ -1288,6 +1378,9 @@ def main() -> None:
             lambda: _video_neardup(spark, video_dir).count(),
             n_runs,
             subsec_runs,
+            spark=spark,
+            label=k,
+            audit=stage_audit,
         )
 
     # ingest-throughput guard (VERDICT r07 #3): the reference's
@@ -1300,46 +1393,60 @@ def main() -> None:
             lambda: _ingest(spark, ingest_dir, tag=f"_sf{sf}"),
             n_runs,
             subsec_runs,
+            spark=spark,
+            label=k,
+            audit=stage_audit,
         )
 
     # r10 duplicate-family guard (min-of-2: output-bound, data
     # dominates): weighted MinHash over 4x exact-copy documents.
     wmh_runs = min(2, n_runs)
+    wmh_label = f"wmh_dup{WMH_DUP_COPIES}"
+    spark.sparkContext.setJobDescription(f"bench:{wmh_label}")
     best = float("inf")
     for _ in range(wmh_runs):
         t0 = time.perf_counter()
         _wmh_dup(spark, sf_dir).count()
         best = min(best, time.perf_counter() - t0)
-    timings[f"wmh_dup{WMH_DUP_COPIES}"] = round(best, 3)
-    run_counts[f"wmh_dup{WMH_DUP_COPIES}"] = wmh_runs
+    spark.sparkContext.setJobDescription(None)
+    timings[wmh_label] = round(best, 3)
+    run_counts[wmh_label] = wmh_runs
+    wmh_audit = _collect_stage_audit(spark, f"bench:{wmh_label}")
+    if wmh_audit is not None:
+        stage_audit[wmh_label] = wmh_audit
 
     # r10 static-video guard: alignment-keyed MIH join, two hot
     # near-match fingerprint families (decode-free, see _align_static)
     timings["align_static"], run_counts["align_static"] = _time_guard(
-        lambda: _align_static(spark).count(), n_runs, subsec_runs
+        lambda: _align_static(spark).count(), n_runs, subsec_runs,
+        spark=spark, label="align_static", audit=stage_audit,
     )
 
     # r10 bot-skew guard: two-phase bucketed sessionization (4M-event
     # hot user; see _sessionize_hot)
     timings["sessionize_hot"], run_counts["sessionize_hot"] = _time_guard(
-        lambda: _sessionize_hot(spark).count(), n_runs, subsec_runs
+        lambda: _sessionize_hot(spark).count(), n_runs, subsec_runs,
+        spark=spark, label="sessionize_hot", audit=stage_audit,
     )
 
     # r10 hot-instrument guard: bucketed as-of join (see _asof_hot)
     timings["asof_hot"], run_counts["asof_hot"] = _time_guard(
-        lambda: _asof_hot(spark).count(), n_runs, subsec_runs
+        lambda: _asof_hot(spark).count(), n_runs, subsec_runs,
+        spark=spark, label="asof_hot", audit=stage_audit,
     )
 
     # r10 hot-group guard: range-ranked quantile normalization
     # (see _quantile_hot)
     timings["quantile_hot"], run_counts["quantile_hot"] = _time_guard(
-        lambda: _quantile_hot(spark).count(), n_runs, subsec_runs
+        lambda: _quantile_hot(spark).count(), n_runs, subsec_runs,
+        spark=spark, label="quantile_hot", audit=stage_audit,
     )
 
     # r11 mixed-duration guard: multi-level interval join (2M points,
     # minute + year intervals; see _interval_mixed)
     timings["interval_mixed"], run_counts["interval_mixed"] = _time_guard(
-        lambda: _interval_mixed(spark).count(), n_runs, subsec_runs
+        lambda: _interval_mixed(spark).count(), n_runs, subsec_runs,
+        spark=spark, label="interval_mixed", audit=stage_audit,
     )
 
     # r12 giant-doc straggler guard (min-of-2: data dominates): the
@@ -1348,13 +1455,19 @@ def main() -> None:
     wg_dir = _ensure_winnow_giant(spark)
     if wg_dir:
         wg_runs = min(2, n_runs)
+        wg_label = f"winnow_giant{WINNOW_GIANT_MB}"
+        spark.sparkContext.setJobDescription(f"bench:{wg_label}")
         best = float("inf")
         for _ in range(wg_runs):
             t0 = time.perf_counter()
             _winnow_giant(spark, wg_dir).count()
             best = min(best, time.perf_counter() - t0)
-        timings[f"winnow_giant{WINNOW_GIANT_MB}"] = round(best, 3)
-        run_counts[f"winnow_giant{WINNOW_GIANT_MB}"] = wg_runs
+        spark.sparkContext.setJobDescription(None)
+        timings[wg_label] = round(best, 3)
+        run_counts[wg_label] = wg_runs
+        wg_audit = _collect_stage_audit(spark, f"bench:{wg_label}")
+        if wg_audit is not None:
+            stage_audit[wg_label] = wg_audit
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -1438,6 +1551,12 @@ def main() -> None:
     # line carries just the round-over-round change count.
     if os.environ.get("SPARK_GRAFT_PLAN_AUDIT", "1") != "0":
         out["plan_audit"] = _plan_fingerprints(spark, reg, HEADLINE, sf_dir)
+    # Observed heaviest-stage task counts (r14, VERDICT r13 #3) live in
+    # their OWN sidecar map, deliberately outside plan_audit: which
+    # stage is "heaviest" can flip between similar stages session to
+    # session, and plan_diff must stay a pure plan-counter signal.
+    if stage_audit:
+        out["stage_audit"] = stage_audit
 
     # Normalized-delta section (VERDICT r08 #2): per-query this/prior
     # ratio with sandbox speed divided out, for both tiers — makes
