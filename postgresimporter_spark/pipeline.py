@@ -198,6 +198,29 @@ class Loader:
         d = discover_csvs(cfg.sources, cfg.exclude_regex)
         result.table_csv_files = d.table_csv_files
 
+        # Kick the reconciliation's CSV line count off NOW on a driver
+        # thread (r14, guide §2.6 "overlap independent jobs"): the
+        # count reads the raw dump files and depends on nothing the
+        # import/sink steps produce, while the sink writes' task tails
+        # leave executors idle that this one distributed job
+        # back-fills. Joined at the reconciliation step below — the
+        # report is byte-identical, only the wall clock overlaps. The
+        # DB-side count is NOT overlapped: it reads the materialized
+        # sink, which exists only after write_sink.
+        csv_counts_async = None
+        if not cfg.disable_check and result.table_csv_files:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from .reconcile import csv_row_counts
+
+            pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="csv-count"
+            )
+            csv_counts_async = pool.submit(
+                csv_row_counts, self.spark, result.table_csv_files
+            )
+            pool.shutdown(wait=False)
+
         # Step 2: import (main.py:334-335 -> 171-213); --all overrides.
         # Only the per-file LOAD is gated — function installation and
         # combine run unconditionally in the reference (main.py:195-213:
@@ -245,6 +268,11 @@ class Loader:
                 sink_dir=cfg.sink_dir,
                 written_views=(
                     result.sink_written if cfg.sink_dir is not None else None
+                ),
+                csv_counts=(
+                    csv_counts_async.result()
+                    if csv_counts_async is not None
+                    else None
                 ),
             )
             result.report = report

@@ -160,6 +160,7 @@ def reconciliation_report(
     db=None,
     sink_dir: Path | None = None,
     written_views: set[str] | None = None,
+    csv_counts: dict[str, int] | None = None,
 ) -> tuple[DataFrame, bool, dict[str, int]]:
     """Build the reconciliation report (reference report columns,
     main.py:263-299) and evaluate the tolerance gate (main.py:301-302).
@@ -167,8 +168,11 @@ def reconciliation_report(
     With ``db`` (DbOptions), the DB side counts come from the sink
     Postgres itself — the reference's actual contract (it SELECTed
     count(*) from the import schema, main.py:250-306); otherwise from
-    the session's import views."""
-    csv_counts = csv_row_counts(spark, table_csv_files)
+    the session's import views. ``csv_counts`` (r14) lets the pipeline
+    pass a count it started concurrently with the sink writes (guide
+    §2.6) — same ``csv_row_counts`` job, same values, just overlapped."""
+    if csv_counts is None:
+        csv_counts = csv_row_counts(spark, table_csv_files)
     if db is not None:
         from .sources.copy_sink import table_counts
 
