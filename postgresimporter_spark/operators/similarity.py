@@ -19,6 +19,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _shuffle_partitions(spark) -> int:
+    """The session's configured shuffle width — the scale-adaptive
+    partition count for explicit repartitions (conf-derived; local
+    default is the core count, cluster deployments size it to 2-3x
+    total executor cores per session.py's posture)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -446,6 +457,21 @@ def signband_neardup_pairs(
     keyed = vals.select(
         "vid", "vec", "cnt", F.explode(entries).alias("e")
     ).select("vid", "vec", "cnt", "e.band", "e.key")
+    # Explicit (band, key) partitioning (r14): the candidate join's
+    # domain is at most bands x 2^bits_per_band short keys, so its
+    # post-shuffle BYTES are tiny and AQE coalesces the exchange to 1-2
+    # partitions — but the per-partition work (quadratic per-bucket
+    # pair expansion + a 64-double cosine per candidate) is the
+    # operator's entire CPU, and byte-based coalescing is blind to it
+    # (measured sf1 q85: the whole verify on 2 tasks, 8.75s executor
+    # time, 30 cores idle). An explicit REPARTITION_BY_NUM is exempt
+    # from AQE coalescing, and one exchange now serves BOTH the bucket
+    # cap's groupBy and the self-join (each previously shuffled on its
+    # own). Parallelism is still bounded by the distinct-key domain —
+    # the banding config's own limit, not this exchange's.
+    keyed = keyed.repartition(
+        _shuffle_partitions(df.sparkSession), "band", "key"
+    )
 
     if max_bucket_ratio is not None:
         # the cap counts ROWS (each value weighted by its multiplicity)
