@@ -46,25 +46,26 @@ _LOCAL_INDEX_CAP = 1 << 33
 
 
 def _checked_count(cnt):
-    """``cnt`` verified against the 33-bit local-index cap: evaluates
-    ``assert_true`` (raises executor-side on overflow) inside an
-    expression whose value is just ``cnt``, so the check can never be
-    pruned as an unused column."""
-    ok = F.assert_true(
-        cnt <= F.lit(_LOCAL_INDEX_CAP),
-        F.concat(
-            F.lit(
-                "global_row_number: a range partition holds "
-            ),
-            cnt.cast("string"),
-            F.lit(
-                f" rows, over the {_LOCAL_INDEX_CAP}-row "
-                "monotonically_increasing_id local-index cap; "
-                "pass a larger num_partitions"
-            ),
-        ),
+    """``cnt`` verified against the 33-bit local-index cap: the value
+    IS the guard — a CASE whose overflow branch is ``raise_error``
+    (raises executor-side on violation). The branches differ, so
+    Catalyst cannot simplify the conditional away; the original
+    ``when(ok.isNull(), cnt).otherwise(cnt)`` assert_true wrapper had
+    identical branches and SimplifyConditionals pruned the assert
+    silently (caught by the cap unit test)."""
+    return F.when(cnt <= F.lit(_LOCAL_INDEX_CAP), cnt).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("global_row_number: a range partition holds "),
+                cnt.cast("string"),
+                F.lit(
+                    f" rows, over the {_LOCAL_INDEX_CAP}-row "
+                    "monotonically_increasing_id local-index cap; "
+                    "pass a larger num_partitions"
+                ),
+            )
+        ).cast("long")
     )
-    return F.when(ok.isNull(), cnt).otherwise(cnt)
 
 
 def _num_partitions(df: DataFrame, requested: int | None) -> int:
