@@ -42,6 +42,47 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Unconditionally re-spread a tiny-bytes, CPU-heavy intermediate
+    (r14). AQE's byte-based coalescing packs a distinct-fingerprint
+    table (8-byte rows) into 1-2 post-shuffle partitions, and every
+    downstream explode (combo band keys, XOR probe neighborhoods) then
+    runs on 1-2 cores — measured on q291 at the 10x tier: the whole
+    probe enumeration on ONE task, 4.5s executor time, 7.7MB shuffle
+    written from one core. Coalescing sizes tasks by their INPUT
+    bytes, which is exactly wrong for a stage whose output fans out
+    hundreds of rows per input row. The widening exchange moves a few
+    bytes per row — negligible at any scale — while the explode width
+    it buys is the operator's parallelism, so this is unconditional,
+    not shape-gated like ``_spread``."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _first_match_mask(x: Column, key_masks: list[int], radius: int, key_col: str) -> Column:
+    """True iff ``key_col`` (the banding-key index a candidate pair was
+    joined on) is the FIRST index whose masked slice of the pair XOR
+    ``x`` is within ``radius`` flips (r14). Banded Hamming joins find a
+    true pair once per agreeing key; the classic fix is a post-verify
+    ``dropDuplicates`` — a full shuffle of every true pair. But "does
+    key j agree" is row-local given both fingerprints (bit_count of the
+    masked XOR), so keeping exactly the row joined at the first agreeing
+    key makes the pair stream already-distinct and the dedup exchange
+    disappears (guide §2.4). The join itself guarantees the CURRENT key
+    agrees (probe masks enumerate <= radius flips; combo keys are
+    injective bit-packs), so only EARLIER keys are tested. On the
+    hash-keyed combo lookup path a collision row sits at a key that
+    does NOT truly agree — this filter drops it (its pair still
+    surfaces exactly once, at its first truly-agreeing key, where equal
+    chunks force equal hashes), so collisions stop even being extra
+    verify work."""
+    signed = [m - (1 << 64) if m >= (1 << 63) else m for m in key_masks]
+    arr = F.array(*[F.lit(m).cast("long") for m in signed])
+    return ~F.exists(
+        F.slice(arr, F.lit(1), F.col(key_col)),
+        lambda m: F.bit_count(x.bitwiseAND(m)) <= F.lit(radius),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one canonical row (min id) per distinct text.
 
@@ -805,7 +846,7 @@ def simhash_hamming_pairs(
     ``exact_dedup`` first (a plain groupBy — no pair expansion), then
     hamming-join the distinct fingerprints.
     """
-    fps, keyed = _combo_keyed(
+    fps, keyed, cmasks = _combo_keyed(
         fingerprints, bits, chunks, max_hamming, id_col, hash_col, combo_size
     )
     hamming = F.bit_count(
@@ -843,20 +884,27 @@ def simhash_hamming_pairs(
     # true output; same-value (hamming 0) pairs come from one
     # fp-equality self-join. This subsumes the docstring's
     # "exact_dedup first, then join distinct fingerprints" advice.
-    vals = fps.select(F.col("fp").alias("v")).distinct()
-    _, keyed_v = _combo_keyed(
+    vals = _wide(fps.select(F.col("fp").alias("v")).distinct())
+    _, keyed_v, vmasks = _combo_keyed(
         vals, bits, chunks, max_hamming, "v", "v", combo_size
     )
     a, b = keyed_v.alias("a"), keyed_v.alias("b")
+    # first-agreeing-combo filter instead of dropDuplicates: each true
+    # value pair is emitted exactly once, so the post-verify dedup
+    # exchange (a full shuffle of every true pair) disappears
+    first = _first_match_mask(
+        F.col("a.fp").bitwiseXOR(F.col("b.fp")), vmasks, 0, "chunk"
+    )
     vpairs = (
         a.join(b, on=["chunk", "val"])
-        .where((F.col("a.fp") < F.col("b.fp")) & (hamming <= max_hamming))
+        .where(
+            (F.col("a.fp") < F.col("b.fp")) & (hamming <= max_hamming) & first
+        )
         .select(
             F.col("a.fp").alias("fp_a"),
             F.col("b.fp").alias("fp_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["fp_a", "fp_b"])
     )
     cross = (
         vpairs.join(
@@ -987,7 +1035,7 @@ def hamming_pairs_mih(
     # equi-joins at the end — that expansion is exactly the true
     # output, never a candidate set. On a spread-out corpus (values
     # ~= rows) this is the same plan plus one distinct.
-    vals = fps.select("fp").distinct().localCheckpoint(eager=False)
+    vals = _wide(fps.select("fp").distinct()).localCheckpoint(eager=False)
     entries = F.array(
         *[
             F.struct(
@@ -1011,24 +1059,34 @@ def hamming_pairs_mih(
         "block",
         F.col("val").bitwiseXOR(F.col("_m")).alias("val"),
     )
-    # verify BEFORE deduplicating: bit_count is one cheap row-local op
-    # streamed out of the candidate join, while dropDuplicates is a
-    # full shuffle — filtering first means the dedup exchange carries
-    # only true value pairs (each found at most `blocks` times, once
-    # per pigeonhole block), never the raw candidate volume.
+    # verify inline: bit_count is one cheap row-local op streamed out
+    # of the candidate join (a pair is found at most `blocks` times,
+    # once per pigeonhole block within radius — the first-agreeing-
+    # block filter below keeps exactly one, so no dedup shuffle runs
+    # at all).
     hamming = F.bit_count(
         F.col("a.fp").bitwiseXOR(F.col("b.fp"))
     ).cast("long")
+    # first-agreeing-block filter instead of dropDuplicates: a pair is
+    # joined at block i iff that block is within radius s (each block
+    # match comes from exactly ONE probe mask), so keeping only the row
+    # whose earlier blocks all exceed s emits every true value pair
+    # exactly once and the post-verify dedup exchange disappears
+    block_masks = [mask << (i * width) for i in range(blocks)]
+    first = _first_match_mask(
+        F.col("a.fp").bitwiseXOR(F.col("b.fp")), block_masks, s, "block"
+    )
     vpairs = (
         probe.alias("a")
         .join(index.alias("b"), on=["block", "val"])
-        .where((F.col("a.fp") < F.col("b.fp")) & (hamming <= max_hamming))
+        .where(
+            (F.col("a.fp") < F.col("b.fp")) & (hamming <= max_hamming) & first
+        )
         .select(
             F.col("a.fp").alias("fp_a"),
             F.col("b.fp").alias("fp_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["fp_a", "fp_b"])
     )
     # the second expansion join carries the align columns in its key,
     # so cross-align id pairs are never materialized; the first join
@@ -1083,7 +1141,7 @@ def hot_bands(
     should count/log these next to its pair output, and an index build
     should persist them so later probe batches exclude exactly the same
     keys (mirrors ``hot_shingles`` for the Jaccard path)."""
-    fps, keyed = _combo_keyed(
+    fps, keyed, _ = _combo_keyed(
         fingerprints, bits, chunks, max_hamming, id_col, hash_col, combo_size
     )
     return (
@@ -1146,9 +1204,18 @@ def _combo_keyed(
     # size against a broadcast join; neither changes m.
     m = combo_size if combo_size is not None else max(1, chunks - max_hamming)
     import itertools
-    import math
 
-    n_combos = math.comb(chunks, m)
+    combos = list(itertools.combinations(range(chunks), m))
+    n_combos = len(combos)
+    # per-combo bit masks over the full fingerprint — the row-local
+    # agreement test `(fp_a ^ fp_b) & cmask == 0` that lets callers
+    # keep only the first-agreeing-combo row (see _first_match_mask)
+    cmasks = []
+    for combo in combos:
+        cm = 0
+        for c in combo:
+            cm |= mask << (c * width)
+        cmasks.append(cm)
     chunk_val = [
         F.shiftright(F.col("fp"), i * width).bitwiseAND(F.lit(mask))
         for i in range(chunks)
@@ -1171,7 +1238,7 @@ def _combo_keyed(
         # up the driver (observed: C(16,6)=8008 -> JVM OOM compiling a
         # 4-row query); larger configs take the lookup path below.
         packed = []
-        for ci, combo in enumerate(itertools.combinations(range(chunks), m)):
+        for ci, combo in enumerate(combos):
             key = F.lit(0).cast("long")
             for j, c in enumerate(combo):
                 key = key + F.shiftleft(chunk_val[c].cast("long"), j * width)
@@ -1182,7 +1249,7 @@ def _combo_keyed(
         keyed = fps.select(
             "id", "fp", F.explode(entries).alias("e")
         ).select("id", "fp", "e.chunk", "e.val")
-        return fps, keyed
+        return fps, keyed, cmasks
     # Lookup path (large combo counts / wide packs): the combos live in
     # a broadcast table of (combo id, chunk-index array), not in the
     # expression tree, so the plan stays tiny at ANY C(chunks, m); the
@@ -1195,11 +1262,8 @@ def _combo_keyed(
     # pays 8008 rows/fp for 24-bit keys whose buckets stay tiny, vs the
     # old clamped 8-bit keys whose buckets grew toward n/256 quadratic.
     spark = fingerprints.sparkSession
-    combos = spark.createDataFrame(
-        [
-            (ci, list(cb))
-            for ci, cb in enumerate(itertools.combinations(range(chunks), m))
-        ],
+    combos_df = spark.createDataFrame(
+        [(ci, list(cb)) for ci, cb in enumerate(combos)],
         "chunk int, _idxs array<int>",
     )
     vals = F.array(*[cv.cast("long") for cv in chunk_val])
@@ -1208,7 +1272,7 @@ def _combo_keyed(
     )
     keyed = (
         fps.withColumn("_vals", vals)
-        .crossJoin(F.broadcast(combos))
+        .crossJoin(F.broadcast(combos_df))
         .select(
             "id",
             "fp",
@@ -1216,7 +1280,7 @@ def _combo_keyed(
             F.xxhash64(F.col("chunk"), selected).alias("val"),
         )
     )
-    return fps, keyed
+    return fps, keyed, cmasks
 
 
 __all__ = [
@@ -1972,9 +2036,9 @@ def mih_match_index(
     # near-dup families) would otherwise explode identical
     # neighborhoods once per ROW — measured 20x on a concentrated
     # 20k-row batch. Value-level matches expand back to new_ids with
-    # one batch-sized equi-join at the end; dedup also runs at value
-    # level, before the expansion, so the exchange carries the
-    # smallest possible set.
+    # one batch-sized equi-join at the end; the first-agreeing-block
+    # filter below makes the value-level matches already distinct, so
+    # no match-level dedup exchange runs before the expansion.
     bvals = batch.select(F.col("bfp").alias("bv")).distinct()
     entries = F.array(
         *[
@@ -2007,15 +2071,27 @@ def mih_match_index(
     if broadcast_batch:
         probe = F.broadcast(probe)
     hamming = F.bit_count(F.col("bv").bitwiseXOR(F.col("fp"))).cast("long")
+    # first-agreeing-block filter instead of the value-level
+    # dropDuplicates (see hamming_pairs_mih): each (batch value, index
+    # row) match is emitted exactly once, removing the match-level
+    # dedup exchange. The pair-level dropDuplicates below still runs,
+    # so the distinct-(new_id, hist_id) output contract is unchanged
+    # even for a degenerate index carrying duplicate (id, fp) rows.
+    block_masks = [mask << (i * width) for i in range(blocks)]
+    first = _first_match_mask(
+        F.col("bv").bitwiseXOR(F.col("fp")),
+        block_masks,
+        max_hamming // blocks,
+        "block",
+    )
     vmatches = (
         probe.join(index, on=["block", "val"])
-        .where(hamming <= max_hamming)
+        .where((hamming <= max_hamming) & first)
         .select(
             "bv",
             F.col("id").alias("hist_id"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["bv", "hist_id"])
     )
     # Final pair-level dedup (ADVICE r9): a batch carrying duplicate
     # (id, fingerprint) ROWS — an un-deduped ingest or a replayed
