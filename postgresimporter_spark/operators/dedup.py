@@ -68,19 +68,51 @@ def _first_match_mask(x: Column, key_masks: list[int], radius: int, key_col: str
     masked XOR), so keeping exactly the row joined at the first agreeing
     key makes the pair stream already-distinct and the dedup exchange
     disappears (guide §2.4). The join itself guarantees the CURRENT key
-    agrees (probe masks enumerate <= radius flips; combo keys are
-    injective bit-packs), so only EARLIER keys are tested. On the
-    hash-keyed combo lookup path a collision row sits at a key that
-    does NOT truly agree — this filter drops it (its pair still
-    surfaces exactly once, at its first truly-agreeing key, where equal
-    chunks force equal hashes), so collisions stop even being extra
-    verify work."""
+    agrees for every injectively-keyed banding (probe masks enumerate
+    <= radius flips; combo keys are injective bit-packs), but the
+    current key is re-tested anyway so the rule stays exactly-once even
+    on the hash-keyed combo lookup path, where a collision row can sit
+    at a key that does NOT truly agree: such a row fails the
+    current-key test outright (whether its pair's first truly-agreeing
+    key lies before or after it), and the pair still surfaces exactly
+    once — at its first truly-agreeing key, where equal chunks force
+    equal hashes, so the join is guaranteed to fire there."""
     signed = [m - (1 << 64) if m >= (1 << 63) else m for m in key_masks]
     arr = F.array(*[F.lit(m).cast("long") for m in signed])
-    return ~F.exists(
-        F.slice(arr, F.lit(1), F.col(key_col)),
-        lambda m: F.bit_count(x.bitwiseAND(m)) <= F.lit(radius),
+
+    def agree(m: Column) -> Column:
+        return F.bit_count(x.bitwiseAND(m)) <= F.lit(radius)
+
+    return agree(F.element_at(arr, F.col(key_col) + 1)) & ~F.exists(
+        F.slice(arr, F.lit(1), F.col(key_col)), agree
     )
+
+
+def _first_by_case(eqs: list[Column], key_col: str, check_current: bool) -> Column:
+    """First-agreeing-key filter as a FLAT CASE over the (small, static)
+    key count — the codegen-friendly sibling of ``_first_match_mask``
+    for bandings whose agreement test compares array elements rather
+    than bit masks. Higher-order-function filters (slice + zip_with +
+    exists over the two signature arrays) are interpreted per candidate
+    row and measured SLOWER than the dropDuplicates they replace
+    (wmh_dup4 8.5 -> 18s); a when-chain of plain element comparisons
+    stays inside whole-stage codegen. ``eqs[j]`` must be the row-local
+    "key j agrees" predicate; ``check_current`` re-tests the current
+    key (needed when the join key is a HASH of the agreement tuple, so
+    a collision row cannot slip through as exactly-once; pass False
+    when the join key IS the agreement tuple)."""
+    none_earlier = F.when(F.col(key_col) == 0, F.lit(True))
+    acc = None
+    for j in range(1, len(eqs)):
+        acc = eqs[j - 1] if acc is None else (acc | eqs[j - 1])
+        none_earlier = none_earlier.when(F.col(key_col) == j, ~acc)
+    none_earlier = none_earlier.otherwise(F.lit(False))
+    if not check_current:
+        return none_earlier
+    current = F.when(F.col(key_col) == 0, eqs[0])
+    for j in range(1, len(eqs)):
+        current = current.when(F.col(key_col) == j, eqs[j])
+    return current.otherwise(F.lit(False)) & none_earlier
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -520,9 +552,9 @@ def minhash_lsh_pairs(
     than the payload it saves (BUILD_NOTES r10). Exact-dup-heavy
     corpora should route through ``exact_dedup`` first (the same
     contract as the capped SimHash path). What IS taken from the q129
-    discipline: the agreement verify runs BEFORE dropDuplicates with
-    signatures projected away, so the dedup exchange carries only
-    threshold-passing (id_a, id_b, est_jaccard) triples.
+    discipline (sharpened in r14): multi-band hits are resolved by the
+    first-agreeing-band filter inside the candidate join, so no pair
+    ever reaches a dedup exchange at all.
     """
     rows_per_band = num_hashes // bands
     # Materialize signatures: they feed both sides of the self-join (and
@@ -538,9 +570,31 @@ def minhash_lsh_pairs(
     band_entries = _band_entries(sigs, bands, rows_per_band)
 
     a, b = band_entries.alias("a"), band_entries.alias("b")
+    # first-agreeing-band filter instead of dropDuplicates (r14, the
+    # _first_match_mask discipline): a pair is a candidate once per
+    # agreeing band, and band agreement is row-local here — both
+    # signatures already cross the band join for the verify — so
+    # keeping only the row whose band is the first agreeing one emits
+    # every pair exactly once and the pair-dedup exchange disappears
+    # (guide §2.4). Signatures are one-row-per-id (minhash_signatures
+    # groups by id), so band rows cannot duplicate a pair within a
+    # band. The filter runs before the agreement estimate, so
+    # multi-band pairs also stop paying the verify per agreeing band.
+    def _band_eq(j: int) -> Column:
+        eq = F.lit(True)
+        for r in range(rows_per_band):
+            eq = eq & (
+                F.col("a.signature")[j * rows_per_band + r]
+                == F.col("b.signature")[j * rows_per_band + r]
+            )
+        return eq
+
+    first = _first_by_case(
+        [_band_eq(j) for j in range(bands)], "band", check_current=True
+    )
     return (
         a.join(b, on=["band", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where((F.col("a.id") < F.col("b.id")) & first)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -550,7 +604,6 @@ def minhash_lsh_pairs(
         .withColumn("est_jaccard", F.round(_sig_agreement(num_hashes), 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -1795,32 +1848,55 @@ def weighted_minhash_pairs(
     )
     # band key = md5 over the band's "|"-joined minima in k order —
     # the identical string the old collect_list/array_sort path built.
-    band_structs = F.array(
+    # The keys travel as ONE array column that posexplode fans into
+    # (band, bkey) join rows, so each side of the band join also sees
+    # its row's earlier band keys: a pair is a candidate once per
+    # agreeing band, and "no earlier band key matches" is then
+    # row-local — the first-agreeing-band filter replaces the
+    # pair-level dropDuplicates and its exchange (r14, guide §2.4;
+    # candidate pairs dwarf the docs x n_bands band rows on dup-dense
+    # corpora — 562k pairs vs 5k docs at sf0.1 — so widening band rows
+    # by n_bands md5 strings is the cheap side of the trade). Current-
+    # band agreement needs no re-check: the band key itself is the
+    # equi-join key.
+    bkey_arr = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col("sig")[b * band_size + r]
-                            for r in range(band_size)
-                        ],
-                    )
-                ).alias("bkey"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("sig")[b * band_size + r]
+                        for r in range(band_size)
+                    ],
+                )
             )
             for b in range(n_bands)
         ]
     )
-    bands = sig.select(
-        "id", F.explode(band_structs).alias("bb")
-    ).select("id", "bb.band", "bb.bkey")
-    cand = (
+    bands = sig.select("id", bkey_arr.alias("_bks")).select(
+        "id", "_bks", F.posexplode("_bks").alias("band", "bkey")
+    )
+    first = _first_by_case(
+        [
+            F.col("a._bks")[j] == F.col("b._bks")[j]
+            for j in range(n_bands)
+        ],
+        "band",
+        check_current=False,  # the band key IS the join key
+    )
+    # _wide: the candidate rows are two ids (16 bytes) but each drags a
+    # zip_with over two signature arrays plus the map_zip_with min-sum
+    # downstream — AQE's byte-based coalescing packs them onto 1-2
+    # tasks (measured: the whole est+minsum pipeline on 2 tasks, 11s of
+    # a 14.5s wall). The old dropDuplicates exchange provided width by
+    # accident; the explicit respread carries the same exactly-once
+    # pair stream (the filter runs BEFORE the exchange) without the two
+    # aggregate passes.
+    cand = _wide(
         bands.alias("a")
         .join(bands.alias("b"), on=["band", "bkey"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where((F.col("a.id") < F.col("b.id")) & first)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
     # Signature agreement by zip_with over the two arrays (was: a
     # num_hashes-rows-per-pair equi-join + re-aggregation — 16x the
