@@ -488,24 +488,65 @@ def signband_neardup_pairs(
         keyed = keyed.join(F.broadcast(cool), on=["band", "key"])
 
     # ---- candidates + verify at value level -------------------------
-    # verify BEFORE dropDuplicates (q129 discipline) and project the
-    # vectors away first, so the dedup exchange carries only
-    # threshold-passing (vid_a, vid_b, cosine) triples
+    # verify in the join (q129 discipline) with the vectors projected
+    # away immediately after
     a, b_ = keyed.alias("a"), keyed.alias("b")
     score = F.round(
         cosine(F.col("a.vec"), F.col("b.vec")), round_digits
     )
+    pair_cond = F.col("a.vid") < F.col("b.vid")
+    if max_bucket_ratio is None:
+        # Uncapped: a pair is a candidate once per agreeing band, and
+        # band agreement is row-local (both vectors cross the join for
+        # the cosine verify) — the first-agreeing-band filter makes
+        # the pair stream already-distinct and the pair-dedup exchange
+        # disappears (r14, the dedup._first_by_case discipline). The
+        # per-band test rebuilds the KEY STRING itself from each
+        # side's vector, so "agrees" is exactly join-key equality.
+        # With the cap on, "first agreeing SURVIVING band" depends on
+        # which buckets the cap dropped — not row-local — so the
+        # capped path keeps its dropDuplicates.
+        from .dedup import _first_by_case
+
+        def _band_key(side: str, j: int) -> Column:
+            # flat expressions, not transform(...) — higher-order
+            # functions are interpreted per row. Mirrors the key
+            # construction bit-for-bit: NULL components key as "0"
+            # (the transform lambda's otherwise), NaN >= 0 is true,
+            # and a vector shorter than bands*bits_per_band raises the
+            # same ANSI element_at error the key construction raises.
+            vec = F.col(f"{side}.vec")
+            return F.concat_ws(
+                "",
+                *[
+                    F.when(
+                        F.element_at(vec, j * bits_per_band + d + 1) >= 0,
+                        F.lit("1"),
+                    ).otherwise(F.lit("0"))
+                    for d in range(bits_per_band)
+                ],
+            )
+
+        def _band_eq(j: int) -> Column:
+            return _band_key("a", j) == _band_key("b", j)
+
+        pair_cond = pair_cond & _first_by_case(
+            [_band_eq(j) for j in range(bands)],
+            "band",
+            check_current=False,  # the band key IS the join key
+        )
     vmatches = (
         a.join(b_, on=["band", "key"])
-        .where(F.col("a.vid") < F.col("b.vid"))
+        .where(pair_cond)
         .select(
             F.col("a.vid").alias("vid_a"),
             F.col("b.vid").alias("vid_b"),
             score.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .dropDuplicates(["vid_a", "vid_b"])
     )
+    if max_bucket_ratio is not None:
+        vmatches = vmatches.dropDuplicates(["vid_a", "vid_b"])
 
     # a duplicate family pairs within itself iff the value kept >= 1
     # un-capped band (exactly when the id-level join would have seen
