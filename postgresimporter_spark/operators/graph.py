@@ -473,15 +473,22 @@ def kcore(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     """
     e = edges.select("src", "dst").localCheckpoint(eager=False)
     for _ in range(rounds):
-        keep = (
-            degrees(e)
-            .where(F.col("degree") >= k)
-            .select("node")
-            .localCheckpoint(eager=False)
-        )
+        # keep is NOT checkpointed (r14): both endpoint filters are
+        # LEFT SEMI joins against the SAME unrenamed subtree, so its
+        # exchange canonicalizes identically and Spark computes the
+        # degree aggregate once and reuses it (the old per-round
+        # checkpoint achieved the same single computation by
+        # materializing it — but under AQE every checkpoint runs its
+        # subtree at build time as serialized micro-jobs, and two
+        # checkpoints per round made that fixed cost dominate the
+        # local q180 reading: ~5s of driver-serialized dispatch over
+        # ~0.2s of warm data work). Semi join == inner join here
+        # (keep's node is unique, a groupBy output) and keeps only
+        # e's columns, exactly like the renamed-inner-join layout.
+        keep = degrees(e).where(F.col("degree") >= k).select("node")
         e = (
-            e.join(keep.withColumnRenamed("node", "src"), on="src")
-            .join(keep.withColumnRenamed("node", "dst"), on="dst")
+            e.join(keep, e["src"] == keep["node"], "left_semi")
+            .join(keep, e["dst"] == keep["node"], "left_semi")
             .localCheckpoint(eager=False)
         )
     return degrees(e)
