@@ -937,9 +937,13 @@ def simhash_hamming_pairs(
     # true output; same-value (hamming 0) pairs come from one
     # fp-equality self-join. This subsumes the docstring's
     # "exact_dedup first, then join distinct fingerprints" advice.
+    # checkpoint=False: vals sits just above the _wide exchange, whose
+    # stage AQE computes once and reuses across the self-join's two
+    # identical subtrees — the checkpoint only added a build-time plan
+    # compile + micro-job chain per invocation
     vals = _wide(fps.select(F.col("fp").alias("v")).distinct())
     _, keyed_v, vmasks = _combo_keyed(
-        vals, bits, chunks, max_hamming, "v", "v", combo_size
+        vals, bits, chunks, max_hamming, "v", "v", combo_size, checkpoint=False
     )
     a, b = keyed_v.alias("a"), keyed_v.alias("b")
     # first-agreeing-combo filter instead of dropDuplicates: each true
@@ -1088,7 +1092,14 @@ def hamming_pairs_mih(
     # equi-joins at the end — that expansion is exactly the true
     # output, never a candidate set. On a spread-out corpus (values
     # ~= rows) this is the same plan plus one distinct.
-    vals = _wide(fps.select("fp").distinct()).localCheckpoint(eager=False)
+    # vals is NOT checkpointed (r14): its two consumers (index entries
+    # and probe neighborhoods) are canonically identical subtrees in
+    # ONE downstream plan, bounded by the _wide exchange, so AQE
+    # computes that shuffle stage once and reuses it — while a lazy
+    # checkpoint materializes its subtree at build time as serialized
+    # micro-jobs (one more driver-side plan compile + job chain per
+    # invocation for zero executor work saved).
+    vals = _wide(fps.select("fp").distinct())
     entries = F.array(
         *[
             F.struct(
@@ -1227,11 +1238,17 @@ def _combo_keyed(
     id_col: str,
     hash_col: str,
     combo_size: int | None,
+    checkpoint: bool = True,
 ):
-    """Shared combo-key builder: the checkpointed (id, fp) table and its
-    exploded (id, fp, chunk, val) band rows. ``simhash_hamming_pairs``
-    and the ``hot_bands`` audit both call this, so the pigeonhole
-    combo math exists exactly once."""
+    """Shared combo-key builder: the (id, fp) table and its exploded
+    (id, fp, chunk, val) band rows. ``simhash_hamming_pairs`` and the
+    ``hot_bands`` audit both call this, so the pigeonhole combo math
+    exists exactly once. ``checkpoint=False`` skips the (id, fp)
+    materialization for inputs that are ALREADY cheap to recompute
+    (the distinct-value table, which sits just above a shuffle whose
+    stage AQE reuses across the self-join's two identical subtrees) —
+    a lazy checkpoint costs a driver-side plan compile plus a
+    serialized micro-job chain per invocation."""
     if bits % chunks:
         raise ValueError("bits must divide evenly into chunks")
     width = bits // chunks
@@ -1282,7 +1299,9 @@ def _combo_keyed(
     # is a handful of shifts — negligible.
     fps = fingerprints.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
-    ).localCheckpoint(eager=False)
+    )
+    if checkpoint:
+        fps = fps.localCheckpoint(eager=False)
     if n_combos <= 256 and width * m <= 62:
         # Literal path: one packed-long key column per combo, codegen'd
         # in place — cheapest for the common small-combo configs
