@@ -557,15 +557,17 @@ def minhash_lsh_pairs(
     ever reaches a dedup exchange at all.
     """
     rows_per_band = num_hashes // bands
-    # Materialize signatures: they feed both sides of the self-join (and
-    # the verify stage), and projection collapse would otherwise inline
-    # the whole shingle+hash lineage into every consumer. localCheckpoint
-    # (not persist) so the blocks are reclaimed by the ContextCleaner
-    # when the result goes out of scope — persist() here leaked cache on
-    # every invocation. Signatures are ~num_hashes longs per doc.
+    # Signatures are NOT checkpointed (r14): the self-join's two band
+    # subtrees are canonically identical and bounded by the signature
+    # groupBy's exchange, so AQE computes the shingle+md5 fold stage
+    # once and reuses it (verified: one fold stage executes, action
+    # time flat) — while the lazy checkpoint materialized the subtree
+    # at build time as serialized micro-jobs plus a plan compile per
+    # invocation. Projection collapse cannot inline the fold into the
+    # band consumers either way: it sits below the aggregate boundary.
     sigs = minhash_signatures(
         df, num_hashes, n, text_col, id_col, max_doc_ratio=max_doc_ratio
-    ).localCheckpoint(eager=False)
+    )
 
     band_entries = _band_entries(sigs, bands, rows_per_band)
 
@@ -678,11 +680,16 @@ def minhash_match_index(
     drop them all — prefer ``stop_shingles``).
     """
     rows_per_band = num_hashes // bands
+    # batch signatures are NOT checkpointed (r14): they have exactly one
+    # consumer (the probe entries below), so the checkpoint bought no
+    # recompute protection — only a build-time plan compile plus a
+    # serialized micro-job chain per probe call, which at one call per
+    # micro-batch is pure per-batch latency
     new_sigs = minhash_signatures(
         new_df, num_hashes, n, text_col, id_col,
         max_doc_ratio=max_doc_ratio,
         stop_shingles=stop_shingles,
-    ).localCheckpoint(eager=False)
+    )
     new_entries = _band_entries(new_sigs, bands, rows_per_band)
     if broadcast_batch:
         new_entries = F.broadcast(new_entries)
